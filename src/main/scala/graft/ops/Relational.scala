@@ -1,0 +1,278 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational query surface: grouped aggregation, multi-way joins
+  * (broadcast for dimensions), semi/anti joins, window functions,
+  * sort/limit, set operations, grouping sets.
+  *
+  * The reference (SURVEY.md §2.4-2.6) has no general relational
+  * operators — these are the engine extensions that make the library a
+  * complete query surface over the star schema, expressed declaratively
+  * so Catalyst handles pushdown/pruning/join-ordering.
+  *
+  * Scale notes (100 TB design):
+  *  - Dimension tables (region/nation/supplier/part/customer) are
+  *    broadcast explicitly — no shuffle of the fact table for those
+  *    joins.  Fact-fact joins (orders ⋈ lineitem) shuffle on the join
+  *    key once; AQE coalesces/skew-splits at runtime.
+  *  - Aggregations are partial (map-side combine) by construction —
+  *    `groupBy.agg` with algebraic aggregates.
+  *  - Filters are written against source columns so they push into the
+  *    parquet scan (verified: PushedFilters in the formatted plan).
+  *
+  * Floating-point parity with the DuckDB oracle: every aggregate over
+  * doubles is rounded with enough precision that both engines land on
+  * identical grid points (inputs carry ≤2 decimal digits; products with
+  * discounts ≤4; see oracle SQL in SparkEntry).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: grouped algebraic aggregates. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+          .as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")
+          * (lit(1.0) + $"l_tax")), 6).as("sum_charge"),
+        round(avg($"l_quantity"), 6).as("avg_qty"),
+        round(avg($"l_extendedprice"), 6).as("avg_price"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q6-style selective filter + single scalar aggregate.
+    * The three predicates all push down to the parquet scan. */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= to_timestamp(lit("1998-01-01")) &&
+        $"l_shipdate" < to_timestamp(lit("1999-01-01")) &&
+        $"l_discount".between(0.03, 0.07) && $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 4).as("revenue"))
+  }
+
+  /** TPC-H Q3-style: customer ⋈ orders ⋈ lineitem, grouped revenue,
+    * top-10.  customer is a dimension → broadcast; orders⋈lineitem
+    * shuffles once on orderkey. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < to_timestamp(lit("1999-06-30")))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > to_timestamp(lit("1997-06-30")))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style five-way star join: all four dimensions broadcast,
+    * single shuffle on the fact join key, grouped by nation. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.region(spark, dir).filter($"r_name" === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val supp = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= to_timestamp(lit("1997-01-01")) &&
+        $"o_orderdate" < to_timestamp(lit("1999-01-01")))
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Left-semi join: orders that have at least one large lineitem. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" >= 45).select($"l_orderkey")
+    Tables.orders(spark, dir)
+      .join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Left-anti join: customers with no orders after 2001-01-01. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= to_timestamp(lit("2001-01-01")))
+      .select($"o_custkey")
+    Tables.customer(spark, dir)
+      .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left outer join + count: per-customer order counts including
+    * zero-order customers (TPC-H Q13 shape). */
+  def qCustOrderCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).select($"c_custkey")
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    cust.join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** Window functions: per-supplier revenue rank and running total. */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byMonth = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey", date_trunc("month", $"l_shipdate").as("month"))
+      .agg(round(sum($"l_extendedprice"), 2).as("rev"))
+    val w = Window.partitionBy($"l_suppkey").orderBy($"month")
+    byMonth
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_rev",
+        round(sum($"rev").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .filter($"rn" <= 3)
+      .select($"l_suppkey", $"month", $"rev", $"rn", $"running_rev")
+      .orderBy($"l_suppkey", $"month")
+  }
+
+  /** Top-N sort/limit: 15 highest-value orders. */
+  def qTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(15)
+  }
+
+  /** Distinct + multi-distinct aggregates. */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct($"l_orderkey").as("n_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Set operations: union / intersect / except over customer keys. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val building = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val rich = Tables.customer(spark, dir)
+      .filter($"c_acctbal" > 5000).select($"c_custkey")
+    val both = building.intersect(rich).withColumn("tag", lit("both"))
+    val onlyB = building.except(rich).withColumn("tag", lit("building_only"))
+    val onlyR = rich.except(building).withColumn("tag", lit("rich_only"))
+    both.unionByName(onlyB).unionByName(onlyR)
+      .groupBy($"tag").agg(count(lit(1)).as("n"))
+      .orderBy($"tag")
+  }
+
+  /** Conditional aggregation (CASE WHEN inside agg, TPC-H Q12 shape). */
+  def qCaseAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority")
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= to_timestamp(lit("1998-01-01")) &&
+        $"l_shipdate" < to_timestamp(lit("1999-01-01")))
+      .select($"l_orderkey", $"l_returnflag")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"o_orderpriority" === "1-URGENT" ||
+          $"o_orderpriority" === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when($"o_orderpriority" =!= "1-URGENT" &&
+          $"o_orderpriority" =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** GROUP BY ROLLUP over the region→nation hierarchy. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    Tables.customer(spark, dir)
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum($"c_acctbal"), 2).as("sum_bal"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** HAVING: parts appearing in many lineitems. */
+  def qHaving(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum($"l_quantity"), 2).as("total_qty"))
+      .filter($"n_lines" >= 40)
+      .orderBy($"l_partkey")
+  }
+
+  /** Scalar subquery: customers with balance above the global average. */
+  def qAboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    // Global avg is a 1-row broadcastable aggregate — cross-joined, not
+    // collected to the driver, so the plan stays fully distributed.
+    val globalAvg = cust.agg(avg($"c_acctbal").as("global_avg"))
+    cust.crossJoin(broadcast(globalAvg))
+      .filter($"c_acctbal" > $"global_avg")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_above"),
+        round(avg($"c_acctbal"), 6).as("avg_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Date/time functions: monthly order stats (EXTRACT/date_trunc). */
+  def qDateAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(year($"o_orderdate").as("o_year"),
+        month($"o_orderdate").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("sum_price"),
+        round(min($"o_totalprice"), 2).as("min_price"),
+        round(max($"o_totalprice"), 2).as("max_price"))
+      .orderBy($"o_year", $"o_month")
+  }
+}
