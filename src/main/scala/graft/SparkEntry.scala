@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col}
+import graft.ingest.BarPipeline
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -37,6 +39,19 @@ object SparkEntry {
     "q_having" -> (Relational.qHaving _),
     "q_above_avg" -> (Relational.qAboveAvg _),
     "q_date_agg" -> (Relational.qDateAgg _),
+    // Ingestion pipeline (SURVEY §2 S/P/F/A/T over the events stream)
+    "ingest_asset_catalog" -> ((s: SparkSession, d: String) =>
+      BarPipeline.assetCatalog(s, d).orderBy(col("symbol"))),
+    "ingest_bars_daily" -> ((s: SparkSession, d: String) =>
+      BarPipeline.canonicalBars(s, d).orderBy(col("symbol"), col("timestamp"))),
+    "ingest_upsert_dedup" -> ((s: SparkSession, d: String) =>
+      BarPipeline.overlappingIngest(s, d)
+        .orderBy(col("symbol"), col("timestamp"))),
+    "ingest_summaries" -> ((s: SparkSession, d: String) =>
+      BarPipeline.ingestSummaries(BarPipeline.canonicalBars(s, d))
+        .orderBy(col("asset_symbol"))),
+    "ingest_run_status" -> ((s: SparkSession, d: String) =>
+      BarPipeline.runStatus(BarPipeline.canonicalBars(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -173,5 +188,58 @@ object SparkEntry {
         | round(min(o_totalprice), 2) AS min_price,
         | round(max(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin,
+    "ingest_asset_catalog" ->
+      """SELECT 'alpaca_' || symbol AS asset_doc_id, 'alpaca' AS provider_doc_id, symbol
+        |FROM (SELECT DISTINCT event_type AS symbol FROM events
+        |      WHERE event_type IS NOT NULL)
+        |ORDER BY symbol""".stripMargin,
+    "ingest_bars_daily" ->
+      """WITH b AS (
+        |  SELECT event_type AS symbol,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
+        |    min_by(value, ts) AS o, max(value) AS h, min(value) AS l,
+        |    max_by(value, ts) AS c, count(*) AS v
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT strftime(t, '%Y%m%dT%H%M%SZ') || '_Day' AS bar_key, symbol,
+        |  t AS timestamp, 'Day' AS timeframe,
+        |  o AS open, h AS high, l AS low, c AS close, v AS volume
+        |FROM b ORDER BY symbol, timestamp""".stripMargin,
+    "ingest_upsert_dedup" ->
+      """WITH mk AS (
+        |  SELECT event_type AS symbol,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
+        |    min_by(value, ts) AS o, max(value) AS h, min(value) AS l,
+        |    max_by(value, ts) AS c, count(*) AS v, seq
+        |  FROM (
+        |    SELECT *, 1 AS seq FROM events WHERE ts < TIMESTAMP '2024-01-21'
+        |    UNION ALL
+        |    SELECT *, 2 AS seq FROM events WHERE ts >= TIMESTAMP '2024-01-11')
+        |  WHERE event_type IS NOT NULL GROUP BY symbol, t, seq)
+        |SELECT symbol, strftime(t, '%Y%m%dT%H%M%SZ') || '_Day' AS bar_key,
+        |  t AS timestamp, 'Day' AS timeframe,
+        |  o AS open, h AS high, l AS low, c AS close, v AS volume
+        |FROM mk
+        |QUALIFY row_number() OVER (PARTITION BY symbol, t ORDER BY seq DESC) = 1
+        |ORDER BY symbol, timestamp""".stripMargin,
+    "ingest_summaries" ->
+      """WITH b AS (
+        |  SELECT event_type AS symbol,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS t, count(*) AS v
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT symbol AS asset_symbol, 'Day' AS timeframe,
+        |  strftime(min(t), '%Y-%m-%dT%H:%M:%SZ') AS start_timestamp_utc,
+        |  strftime(max(t), '%Y-%m-%dT%H:%M:%SZ') AS end_timestamp_utc,
+        |  count(*) AS bars_count
+        |FROM b GROUP BY 1, 2 ORDER BY asset_symbol""".stripMargin,
+    "ingest_run_status" ->
+      """WITH b AS (
+        |  SELECT event_type AS symbol,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS t, count(*) AS v
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT count(DISTINCT symbol) AS assets_processed_count,
+        |  count(*) AS total_bars_saved_in_last_run,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) > 0
+        |    AS run_had_errors
+        |FROM b""".stripMargin,
   )
 }
