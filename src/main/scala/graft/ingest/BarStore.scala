@@ -41,4 +41,41 @@ object BarStore {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Key-level MERGE for incremental/streaming updates: a batch that
+    * carries only some keys of a date partition must not clobber the
+    * rest of that partition.  Pattern: read back only the touched date
+    * partitions (partition pruning — bounded work however large the
+    * table), union with the new batch, keep the newest version of each
+    * key, rewrite just those partitions via dynamic overwrite.
+    * `localCheckpoint` truncates the read lineage so Spark permits
+    * overwriting the path being read.  (A transactional table format
+    * would do this natively; this is the no-Delta equivalent,
+    * SURVEY.md §7.3.) */
+  def merge(bars: DataFrame, path: String): Unit = {
+    val spark = bars.sparkSession
+    val dated = bars.dropDuplicates(key)
+      .withColumn("bar_date", to_date(col("timestamp")))
+    if (!new java.io.File(path).exists()) { upsert(bars, path); return }
+    val touched = dated.select("bar_date").distinct()
+      .collect().map(_.getDate(0)) // small: one row per touched date
+    val existing = read(spark, path)
+      .filter(col("bar_date").isin(touched.toIndexedSeq: _*))
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      dated.withColumn("pri", lit(1))
+        .unionByName(existing.withColumn("pri", lit(0))
+          .select(dated.columns.map(col).toIndexedSeq :+ col("pri"): _*))
+        .groupBy(key.map(col).toIndexedSeq: _*)
+        .agg(max_by(struct((dated.columns.filterNot(key.contains))
+          .map(col).toIndexedSeq: _*), col("pri")).as("r"))
+        .select(dated.columns.toIndexedSeq.map(c =>
+          if (key.contains(c)) col(c) else col(s"r.$c").as(c)): _*)
+        .repartition(col("bar_date"))
+        .write.partitionBy("bar_date").mode(SaveMode.Overwrite).parquet(path)
+    } finally prev.foreach(
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+  }
 }

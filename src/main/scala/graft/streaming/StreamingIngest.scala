@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.ingest.{BarStore, Canonicalize}
+
+/** The E1 dataflow under Structured Streaming (SURVEY.md §2.7 T1-T6).
+  *
+  * Source: file stream of tick/event parquet (stands in for the remote
+  * bar feed; a production connector would be a DataSource V2 table).
+  * Transform: watermarked tumbling-window OHLCV aggregation (T5) →
+  * canonicalize.  Sink: `foreachBatch` keyed idempotent upsert into the
+  * partitioned bar store (T3) — the same BarStore as batch mode, so
+  * streaming and batch ingests are interchangeable and re-runs are
+  * no-ops.  Trigger: `AvailableNow` reproduces the reference's
+  * scheduled batch cadence (cron fires a run that drains what's
+  * available); `ProcessingTime` maps to its interval mode.
+  *
+  * Scale: state is bounded by the watermark (T4 — the reference's
+  * 30-day trailing refetch window); the windowed agg shuffles once on
+  * (symbol, window) with partial aggregation map-side.
+  */
+object StreamingIngest {
+
+  /** Raw event-file schema (ts as raw nanos Long — see Tables.events). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream source over a directory of event parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events*.parquet")
+      .option("maxFilesPerTrigger", "4") // bounded micro-batches at scale
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** T5 under streaming: watermarked tumbling-window OHLCV bars.
+    * Watermark = the reference's 30-day late-data horizon (T4). */
+  def streamingBars(events: DataFrame, timeframe: String = "Day",
+      watermark: String = "30 days"): DataFrame = {
+    val duration = graft.model.Timeframes.durations(
+      graft.model.Timeframes.resolve(timeframe))
+    events
+      .filter(col("event_type").isNotNull) // P5
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type").as("symbol"),
+        window(col("ts"), duration).as("w"))
+      .agg(
+        min_by(col("value"), col("ts")).as("o"),
+        max(col("value")).as("h"),
+        min(col("value")).as("l"),
+        max_by(col("value"), col("ts")).as("c"),
+        count(lit(1)).as("v"))
+      .select(col("symbol"), col("w.start").as("t"),
+        col("o"), col("h"), col("l"), col("c"), col("v"))
+  }
+
+  /** Full streaming ingest: source → bars → canonicalize → upsert.
+    * Update mode + keyed upsert sink = exactly-once-per-key semantics
+    * via deterministic bar keys (the reference's merge=True story). */
+  def start(spark: SparkSession, srcDir: String, storeDir: String,
+      checkpointDir: String, timeframe: String = "Day",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val bars = streamingBars(readEvents(spark, srcDir), timeframe)
+    bars.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val canonical = Canonicalize.canonicalize(batch, timeframe).get
+        if (!canonical.isEmpty) BarStore.merge(canonical, storeDir)
+      }
+      .start()
+  }
+}
