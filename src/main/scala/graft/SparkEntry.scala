@@ -52,6 +52,24 @@ object SparkEntry {
         .orderBy(col("asset_symbol"))),
     "ingest_run_status" -> ((s: SparkSession, d: String) =>
       BarPipeline.runStatus(BarPipeline.canonicalBars(s, d))),
+    // Text analysis (training-data pipeline extensions)
+    "text_token_counts" -> (TextAnalysis.tokenCounts _),
+    "text_quality" -> (TextAnalysis.quality _),
+    "text_langid" -> (TextAnalysis.langId _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // Deduplication family
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_embedding" -> (Dedup.embeddingCosine _),
+    // Similarity search over embeddings
+    "sim_topk_bruteforce" -> (Similarity.topK _),
+    "sim_ann_lsh" -> (Similarity.annLsh _),
+    // Multimodal binary-column plumbing
+    "mm_inventory" -> (Multimodal.inventory _),
+    "mm_video_frames" -> (Multimodal.videoFrames _),
+    "mm_decode_features" -> (Multimodal.decodeFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -241,5 +259,25 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) > 0
         |    AS run_had_errors
         |FROM b""".stripMargin,
+    // Text analysis / dedup / similarity oracles: generated from the
+    // same dialect-parameterized SQL bodies as the Spark plans (ops
+    // .TextOps), so both sides share logic with portable primitives.
+    "text_token_counts" -> TextAnalysis.tokenCountsSql(DuckDialect),
+    "text_quality" -> TextAnalysis.qualitySql(DuckDialect),
+    "text_langid" -> TextAnalysis.langIdSql(DuckDialect),
+    "text_fingerprint" -> TextAnalysis.fingerprintSql(DuckDialect),
+    "dedup_exact" -> Dedup.exactSql(DuckDialect),
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(DuckDialect),
+    "dedup_minhash_lsh" -> Dedup.minhashLshSql(DuckDialect),
+    // SimHash oracle is deliberately a DIFFERENT algorithm (brute-force
+    // all-pairs) that must equal the engine's banded result — see
+    // Dedup header for the completeness argument.
+    "dedup_simhash" -> Dedup.simhashBruteSql(DuckDialect),
+    "dedup_embedding" -> Dedup.embeddingCosineSql(DuckDialect),
+    "sim_topk_bruteforce" -> Similarity.topKSql(DuckDialect),
+    "sim_ann_lsh" -> Similarity.annLshSql(DuckDialect),
+    "mm_inventory" -> Multimodal.inventoryOracleSql,
+    "mm_video_frames" -> Multimodal.videoFramesOracleSql,
+    "mm_decode_features" -> Multimodal.decodeFeaturesOracleSql,
   )
 }

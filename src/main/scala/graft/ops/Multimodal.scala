@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus decode / feature-extract
+  * / frame-sample operators.
+  *
+  * The container has no codec libraries, so the *decode* step is a
+  * clearly-marked deterministic stub (`decodeStub`) — byte-level
+  * features standing in for real pixel/sample decoding.  Everything
+  * around it — binary column schema, typed Dataset encoding, the
+  * `mapPartitions` batch shape (the Scala analogue of `mapInPandas`:
+  * one iterator per partition, no per-row UDF dispatch), partitioning
+  * and the aggregation plan — is real and tested.
+  *
+  * The media table is synthesized deterministically from `documents`
+  * (payload = UTF-8 bytes of the text; the corpus is pure ASCII so the
+  * DuckDB oracle can mirror byte logic with char logic 1:1).
+  *
+  * Scale notes: payloads stay opaque binary until the last possible
+  * operator (no decode-then-shuffle); frame explosion produces rows
+  * proportional to payload size — at 100 TB, frame sampling happens
+  * *inside* the generator expression (the `frame_idx % 4` predicate is
+  * applied before the md5), never on materialized full frames.
+  */
+object Multimodal {
+
+  val FrameBytes = 64
+  val FrameSampleEvery = 4
+
+  /** documents → media items: type from doc_id mod 3, payload = text
+    * bytes, typed metadata derived deterministically per type. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        ($"doc_id" % 3 + 1).cast("int")).as("media_type"),
+      $"text".cast("binary").as("payload"),
+      struct(
+        (lit(64) * ($"doc_id" % 8 + 1)).cast("long").as("width"),
+        (lit(64) * ($"doc_id" % 4 + 1)).cast("long").as("height"),
+        (lit(8000) * ($"doc_id" % 3 + 1)).cast("long").as("sample_rate"),
+        (($"doc_id" % 2) + 1).cast("long").as("channels")
+      ).as("meta"))
+  }
+
+  /** Per-type inventory over the binary payloads and typed metadata. */
+  def inventory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select($"doc_id", $"media_type",
+        octet_length($"payload").cast("long").as("bytes"),
+        when($"media_type" === "image", $"meta.width" * $"meta.height")
+          .otherwise(0L).as("pixels"),
+        when($"media_type" === "video",
+          (octet_length($"payload").cast("long") + FrameBytes - 1)
+            .divide(FrameBytes).cast("long"))
+          .otherwise(0L).as("frames"))
+      .groupBy($"media_type")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum($"bytes").as("total_bytes"),
+        round(avg($"bytes"), 6).as("avg_bytes"),
+        sum($"pixels").as("total_pixels"),
+        sum($"frames").as("total_frames"))
+      .orderBy($"media_type")
+  }
+
+  def inventoryOracleSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |    CAST(length(text) AS BIGINT) AS bytes
+       |  FROM documents)
+       |SELECT media_type, count(*) AS n_items,
+       |  sum(bytes) AS total_bytes,
+       |  round(avg(bytes), 6) AS avg_bytes,
+       |  sum(CASE WHEN media_type = 'image'
+       |      THEN (64 * (doc_id % 8 + 1)) * (64 * (doc_id % 4 + 1)) ELSE 0 END) AS total_pixels,
+       |  sum(CASE WHEN media_type = 'video'
+       |      THEN (bytes + ${FrameBytes - 1}) // $FrameBytes ELSE 0 END) AS total_frames
+       |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin
+
+  /** Frame sampling for video payloads: fixed-size frames, every 4th
+    * sampled, content-addressed by md5.  The sample predicate lives
+    * inside the generator (filter before explode output is consumed). */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter($"media_type" === "video")
+      .select($"doc_id", $"payload",
+        ((octet_length($"payload") + FrameBytes - 1) / FrameBytes)
+          .cast("int").as("n_frames"))
+      .select($"doc_id", $"payload",
+        explode(filter(sequence(lit(0), $"n_frames" - 1),
+          i => i % FrameSampleEvery === 0)).as("frame_idx"))
+      .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+        expr(s"substring(CAST(payload AS STRING), frame_idx * $FrameBytes + 1, $FrameBytes)")
+          .as("frame"))
+      .select($"doc_id", $"frame_idx",
+        length($"frame").cast("long").as("frame_len"),
+        md5($"frame").as("frame_md5"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  def videoFramesOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT doc_id, text, length(text) AS len FROM documents WHERE doc_id % 3 = 2),
+       |f AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(0, ((len + ${FrameBytes - 1}) // $FrameBytes) - 1)) AS frame_idx
+       |  FROM v),
+       |s AS (
+       |  SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |    substring(text, frame_idx * $FrameBytes + 1, $FrameBytes) AS frame
+       |  FROM f WHERE frame_idx % $FrameSampleEvery = 0)
+       |SELECT doc_id, frame_idx,
+       |  CAST(length(frame) AS BIGINT) AS frame_len,
+       |  md5(frame) AS frame_md5
+       |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---- decode / feature extraction (stubbed codec) -----------------
+
+  case class MediaItem(doc_id: Long, media_type: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, media_type: String, feat_len: Long,
+                           avg_byte: Double, min_byte: Long, max_byte: Long)
+
+  /** Decode one media item.  A real implementation would dispatch on
+    * media_type to an image/audio/video codec; this container has no
+    * codec libraries, so the decode is STUBBED with deterministic
+    * byte-level features.  The batch shape (partition iterator in,
+    * iterator out) is exactly what a real vectorized decoder needs. */
+  def decodeStub(m: MediaItem): MediaFeatures = {
+    // realDecode(m.payload)  // ??? — no codecs in this environment
+    var sum = 0L
+    var min = 256L
+    var max = -1L
+    var i = 0
+    while (i < m.payload.length) {
+      val b = (m.payload(i) & 0xff).toLong
+      sum += b; if (b < min) min = b; if (b > max) max = b
+      i += 1
+    }
+    val n = m.payload.length.toLong
+    val avg =
+      if (n == 0) 0.0
+      else BigDecimal(sum.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    MediaFeatures(m.doc_id, m.media_type, n, avg,
+      if (n == 0) 0L else min, if (n == 0) 0L else max)
+  }
+
+  /** Feature extraction over all media items via mapPartitions — one
+    * iterator per partition (vectorized-decoder batch shape), typed
+    * Dataset in/out, no shuffle. */
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items: Dataset[MediaItem] =
+      mediaTable(spark, dir)
+        .select($"doc_id", $"media_type", $"payload")
+        .as[MediaItem]
+    items.mapPartitions(_.map(decodeStub)).toDF()
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle mirror of the stub: per-char codepoint stats (the corpus is
+    * pure ASCII, so codepoint == byte). */
+  def decodeFeaturesOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |    list_transform(generate_series(1, length(text)), i -> ascii(substring(text, i, 1))) AS cps
+       |  FROM documents)
+       |SELECT doc_id, media_type,
+       |  CAST(len(cps) AS BIGINT) AS feat_len,
+       |  round(CAST(list_reduce(list_prepend(0, cps), (a, b) -> a + b) AS DOUBLE)
+       |    / greatest(len(cps), 1), 6) AS avg_byte,
+       |  CAST(coalesce(list_min(cps), 0) AS BIGINT) AS min_byte,
+       |  CAST(coalesce(list_max(cps), 0) AS BIGINT) AS max_byte
+       |FROM c ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, n-gram language ID, and rolling-hash document
+  * fingerprinting — the per-document scoring pass a training-data
+  * pipeline runs before filtering/dedup.
+  *
+  * Each operator is generated from one dialect-parameterized SQL body
+  * (SparkDialect for the engine, DuckDialect for the driver's oracle),
+  * so the engine result and the oracle are the *same logic* by
+  * construction — only hash/array/regex primitives differ per dialect,
+  * and those are chosen for bit-identical semantics (see TextOps).
+  *
+  * Scale notes: every operator here is embarrassingly parallel — a
+  * single narrow projection per document, no shuffle at all (verified:
+  * the physical plan is Scan → Project, one WholeStageCodegen span for
+  * the non-lambda parts). At 100 TB these run at scan speed; the only
+  * ordering shuffle is the final ORDER BY for oracle determinism, which
+  * a production caller would drop.
+  */
+object TextAnalysis {
+
+  /** English/Spanish/French/German stopword samples for lang-ID.
+    * Deterministic heuristic, not a trained model: count stopword hits
+    * per language over normalized tokens, argmax with fixed precedence
+    * en > es > fr > de, 'und' (undetermined) when nothing hits. */
+  val StopEn = Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for")
+  val StopEs = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "del")
+  val StopFr = Seq("le", "les", "des", "et", "une", "dans", "est", "pour", "sur", "avec")
+  val StopDe = Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "ist", "im")
+
+  /** Token counts: whitespace tokens of the raw text and BPE-ish regex
+    * tokens (letter runs | single digits | single symbols) of the
+    * lowercased text. */
+  def tokenCountsSql(d: SqlDialect): String = {
+    val bpe = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    ${d.wsTokens("text")} AS ws,
+       |    ${d.tokens("text")} AS toks,
+       |    lower(text) AS lt
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(${d.arrSize("ws")} AS BIGINT) AS n_ws_tokens,
+       |  CAST(${d.regexpExtractAllSize("lt", bpe)} AS BIGINT) AS n_bpe_tokens,
+       |  CAST(${d.arrSize("toks")} AS BIGINT) AS n_norm_tokens
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: char/token counts, symbol/digit ratios, stopword
+    * ratio, and a composite [0,1] quality score. */
+  def qualitySql(d: SqlDialect): String = {
+    val lenMinus = (pat: String) =>
+      s"(length(text) - length(${d.reReplace("text", pat, "")}))"
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ${d.tokens("text")} AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(${d.arrSize("toks")} AS BIGINT) AS n_tokens,
+       |    ${d.fold(d.arrTransform("toks", "t", "length(t)"),
+                     "CAST(0 AS BIGINT)", "s", "x", "s + x")} AS tok_chars,
+       |    CAST(${lenMinus("[^a-zA-Z0-9\\s]")} AS DOUBLE) AS n_sym,
+       |    CAST(${lenMinus("[^0-9]")} AS DOUBLE) AS n_digit,
+       |    CAST(${d.arrSize(d.arrFilter("toks", "t", d.containedIn("t", StopEn)))}
+       |      AS DOUBLE) AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_chars, n_tokens,
+       |  round(CAST(tok_chars AS DOUBLE) / greatest(n_tokens, 1), 6) AS avg_token_len,
+       |  round(n_sym / greatest(n_chars, 1), 6) AS symbol_ratio,
+       |  round(n_digit / greatest(n_chars, 1), 6) AS digit_ratio,
+       |  round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       |  round(least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 50.0)
+       |    * (1.0 - n_sym / greatest(n_chars, 1))
+       |    * (1.0 - n_digit / greatest(n_chars, 1)), 6) AS quality_score
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language ID via stopword-hit argmax. Emits the labeled lang too,
+    * so downstream can measure heuristic-vs-label agreement. */
+  def langIdSql(d: SqlDialect): String = {
+    val hit = (words: Seq[String]) =>
+      s"CAST(${d.arrSize(d.arrFilter("toks", "t", d.containedIn("t", words)))} AS BIGINT)"
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, ${d.tokens("text")} AS toks FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang,
+       |    ${hit(StopEn)} AS hits_en, ${hit(StopEs)} AS hits_es,
+       |    ${hit(StopFr)} AS hits_fr, ${hit(StopDe)} AS hits_de
+       |  FROM t)
+       |SELECT doc_id, lang,
+       |  CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und'
+       |       WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de THEN 'en'
+       |       WHEN hits_es >= hits_fr AND hits_es >= hits_de THEN 'es'
+       |       WHEN hits_fr >= hits_de THEN 'fr'
+       |       ELSE 'de' END AS pred_lang,
+       |  greatest(hits_en, hits_es, hits_fr, hits_de) AS best_hits
+       |FROM h
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: full-document rolling polynomial hash of
+    * the token-hash sequence (order-sensitive), plus a winnowing-style
+    * minimum over 8-token window hashes (robust to local edits). */
+  def fingerprintSql(d: SqlDialect): String = {
+    val P = TextOps.P
+    val wordHashes =
+      d.arrTransform("toks", "w", s"(${d.h60("w")} % $P)")
+    val roll = (arr: String) =>
+      d.fold(arr, "CAST(0 AS BIGINT)", "acc", "v", s"((acc * 31) % $P + v) % $P")
+    val winHashes =
+      d.arrTransform(d.sequence1(s"${d.arrSize("wh")} - 7"), "i",
+        roll(d.arrSlice("wh", "i", "8")))
+    s"""WITH t AS (
+       |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
+       |h AS (
+       |  SELECT doc_id, ${d.arrSize("toks")} AS nt, $wordHashes AS wh FROM t)
+       |SELECT doc_id,
+       |  CAST(nt AS BIGINT) AS n_tokens,
+       |  ${roll("wh")} AS doc_fp,
+       |  coalesce(${d.arrMin(winHashes)}, ${roll("wh")}) AS win_fp
+       |FROM h
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(sql)
+  }
+
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, tokenCountsSql(SparkDialect))
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, qualitySql(SparkDialect))
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, langIdSql(SparkDialect))
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, fingerprintSql(SparkDialect))
+}

@@ -1,0 +1,191 @@
+package graft.ops
+
+/** Shared scalar-logic fragments for the LLM-data-pipeline operators,
+  * emitted in two SQL dialects: Spark SQL (the engine) and DuckDB SQL
+  * (the driver's correctness oracle).
+  *
+  * Everything here is *engine-portable by construction*: the only hash
+  * primitive is MD5 (bit-identical in every engine), reduced to a
+  * 60-bit integer via the first 15 hex chars, and all arithmetic stays
+  * inside signed-64-bit / IEEE-double ranges with an identical fold
+  * order on both sides.  That makes MinHash signatures, SimHash bits,
+  * rolling fingerprints and cosine scores hash-comparable between the
+  * Spark result and the DuckDB oracle — the same trick used to verify
+  * any distributed engine against a single-node reference.
+  *
+  * The reference pipeline (SURVEY.md §2.3) only ever hashes by string
+  * concat for doc keys (F3); these fragments extend that to the
+  * content-addressed world a training-data pipeline needs.
+  */
+sealed trait SqlDialect {
+  /** Regex literal with dialect-correct escaping ('\s' vs '\\s'). */
+  def rx(pattern: String): String
+
+  /** 60-bit non-negative integer hash of an expression (string input):
+    * first 15 hex chars of md5, parsed base-16. Range [0, 2^60). */
+  def h60(x: String): String
+
+  /** regexp_replace with global semantics. */
+  def reReplace(x: String, pattern: String, rep: String): String
+
+  /** Array of non-empty tokens: lower → strip non-alnum → split. */
+  def tokens(text: String): String =
+    arrFilter(
+      split(s"trim(${reReplace(s"lower($text)", "[^a-z0-9]+", " ")})", " "),
+      "t", "t != ''")
+
+  /** Whitespace tokens of the raw (un-normalized) text. */
+  def wsTokens(text: String): String =
+    arrFilter(splitRx(s"trim($text)", "\\s+"), "t", "t != ''")
+
+  def split(x: String, sep: String): String
+  def splitRx(x: String, pattern: String): String
+  def arrFilter(arr: String, v: String, pred: String): String
+  def arrTransform(arr: String, v: String, body: String): String
+  def arrSize(arr: String): String
+  def arrAt(arr: String, i: String): String // 1-based
+  def arrDistinct(arr: String): String
+  def arrIntersectSize(a: String, b: String): String
+  def sequence1(n: String): String // [1..n], empty when n < 1
+  /** Left fold with explicit double/long init — identical order both sides. */
+  def fold(arr: String, init: String, acc: String, v: String, body: String): String
+  def xor(a: String, b: String): String
+  def shiftRight(a: String, n: String): String
+  def intDiv(a: String, b: String): String
+  def regexpExtractAllSize(x: String, pattern: String): String
+  def containedIn(v: String, items: Seq[String]): String
+  def arrSlice(arr: String, start1: String, len: String): String // 1-based
+  def arrMin(arr: String): String
+  def castStr(x: String): String
+  /** Explode an array column to rows (select-list position). */
+  def explode(arr: String): String
+  /** [0..n-1], empty when n < 1. */
+  def sequence0(n: String): String
+
+  /** Word 3-gram shingle set (distinct) from a token-array expression. */
+  def shingles3(toks: String): String =
+    arrDistinct(arrTransform(
+      sequence1(s"${arrSize(toks)} - 2"), "i",
+      s"${arrAt(toks, "i")} || ' ' || ${arrAt(toks, "i + 1")} || ' ' || ${arrAt(toks, "i + 2")}"))
+
+  /** Dot product of two double-array expressions, left-to-right fold. */
+  def dot(a: String, b: String): String =
+    fold(arrTransform(sequence1(arrSize(a)), "i",
+           s"${arrAt(a, "i")} * ${arrAt(b, "i")}"),
+         "CAST(0.0 AS DOUBLE)", "s", "x", "s + x")
+
+  /** Cast a float-array to double-array (before any arithmetic). */
+  def toDoubleArr(a: String): String =
+    arrTransform(a, "x", "CAST(x AS DOUBLE)")
+}
+
+object SparkDialect extends SqlDialect {
+  def rx(p: String): String = "'" + p.replace("\\", "\\\\") + "'"
+  def h60(x: String): String =
+    s"CAST(CONV(SUBSTRING(MD5($x), 1, 15), 16, 10) AS BIGINT)"
+  def reReplace(x: String, p: String, rep: String): String =
+    s"regexp_replace($x, ${rx(p)}, '$rep')"
+  def split(x: String, sep: String): String = s"split($x, ${rx(sep)})"
+  def splitRx(x: String, p: String): String = s"split($x, ${rx(p)})"
+  def arrFilter(arr: String, v: String, pred: String): String =
+    s"filter($arr, $v -> $pred)"
+  def arrTransform(arr: String, v: String, body: String): String =
+    s"transform($arr, $v -> $body)"
+  def arrSize(arr: String): String = s"size($arr)"
+  def arrAt(arr: String, i: String): String = s"element_at($arr, $i)"
+  def arrDistinct(arr: String): String = s"array_distinct($arr)"
+  def arrIntersectSize(a: String, b: String): String =
+    s"size(array_intersect($a, $b))"
+  // Spark sequence(1, n) DESCENDS when n < 1 — guard to empty instead.
+  def sequence1(n: String): String =
+    s"(CASE WHEN ($n) >= 1 THEN sequence(1, $n) ELSE slice(sequence(1, 1), 1, 0) END)"
+  def fold(arr: String, init: String, acc: String, v: String, body: String): String =
+    s"aggregate($arr, $init, ($acc, $v) -> $body)"
+  def xor(a: String, b: String): String = s"($a ^ $b)"
+  def shiftRight(a: String, n: String): String = s"shiftright($a, $n)"
+  def intDiv(a: String, b: String): String = s"($a DIV $b)"
+  def regexpExtractAllSize(x: String, p: String): String =
+    s"size(regexp_extract_all($x, ${rx(p)}, 0))"
+  def containedIn(v: String, items: Seq[String]): String =
+    s"array_contains(array(${items.map(s => s"'$s'").mkString(", ")}), $v)"
+  def arrSlice(arr: String, start1: String, len: String): String =
+    s"slice($arr, $start1, $len)"
+  def arrMin(arr: String): String = s"array_min($arr)"
+  def castStr(x: String): String = s"CAST($x AS STRING)"
+  def explode(arr: String): String = s"explode($arr)"
+  def sequence0(n: String): String =
+    s"(CASE WHEN ($n) >= 1 THEN sequence(0, ($n) - 1) ELSE slice(sequence(1, 1), 1, 0) END)"
+}
+
+object DuckDialect extends SqlDialect {
+  def rx(p: String): String = "'" + p + "'"
+  def h60(x: String): String =
+    s"CAST(CAST(('0x' || substr(md5($x), 1, 15)) AS UBIGINT) AS BIGINT)"
+  def reReplace(x: String, p: String, rep: String): String =
+    s"regexp_replace($x, ${rx(p)}, '$rep', 'g')"
+  def split(x: String, sep: String): String = s"string_split($x, ${rx(sep)})"
+  def splitRx(x: String, p: String): String = s"string_split_regex($x, ${rx(p)})"
+  def arrFilter(arr: String, v: String, pred: String): String =
+    s"list_filter($arr, $v -> $pred)"
+  def arrTransform(arr: String, v: String, body: String): String =
+    s"list_transform($arr, $v -> $body)"
+  def arrSize(arr: String): String = s"len($arr)"
+  def arrAt(arr: String, i: String): String = s"$arr[$i]"
+  def arrDistinct(arr: String): String = s"list_distinct($arr)"
+  def arrIntersectSize(a: String, b: String): String =
+    s"len(list_intersect($a, $b))"
+  def sequence1(n: String): String = s"generate_series(1, $n)"
+  def fold(arr: String, init: String, acc: String, v: String, body: String): String =
+    s"list_reduce(list_prepend($init, $arr), ($acc, $v) -> $body)"
+  def xor(a: String, b: String): String = s"xor($a, $b)"
+  def shiftRight(a: String, n: String): String = s"($a >> $n)"
+  def intDiv(a: String, b: String): String = s"($a // $b)"
+  def regexpExtractAllSize(x: String, p: String): String =
+    s"len(regexp_extract_all($x, ${rx(p)}))"
+  def containedIn(v: String, items: Seq[String]): String =
+    s"list_contains([${items.map(s => s"'$s'").mkString(", ")}], $v)"
+  def arrSlice(arr: String, start1: String, len: String): String =
+    s"list_slice($arr, $start1, ($start1) + ($len) - 1)"
+  def arrMin(arr: String): String = s"list_min($arr)"
+  def castStr(x: String): String = s"CAST($x AS VARCHAR)"
+  def explode(arr: String): String = s"unnest($arr)"
+  def sequence0(n: String): String = s"generate_series(0, ($n) - 1)"
+}
+
+/** Deterministic parameters shared by the hashing operators. */
+object TextOps {
+  /** Mersenne prime 2^31 - 1: (a * (h % P) + b) stays < 2^62. */
+  val P: Long = 2147483647L
+
+  /** MinHash: 32 permutations, banded 8 × 4 for LSH candidates. */
+  val NumPerms = 32
+  val Bands = 8
+  val RowsPerBand = 4
+
+  /** Knuth multiplicative constants → 32 fixed (a, b) pairs. */
+  def permA(i: Int): Long = {
+    val a = (2654435761L * (i + 1) + 1L) % P
+    if (a == 0L) 1L else a
+  }
+  def permB(i: Int): Long = (40503L * (i + 1) * 69069L) % P
+
+  /** SimHash: 60-bit signature (full h60 width — 32 bits is too dense
+    * for repetitive corpora), banded 6 × 10 bits.  By pigeonhole, any
+    * pair with Hamming distance ≤ 5 shares at least one intact band, so
+    * band-join candidate generation is *complete* for distance ≤ 5. */
+  val SimHashBits = 60
+  val SimHashBands = 6
+  val SimHashBandBits = 10
+  val SimHashMaxHamming: Int = SimHashBands - 1 // 5
+
+  /** Random-hyperplane LSH for embeddings: 16 planes → 4 bands × 4 bits.
+    * Integer plane weights (exact in IEEE double) from a fixed affine
+    * formula — identical in any engine, no RNG needed. */
+  val AnnPlanes = 16
+  val AnnBands = 4
+  val AnnBandBits = 4
+
+  /** weight(plane p, dim d) = ((1 + (p*67 + d*29) % 97) - 49) ∈ [-48, 48]. */
+  def planeWeightSql(d: SqlDialect, p: String, dim0: String): String =
+    s"CAST((1 + (($p * 67 + $dim0 * 29) % 97)) - 49 AS DOUBLE)"
+}

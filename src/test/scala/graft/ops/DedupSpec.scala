@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSuite
+import graft.Tables
+
+class DedupSpec extends SparkSuite {
+
+  test("exact dedup maps every doc to a representative") {
+    val df = Dedup.exact(spark, sf()).collect()
+    assert(df.length == 500)
+    assert(df.forall(r => r.getAs[Long]("rep_doc_id") <= r.getAs[Long]("doc_id")))
+  }
+
+  test("ngram jaccard finds the planted near-dup pairs") {
+    val rows = Dedup.ngramJaccard(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("jaccard") >= 0.5))
+    assert(rows.forall(r =>
+      r.getAs[Long]("doc_id_a") < r.getAs[Long]("doc_id_b")))
+  }
+
+  test("minhash LSH recovers the same verified pairs as exact ngram jaccard") {
+    // Banded candidate generation + exact verify should find the same
+    // J >= 0.5 pairs as the exact blocked all-pairs scan (the planted
+    // dups have J ~ 0.9, where 8x4 banding recall is ~1 - 3e-4).
+    val mh = Dedup.minhashLsh(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b"))).toSet
+    val ng = Dedup.ngramJaccard(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b"))).toSet
+    assert(mh == ng)
+    val est = Dedup.minhashLsh(spark, sf()).collect()
+      .map(_.getAs[Double]("est_sim"))
+    assert(est.forall(e => e >= 0.0 && e <= 1.0))
+  }
+
+  test("banded simhash equals brute-force all-pairs (completeness <= hd 5)") {
+    Tables.documents(spark, sf()).createOrReplaceTempView("documents")
+    val banded = Dedup.simhash(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = spark.sql(Dedup.simhashBruteSql(SparkDialect)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    assert(banded.forall(_._3 <= TextOps.SimHashMaxHamming))
+  }
+
+  test("embedding cosine near-dup pairs are in range and deduped") {
+    val rows = Dedup.embeddingCosine(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cosine"); c >= 0.4 - 1e-9 && c <= 1.0 + 1e-9
+    })
+  }
+}

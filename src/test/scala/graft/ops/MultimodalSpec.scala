@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSuite
+
+class MultimodalSpec extends SparkSuite {
+
+  test("inventory groups the three media types with positive sizes") {
+    val rows = Multimodal.inventory(spark, sf()).collect()
+    assert(rows.map(_.getAs[String]("media_type")).toSeq ==
+      Seq("audio", "image", "video"))
+    assert(rows.forall(_.getAs[Long]("total_bytes") > 0))
+    val img = rows.find(_.getAs[String]("media_type") == "image").get
+    assert(img.getAs[Long]("total_pixels") > 0)
+    val vid = rows.find(_.getAs[String]("media_type") == "video").get
+    assert(vid.getAs[Long]("total_frames") > 0)
+  }
+
+  test("video frame sampling keeps every 4th frame at fixed size") {
+    val rows = Multimodal.videoFrames(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("frame_idx") % 4 == 0))
+    assert(rows.forall { r =>
+      val l = r.getAs[Long]("frame_len"); l > 0 && l <= Multimodal.FrameBytes
+    })
+  }
+
+  test("decode stub emits byte-level features over the full corpus") {
+    val rows = Multimodal.decodeFeatures(spark, sf()).collect()
+    assert(rows.length == 500)
+    assert(rows.forall { r =>
+      val mn = r.getAs[Long]("min_byte"); val mx = r.getAs[Long]("max_byte")
+      val avg = r.getAs[Double]("avg_byte")
+      mn >= 32 && mx <= 126 && avg >= mn && avg <= mx &&
+        r.getAs[Long]("feat_len") > 0
+    })
+  }
+}

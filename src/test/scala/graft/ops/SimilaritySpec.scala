@@ -1,0 +1,30 @@
+package graft.ops
+
+import graft.SparkSuite
+
+class SimilaritySpec extends SparkSuite {
+
+  test("brute-force top-k returns exactly k ranked neighbors per query") {
+    val rows = Similarity.topK(spark, sf()).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 5) // vec_ids 0,100,200,300,400
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 10L))
+      val cs = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }) // descending
+    }
+  }
+
+  test("ANN results agree with brute-force cosines on shared pairs") {
+    val ann = Similarity.annLsh(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(ann.nonEmpty)
+    val brute = Similarity.topK(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    ann.keys.filter(brute.contains).foreach { k =>
+      assert(ann(k) == brute(k)) // identical scoring arithmetic
+    }
+  }
+}
