@@ -51,11 +51,18 @@ object Dedup {
     * computed from the inverted-index join counts alone — no array
     * intersection on the pair side. */
   def ngramJaccardSql(d: SqlDialect): String = {
-    s"""WITH t AS (
-       |  SELECT doc_id, ${d.shingles3(d.tokens("text"))} AS grams FROM documents),
+    // Layered CTEs on purpose: `toks` and `grams` must be materialized
+    // columns before any multi-reference use, or the tokenize chain is
+    // substituted into each lambda element access and recomputed per
+    // shingle (observed 40s → 4s at sf0.1).  No `WHERE size > 0`
+    // either — explode of an empty array yields no rows anyway, and
+    // the pushed-down predicate would duplicate the gram expression.
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
+       |t AS (
+       |  SELECT doc_id, ${d.shingles3("toks")} AS grams FROM tok),
        |s AS (
-       |  SELECT doc_id, grams, ${d.arrSize("grams")} AS ng FROM t
-       |  WHERE ${d.arrSize("grams")} > 0),
+       |  SELECT doc_id, grams, ${d.arrSize("grams")} AS ng FROM t),
        |e AS (
        |  SELECT doc_id, ng, ${d.explode("grams")} AS gram FROM s),
        |c AS (
@@ -84,29 +91,37 @@ object Dedup {
       .map(r => d.castStr(s"$qual" + s"h${b * RowsPerBand + r}"))
       .mkString(" || '_' || ")
 
-  /** MinHash + LSH near-dup: banded candidate generation (8 bands × 4
-    * rows over 32 perms), est. similarity from signature agreement,
-    * exact Jaccard verification (J ≥ 0.5) on candidate pairs only. */
-  def minhashLshSql(d: SqlDialect): String = {
+  /** Shared gram-set CTE chain ending in relation
+    * mh_grams(doc_id, grams, ng). */
+  private def gramCtes(d: SqlDialect): String =
+    s"""tok AS (
+       |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
+       |t AS (
+       |  SELECT doc_id, ${d.shingles3("toks")} AS grams FROM tok),
+       |mh_grams AS (
+       |  SELECT doc_id, grams, ${d.arrSize("grams")} AS ng FROM t)""".stripMargin
+
+  /** Signature CTE chain (over mh_grams) ending in relation
+    * mh_sig(doc_id, h0..h31). */
+  private def sigCtes(d: SqlDialect): String =
+    s"""e AS (
+       |  SELECT doc_id, ${d.explode("grams")} AS gram FROM mh_grams),
+       |gh AS (
+       |  SELECT doc_id, (${d.h60("gram")} % $P) AS g FROM e),
+       |mh_sig AS (
+       |  SELECT doc_id, ${minhashSigExprs.mkString(", ")}
+       |  FROM gh GROUP BY doc_id)""".stripMargin
+
+  /** Banding + candidate + verify over relations mh_sig / mh_grams
+    * (CTEs in the oracle, cached temp views in the engine). */
+  private def minhashPairSql(d: SqlDialect): String = {
     val bandSelects = (0 until Bands).map { b =>
-      s"SELECT doc_id, $b AS band, ${bandKey(d, b)} AS bkey FROM sig"
+      s"SELECT doc_id, $b AS band, ${bandKey(d, b)} AS bkey FROM mh_sig"
     }.mkString("\n  UNION ALL\n  ")
     val sigMatches = (0 until NumPerms)
       .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH t AS (
-       |  SELECT doc_id, ${d.shingles3(d.tokens("text"))} AS grams FROM documents),
-       |s AS (
-       |  SELECT doc_id, grams, ${d.arrSize("grams")} AS ng FROM t
-       |  WHERE ${d.arrSize("grams")} > 0),
-       |e AS (
-       |  SELECT doc_id, ${d.explode("grams")} AS gram FROM s),
-       |gh AS (
-       |  SELECT doc_id, (${d.h60("gram")} % $P) AS g FROM e),
-       |sig AS (
-       |  SELECT doc_id, ${minhashSigExprs.mkString(", ")}
-       |  FROM gh GROUP BY doc_id),
-       |bands AS (
+    s"""WITH bands AS (
        |  $bandSelects),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
@@ -118,15 +133,26 @@ object Dedup {
        |    CAST(${d.arrIntersectSize("ga.grams", "gb.grams")} AS DOUBLE)
        |      / (ga.ng + gb.ng - ${d.arrIntersectSize("ga.grams", "gb.grams")}) AS jaccard
        |  FROM cand c
-       |  JOIN sig sa ON sa.doc_id = c.ia
-       |  JOIN sig sb ON sb.doc_id = c.ib
-       |  JOIN s ga ON ga.doc_id = c.ia
-       |  JOIN s gb ON gb.doc_id = c.ib)
+       |  JOIN mh_sig sa ON sa.doc_id = c.ia
+       |  JOIN mh_sig sb ON sb.doc_id = c.ib
+       |  JOIN mh_grams ga ON ga.doc_id = c.ia
+       |  JOIN mh_grams gb ON gb.doc_id = c.ib)
        |SELECT ia AS doc_id_a, ib AS doc_id_b,
        |  round(est_sim, 6) AS est_sim, round(jaccard, 6) AS jaccard
        |FROM scored
        |WHERE jaccard >= 0.5
        |ORDER BY doc_id_a, doc_id_b""".stripMargin
+  }
+
+  /** MinHash + LSH near-dup: banded candidate generation (8 bands × 4
+    * rows over 32 perms), est. similarity from signature agreement,
+    * exact Jaccard verification (J ≥ 0.5) on candidate pairs only.
+    * Single-statement form, used as the oracle. */
+  def minhashLshSql(d: SqlDialect): String = {
+    val pair = minhashPairSql(d)
+    s"""WITH ${gramCtes(d)},
+       |${sigCtes(d)},
+       |${pair.stripPrefix("WITH ")}""".stripMargin
   }
 
   /** 32-bit SimHash from token counts: bit j set iff the count-weighted
@@ -150,29 +176,6 @@ object Dedup {
        |  SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ 7, found via
-    * band-blocked candidates (complete by pigeonhole — see header). */
-  def simhashSql(d: SqlDialect): String = {
-    val mask = (1 << SimHashBandBits) - 1
-    val bandSelects = (0 until SimHashBands).map { b =>
-      s"SELECT doc_id, simhash, $b AS band, " +
-        s"((${d.shiftRight("simhash", (b * SimHashBandBits).toString)}) & $mask) AS bval FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
-    s"""WITH ${simhashCte(d)},
-       |bands AS (
-       |  $bandSelects),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
-       |         a.simhash AS sa, b.simhash AS sb
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
-       |SELECT ia AS doc_id_a, ib AS doc_id_b,
-       |  CAST(bit_count(${d.xor("sa", "sb")}) AS BIGINT) AS hamming
-       |FROM cand
-       |WHERE bit_count(${d.xor("sa", "sb")}) <= $SimHashMaxHamming
-       |ORDER BY doc_id_a, doc_id_b""".stripMargin
-  }
-
   /** Oracle-side SimHash: brute-force all-pairs Hamming scan — a
     * different algorithm that must produce the identical result set,
     * because banded candidate generation is complete for distance ≤ 7. */
@@ -183,6 +186,34 @@ object Dedup {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(${d.xor("a.simhash", "b.simhash")}) <= $SimHashMaxHamming
        |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
+  /** SimHash near-dup pairs with Hamming distance ≤ 5 via band-blocked
+    * candidates (complete by pigeonhole — see header).  The signature
+    * relation feeds 6 band projections, so the engine computes it once
+    * as a cached DataFrame (same reasoning as minhashLsh). */
+  def simhashBanded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = SparkDialect
+    val mask = (1 << SimHashBandBits) - 1
+    val sig = runDocs(spark, dir,
+      s"WITH ${simhashCte(d)} SELECT doc_id, simhash FROM sig").cache()
+    val bands = (0 until SimHashBands).map { b =>
+      sig.select($"doc_id", $"simhash", lit(b).as("band"),
+        expr(s"(shiftright(simhash, ${b * SimHashBandBits}) & $mask)").as("bval"))
+    }.reduce(_.unionByName(_))
+    bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+        $"a.simhash".as("sa"), $"b.simhash".as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter($"hamming" <= SimHashMaxHamming)
+      .select($"ia".as("doc_id_a"), $"ib".as("doc_id_b"), $"hamming")
+      .orderBy($"doc_id_a", $"doc_id_b")
+  }
 
   /** Embedding cosine near-dup pairs (cos ≥ 0.4), exact all-pairs with
     * pre-computed norms.  Identical left-to-right double fold on both
@@ -200,6 +231,14 @@ object Dedup {
   }
 
   private def runDocs(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    // InferFiltersFromGenerate substitutes the whole shingle/token
+    // expression into a pre-Generate filter (size(...)>0, isnotnull),
+    // re-tokenizing every document several times per row.  Our
+    // generators explode arrays that are essentially never empty, so
+    // the inferred filter is pure overhead — measured 5-10x on the
+    // LSH queries at sf0.1.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
     spark.sql(sql)
   }
@@ -208,11 +247,63 @@ object Dedup {
     runDocs(spark, dir, exactSql(SparkDialect))
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     runDocs(spark, dir, ngramJaccardSql(SparkDialect))
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    runDocs(spark, dir, minhashLshSql(SparkDialect))
+
+  /** Engine-side MinHash: the signature and gram-set relations are
+    * consumed by 8 band projections + 4 verify joins; SQL CTEs are
+    * inlined per reference (re-running the whole pipeline ~10×, both
+    * in Spark and in DuckDB), so the engine computes each relation
+    * ONCE as a cached DataFrame and fans out with DataFrame self-join
+    * aliases — the idiomatic Spark answer to multi-consumer reuse.
+    * Both relations are ~1 row/doc with fixed-width columns: at 100 TB
+    * these are the (small) derived index tables, cacheable or
+    * checkpointable cluster-wide.  Scalar logic comes from the same
+    * generated fragments as the single-statement oracle. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = SparkDialect
+    val grams = runDocs(spark, dir,
+      s"WITH ${gramCtes(d)} SELECT doc_id, grams, ng FROM mh_grams").cache()
+    val sig = grams
+      .select($"doc_id", explode($"grams").as("gram"))
+      .selectExpr("doc_id", s"(${d.h60("gram")} % $P) AS g")
+      .groupBy($"doc_id")
+      .agg(expr(s"min((${permA(0)} * g + ${permB(0)}) % $P)").as("h0"),
+        (1 until NumPerms).map(i =>
+          expr(s"min((${permA(i)} * g + ${permB(i)}) % $P)").as(s"h$i")): _*)
+      .cache()
+    val bands = (0 until Bands).map { b =>
+      sig.select($"doc_id", lit(b).as("band"),
+        expr(bandKey(d, b)).as("bkey"))
+    }.reduce(_.unionByName(_))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
+      .distinct()
+    val sigMatches = (0 until NumPerms)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    cand
+      .join(sig.as("sa"), $"sa.doc_id" === $"ia")
+      .join(sig.as("sb"), $"sb.doc_id" === $"ib")
+      .join(grams.as("ga"), $"ga.doc_id" === $"ia")
+      .join(grams.as("gb"), $"gb.doc_id" === $"ib")
+      .withColumn("est_sim", expr(s"CAST(($sigMatches) AS DOUBLE) / $NumPerms"))
+      .withColumn("inter",
+        expr(d.arrIntersectSize("ga.grams", "gb.grams")).cast("double"))
+      .withColumn("jaccard", $"inter" / ($"ga.ng" + $"gb.ng" - $"inter"))
+      .filter($"jaccard" >= 0.5)
+      .select($"ia".as("doc_id_a"), $"ib".as("doc_id_b"),
+        round($"est_sim", 6).as("est_sim"), round($"jaccard", 6).as("jaccard"))
+      .orderBy($"doc_id_a", $"doc_id_b")
+  }
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    runDocs(spark, dir, simhashSql(SparkDialect))
+    simhashBanded(spark, dir)
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
     spark.sql(embeddingCosineSql(SparkDialect))
   }

@@ -99,6 +99,7 @@ object Similarity {
   }
 
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
     spark.sql(sql)
   }

@@ -108,6 +108,9 @@ object SparkDialect extends SqlDialect {
     s"size(regexp_extract_all($x, ${rx(p)}, 0))"
   def containedIn(v: String, items: Seq[String]): String =
     s"array_contains(array(${items.map(s => s"'$s'").mkString(", ")}), $v)"
+  /** Codegen'd native expression (graft.functions.DotProduct) instead
+    * of the interpreted HOF fold — same left-to-right accumulation. */
+  override def dot(a: String, b: String): String = s"graft_dot($a, $b)"
   def arrSlice(arr: String, start1: String, len: String): String =
     s"slice($arr, $start1, $len)"
   def arrMin(arr: String): String = s"array_min($arr)"
