@@ -52,6 +52,11 @@ object SparkEntry {
         .orderBy(col("asset_symbol"))),
     "ingest_run_status" -> ((s: SparkSession, d: String) =>
       BarPipeline.runStatus(BarPipeline.canonicalBars(s, d))),
+    // Temporal operators + error isolation + semi-structured
+    "q_asof_join" -> (Temporal.asofEventBars _),
+    "q_session_window" -> (Temporal.sessionWindows _),
+    "q_json_extract" -> (Relational.qJsonExtract _),
+    "ingest_quarantine" -> (graft.ingest.Quarantine.eventQuarantineSummary _),
     // Text analysis (training-data pipeline extensions)
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -259,6 +264,15 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) > 0
         |    AS run_had_errors
         |FROM b""".stripMargin,
+    "q_asof_join" -> Temporal.asofOracleSql,
+    "q_session_window" -> Temporal.sessionOracleSql,
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "ingest_quarantine" -> graft.ingest.Quarantine.eventQuarantineOracleSql,
     // Text analysis / dedup / similarity oracles: generated from the
     // same dialect-parameterized SQL bodies as the Spark plans (ops
     // .TextOps), so both sides share logic with portable primitives.

@@ -42,6 +42,13 @@ object BarStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S3: idempotent seed/bootstrap writer — create the table only when
+    * absent, a no-op otherwise (the reference checks `get().exists`
+    * before `set`, `scripts/seed_firestore.py:17-44`; SaveMode.Ignore
+    * is the Spark-native equivalent). */
+  def seed(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Ignore).parquet(path)
+
   /** Key-level MERGE for incremental/streaming updates: a batch that
     * carries only some keys of a date partition must not clobber the
     * rest of that partition.  Pattern: read back only the touched date

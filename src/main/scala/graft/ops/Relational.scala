@@ -263,6 +263,20 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** Semi-structured extraction: pull a field out of the JSON `props`
+    * column and aggregate by a derived bucket (get_json_object is
+    * codegen'd; the scan prunes to the two referenced columns). */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(get_json_object($"props", "$.k").cast("long").as("k"), $"value")
+      .groupBy(expr("k DIV 10").as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"k_bucket")
+  }
+
   /** Date/time functions: monthly order stats (EXTRACT/date_trunc). */
   def qDateAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

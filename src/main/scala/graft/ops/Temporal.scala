@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ingest.BarPipeline
+
+/** Temporal operators Spark lacks as built-ins, re-expressed
+  * Spark-first:
+  *
+  *  - **As-of join** (point-in-time join): for each left row, attach
+  *    the latest right row with `rightTs <= leftTs` in the same key.
+  *    Implemented as union + partitioned last(ignoreNulls) window — one
+  *    shuffle on the key, zero range explosion, linear in rows.  That
+  *    is the scalable formulation at 100 TB: the naive range-join
+  *    (`l JOIN r ON l.ts >= r.ts` + argmax) materializes O(events ×
+  *    bars-per-key) intermediates, this never does.  The oracle checks
+  *    it against DuckDB's native ASOF JOIN — an independent algorithm.
+  *
+  *  - **Session windows**: engine uses Spark's native
+  *    `session_window(ts, gap)` state machine; the oracle rebuilds
+  *    sessions with the classic lag/cumsum break-flag construction —
+  *    again algorithm-independent agreement.
+  */
+object Temporal {
+
+  /** Generic as-of join.  Column sets of `left` and `right` must be
+    * disjoint apart from `keyCol`.  Inner-join semantics: left rows
+    * with no prior right row are dropped. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTs: String, rightTs: String): DataFrame = {
+    val leftCols = left.columns.filterNot(_ == keyCol).toSeq
+    val rightCols = right.columns.filterNot(_ == keyCol).toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+      .select((Seq(keyCol, "__ts", "__side") ++ leftCols).map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
+      .select(Seq(keyCol, "__ts", "__side").map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(col): _*)
+    // At equal timestamps the right row sorts first (__side 0 < 1), so
+    // a left row sees a right row stamped at the same instant.
+    val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r).select(
+      (Seq(keyCol, "__side").map(col) ++ leftCols.map(col) ++
+        rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+    filled
+      .filter(col("__side") === 1 && col(rightTs).isNotNull)
+      .drop("__side")
+  }
+
+  /** Events enriched with their as-of daily bar (the bar whose window
+    * start is the latest at or before the event), aggregated per
+    * matched bar for a compact deterministic result. */
+  def asofEventBars(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+      .filter($"event_type".isNotNull)
+      .select($"event_type".as("symbol"), $"ts", $"value")
+    val bars = BarPipeline.canonicalBars(spark, dir)
+      .select($"symbol", $"timestamp".as("bar_ts"), $"close".as("bar_close"))
+    asofJoin(events, bars, "symbol", "ts", "bar_ts")
+      .groupBy($"symbol", $"bar_ts")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"),
+        round(max($"bar_close"), 4).as("bar_close"))
+      .orderBy($"symbol", $"bar_ts")
+  }
+
+  def asofOracleSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type AS symbol, CAST(ts AS TIMESTAMP) AS ts, value
+       |  FROM events WHERE event_type IS NOT NULL),
+       |b AS (
+       |  SELECT event_type AS symbol,
+       |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_ts,
+       |    max_by(value, ts) AS bar_close
+       |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT e.symbol, b.bar_ts, count(*) AS n_events,
+       |  round(sum(e.value), 4) AS sum_value,
+       |  round(max(b.bar_close), 4) AS bar_close
+       |FROM ev e ASOF JOIN b
+       |  ON e.symbol = b.symbol AND e.ts >= b.bar_ts
+       |GROUP BY e.symbol, b.bar_ts
+       |ORDER BY e.symbol, b.bar_ts""".stripMargin
+
+  /** Per-symbol session windows with a 1-hour inactivity gap, via
+    * Spark's native session_window. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"event_type".isNotNull)
+      .select($"event_type".as("symbol"), $"ts", $"value")
+      .groupBy($"symbol", session_window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_last"))
+      .select($"symbol", $"session_start", $"session_last",
+        $"n_events", $"sum_value")
+      .orderBy($"symbol", $"session_start")
+  }
+
+  def sessionOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type AS symbol, CAST(ts AS TIMESTAMP) AS ts, value
+       |  FROM events WHERE event_type IS NOT NULL),
+       |l AS (
+       |  SELECT symbol, ts, value,
+       |    CASE WHEN lag(ts) OVER (PARTITION BY symbol ORDER BY ts) IS NULL
+       |           OR ts - lag(ts) OVER (PARTITION BY symbol ORDER BY ts)
+       |              >= INTERVAL 1 HOUR
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM e),
+       |s AS (
+       |  SELECT symbol, ts, value,
+       |    sum(brk) OVER (PARTITION BY symbol ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM l)
+       |SELECT symbol, min(ts) AS session_start, max(ts) AS session_last,
+       |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+       |FROM s GROUP BY symbol, sid
+       |ORDER BY symbol, session_start""".stripMargin
+}

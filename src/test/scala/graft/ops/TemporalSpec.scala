@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSuite
+import java.sql.Timestamp
+
+class TemporalSpec extends SparkSuite {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asof join picks the latest right row at or before each left row") {
+    import spark.implicits._
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:00:30"), 1.0),
+      ("A", ts("2024-01-01 10:01:00"), 2.0), // exactly at quote q2
+      ("A", ts("2024-01-01 09:59:00"), 3.0), // before any quote -> dropped
+      ("B", ts("2024-01-01 10:05:00"), 4.0)
+    ).toDF("sym", "t_ts", "qty")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:01:00"), 101.0),
+      ("B", ts("2024-01-01 10:00:00"), 200.0)
+    ).toDF("sym", "q_ts", "px")
+    val out = Temporal.asofJoin(trades, quotes, "sym", "t_ts", "q_ts")
+      .select("sym", "t_ts", "qty", "q_ts", "px").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getTimestamp(3), r.getDouble(4))).toSet
+    assert(out == Set(
+      ("A", ts("2024-01-01 10:00:30"), 1.0, ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:01:00"), 2.0, ts("2024-01-01 10:01:00"), 101.0),
+      ("B", ts("2024-01-01 10:05:00"), 4.0, ts("2024-01-01 10:00:00"), 200.0)))
+  }
+
+  test("asof event-bars accounts for every event exactly once") {
+    import spark.implicits._
+    val out = Temporal.asofEventBars(spark, sf())
+    val total = out.agg(org.apache.spark.sql.functions.sum($"n_events"))
+      .head.getLong(0)
+    val events = graft.Tables.events(spark, sf())
+      .filter($"event_type".isNotNull).count()
+    assert(total == events)
+  }
+
+  test("session windows partition events without loss and respect the gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Temporal.sessionWindows(spark, sf()).collect()
+    val events = graft.Tables.events(spark, sf())
+      .filter($"event_type".isNotNull).count()
+    assert(out.map(_.getAs[Long]("n_events")).sum == events)
+    // sessions of one symbol are disjoint and ordered, gap >= 1h between
+    out.groupBy(_.getAs[String]("symbol")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Timestamp]("session_start").getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gapMs = b.getAs[Timestamp]("session_start").getTime -
+            a.getAs[Timestamp]("session_last").getTime
+          assert(gapMs >= 3600 * 1000L)
+        case _ =>
+      }
+    }
+  }
+}
