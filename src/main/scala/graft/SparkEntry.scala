@@ -52,6 +52,8 @@ object SparkEntry {
         .orderBy(col("asset_symbol"))),
     "ingest_run_status" -> ((s: SparkSession, d: String) =>
       BarPipeline.runStatus(BarPipeline.canonicalBars(s, d))),
+    // Custom DataSource V2 connector (S1 shape: per-symbol remote scan)
+    "src_bar_scan" -> (graft.sources.BarSourceQueries.srcBarScan _),
     // Temporal operators + error isolation + semi-structured
     "q_asof_join" -> (Temporal.asofEventBars _),
     "q_session_window" -> (Temporal.sessionWindows _),
@@ -264,6 +266,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) > 0
         |    AS run_had_errors
         |FROM b""".stripMargin,
+    "src_bar_scan" -> graft.sources.BarSourceQueries.srcBarScanOracleSql,
     "q_asof_join" -> Temporal.asofOracleSql,
     "q_session_window" -> Temporal.sessionOracleSql,
     "q_json_extract" ->

@@ -1,0 +1,195 @@
+package graft.sources
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector with the shape of the reference's S1 source
+  * (`api.get_bars(symbol, timeframe, start, end)`,
+  * `app/alpaca_service.py:117-132`): a per-symbol remote time-range
+  * bar scan.  The remote API is stood in by a deterministic generator
+  * (no egress in this environment), but the connector mechanics are
+  * the real thing:
+  *
+  *  - one `InputPartition` per symbol — the reference's sequential
+  *    per-asset loop becomes N parallel tasks;
+  *  - time-range predicate pushdown (`SupportsPushDownFilters` on
+  *    `timestamp`) — the P9 start/end parameters of the remote call,
+  *    so a narrowed query never generates (fetches) outside the range;
+  *  - column pruning (`SupportsPushDownRequiredColumns`) — projected
+  *    columns never materialize.
+  *
+  * Generated values use the same portable md5→60-bit hash as the text
+  * operators (TextOps.h60), so a DuckDB oracle can reproduce every bar
+  * bit-for-bit — the connector itself is hash-verified.
+  *
+  * Options: `symbols` (csv, required), `start`, `end` (ISO dates,
+  * inclusive), `timeframe` (label only, default Day).
+  */
+class BarDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BarGen.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new BarTable(properties.asScala.toMap)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+private[sources] class BarTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-bars(${props.getOrElse("symbols", "")})"
+  override def schema(): StructType = BarGen.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BarScanBuilder(
+      options.getOrDefault("symbols", props.getOrElse("symbols", "")),
+      LocalDate.parse(options.getOrDefault("start", props.getOrElse("start", "2024-01-01"))),
+      LocalDate.parse(options.getOrDefault("end", props.getOrElse("end", "2024-01-31"))),
+      options.getOrDefault("timeframe", props.getOrElse("timeframe", "Day")))
+}
+
+private[sources] class BarScanBuilder(
+    symbolsCsv: String, var start: LocalDate, var end: LocalDate, tf: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = BarGen.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  private def toDate(v: Any): Option[LocalDate] = v match {
+    case i: Instant => Some(i.atZone(ZoneOffset.UTC).toLocalDate)
+    case t: java.sql.Timestamp => Some(t.toLocalDateTime.toLocalDate)
+    case _ => None
+  }
+
+  /** Narrow [start, end] from timestamp range predicates; everything
+    * narrowed is fully handled here (not re-evaluated by Spark). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThanOrEqual("timestamp", v) => toDate(v).isDefined
+      case GreaterThan("timestamp", v) => toDate(v).isDefined
+      case LessThanOrEqual("timestamp", v) => toDate(v).isDefined
+      case LessThan("timestamp", v) => toDate(v).isDefined
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThanOrEqual("timestamp", v) =>
+        toDate(v).foreach(d => if (d.isAfter(start)) start = d)
+      case GreaterThan("timestamp", v) =>
+        toDate(v).foreach(d => if (!d.isBefore(start)) start = d.plusDays(1))
+      case LessThanOrEqual("timestamp", v) =>
+        toDate(v).foreach(d => if (d.isBefore(end)) end = d)
+      case LessThan("timestamp", v) =>
+        // bars are stamped at day start: ts < d excludes day d onward
+        toDate(v).foreach(d => if (!d.isAfter(end)) end = d.minusDays(1))
+      case _ =>
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new BarScan(symbolsCsv.split(",").map(_.trim).filter(_.nonEmpty),
+      start, end, tf, required)
+}
+
+private[sources] class BarScan(
+    symbols: Array[String], start: LocalDate, end: LocalDate,
+    tf: String, required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-bars symbols=${symbols.mkString(",")} range=[$start..$end]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    symbols.map(s => BarInputPartition(s, start, end, tf, required))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => {
+      val bp = p.asInstanceOf[BarInputPartition]
+      new BarPartitionReader(bp)
+    }
+}
+
+private[sources] case class BarInputPartition(
+    symbol: String, start: LocalDate, end: LocalDate,
+    tf: String, required: StructType) extends InputPartition
+
+private[sources] class BarPartitionReader(p: BarInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val nDays =
+    math.max(0L, p.end.toEpochDay - p.start.toEpochDay + 1L)
+  private var i = -1L
+
+  override def next(): Boolean = { i += 1; i < nDays }
+
+  override def get(): InternalRow = {
+    val day = p.start.plusDays(i)
+    val bar = BarGen.bar(p.symbol, day)
+    InternalRow.fromSeq(p.required.fieldNames.toSeq.map {
+      case "symbol" => UTF8String.fromString(p.symbol)
+      case "timeframe" => UTF8String.fromString(p.tf)
+      case "timestamp" =>
+        day.atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+      case "open" => bar.open
+      case "high" => bar.high
+      case "low" => bar.low
+      case "close" => bar.close
+      case "volume" => bar.volume
+    })
+  }
+  override def close(): Unit = ()
+}
+
+/** Deterministic bar generator over the portable 60-bit md5 hash —
+  * reproducible in any engine (see the DuckDB oracle of
+  * `src_bar_scan`). */
+object BarGen {
+  val schema: StructType = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("timeframe", StringType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("open", DoubleType, nullable = false),
+    StructField("high", DoubleType, nullable = false),
+    StructField("low", DoubleType, nullable = false),
+    StructField("close", DoubleType, nullable = false),
+    StructField("volume", LongType, nullable = false)))
+
+  /** First 15 hex chars of md5(s), parsed base 16 — identical to
+    * TextOps.h60 / the oracle's hex-cast. */
+  def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  case class Bar(open: Double, high: Double, low: Double,
+                 close: Double, volume: Long)
+
+  def bar(symbol: String, day: LocalDate): Bar = {
+    val d = day.toString // ISO yyyy-MM-dd
+    val o = 50.0 + (h60(s"$symbol|$d|o") % 10000L) / 100.0
+    val c = 50.0 + (h60(s"$symbol|$d|c") % 10000L) / 100.0
+    val hi = math.max(o, c) + (h60(s"$symbol|$d|h") % 1000L) / 100.0
+    val lo = math.min(o, c) - (h60(s"$symbol|$d|l") % 1000L) / 100.0
+    val v = 1000L + h60(s"$symbol|$d|v") % 9000L
+    Bar(o, hi, lo, c, v)
+  }
+}
