@@ -27,9 +27,45 @@ object Temporal {
 
   /** Generic as-of join.  Column sets of `left` and `right` must be
     * disjoint apart from `keyCol`.  Inner-join semantics: left rows
-    * with no prior right row are dropped. */
+    * with no prior right row are dropped.
+    *
+    * Dispatches to the native streaming-merge operator
+    * (graft.plans.AsofJoinExec — constant memory, no union/window
+    * machinery) unless `spark.graft.asof.native=false` selects the
+    * composable union+window fallback. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTs: String, rightTs: String): DataFrame = {
+    val spark = left.sparkSession
+    val native = spark.conf.getOption("spark.graft.asof.native")
+      .forall(_.toBoolean)
+    if (native) asofJoinNative(left, right, keyCol, leftTs, rightTs)
+    else asofJoinViaWindow(left, right, keyCol, leftTs, rightTs)
+  }
+
+  /** Native path: custom logical node planned to a sort-merge as-of
+    * exec via the injected strategy. */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keyCol: String,
+                     leftTs: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import graft.plans.{AsofJoinNode, GraftPlanner}
+    val spark = left.sparkSession
+    GraftPlanner.install(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found"))
+    val node = AsofJoinNode(lp, rp,
+      attr(lp, keyCol), attr(rp, keyCol), attr(lp, leftTs), attr(rp, rightTs))
+    // project away the right-side key copy so both paths agree
+    GraftShim.ofRows(spark,
+      Project(lp.output ++ rp.output.filterNot(_.name == keyCol), node))
+  }
+
+  /** Composable fallback: union + partitioned last(ignoreNulls). */
+  def asofJoinViaWindow(left: DataFrame, right: DataFrame, keyCol: String,
+                        leftTs: String, rightTs: String): DataFrame = {
     val leftCols = left.columns.filterNot(_ == keyCol).toSeq
     val rightCols = right.columns.filterNot(_ == keyCol).toSeq
     val l = left

@@ -30,6 +30,32 @@ class TemporalSpec extends SparkSuite {
       ("B", ts("2024-01-01 10:05:00"), 4.0, ts("2024-01-01 10:00:00"), 200.0)))
   }
 
+  test("native streaming-merge asof equals the union+window fallback") {
+    import spark.implicits._
+    val events = graft.Tables.events(spark, sf())
+      .filter($"event_type".isNotNull)
+      .select($"event_type".as("symbol"), $"ts", $"value")
+    val bars = graft.ingest.BarPipeline.canonicalBars(spark, sf())
+      .select($"symbol", $"timestamp".as("bar_ts"), $"close".as("bar_close"))
+    val native = Temporal.asofJoinNative(events, bars, "symbol", "ts", "bar_ts")
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    val window = Temporal.asofJoinViaWindow(events, bars, "symbol", "ts", "bar_ts")
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    assert(native == window)
+    assert(native.nonEmpty)
+  }
+
+  test("native asof plan contains the custom exec, not a window") {
+    import spark.implicits._
+    val events = graft.Tables.events(spark, sf())
+      .select($"event_type".as("symbol"), $"ts", $"value")
+    val bars = graft.ingest.BarPipeline.canonicalBars(spark, sf())
+      .select($"symbol", $"timestamp".as("bar_ts"), $"close".as("bar_close"))
+    val plan = Temporal.asofJoinNative(events, bars, "symbol", "ts", "bar_ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(2000))
+  }
+
   test("asof event-bars accounts for every event exactly once") {
     import spark.implicits._
     val out = Temporal.asofEventBars(spark, sf())
