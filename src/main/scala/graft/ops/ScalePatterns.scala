@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale layout patterns, exercised and plan-verified in
+  * ScalePatternsSpec:
+  *
+  *  - **Bucketed co-located joins**: writing both fact tables bucketed
+  *    on the join key lets repeated joins run with ZERO shuffle — the
+  *    bucket layout is the shuffle, paid once at write time.  On a
+  *    100 TB star schema this turns every orders⋈lineitem from a
+  *    full-table exchange into a local zip of bucket files.
+  *
+  *  - **Salted aggregation**: two-phase aggregation over a synthetic
+  *    salt for heavy-hitter keys.  AQE's skew-join handling covers
+  *    joins; aggregation skew (one key ≫ others) still needs salting
+  *    when a single reducer would own the hot key.  Partial map-side
+  *    aggregation usually absorbs this for algebraic aggregates; the
+  *    explicit pattern matters for holistic ones (collect_list etc.).
+  */
+object ScalePatterns {
+
+  /** Write `df` bucketed (+ sorted) by `keys` as a managed parquet
+    * table — the layout that makes future joins on `keys` shuffle-free. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String]): Unit =
+    df.write
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket keys; with matching
+    * bucket counts the plan has no Exchange on either side. */
+  def coLocatedJoin(spark: SparkSession, leftTable: String,
+                    rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Two-phase salted aggregation: count + sum of `valueCol` per
+    * `key`, partial-aggregated over (key, salt) first so no single
+    * reducer owns a hot key. Result is exactly groupBy(key).agg(...). */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+                     salts: Int): DataFrame = {
+    df
+      .withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
+      .groupBy(col(key))
+      .agg(sum("__n").as("n"), sum("__s").as(s"sum_$valueCol"))
+  }
+}

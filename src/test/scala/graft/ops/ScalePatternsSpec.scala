@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+class ScalePatternsSpec extends SparkSuite {
+
+  test("bucketed co-located join plans with zero shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ScalePatterns.writeBucketed(
+        Tables.orders(spark, sf()).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", 8, Seq("o_orderkey"))
+      ScalePatterns.writeBucketed(
+        Tables.lineitem(spark, sf())
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        "b_lineitem", 8, Seq("o_orderkey"))
+      val joined = ScalePatterns.coLocatedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it is correct
+      val expect = Tables.orders(spark, sf()).select("o_orderkey")
+        .join(Tables.lineitem(spark, sf())
+          .select(col("l_orderkey").as("o_orderkey")), "o_orderkey").count()
+      assert(joined.count() == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val li = Tables.lineitem(spark, sf())
+    val salted = ScalePatterns.saltedSumCount(li, "l_returnflag", "l_quantity", 16)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100) / 100.0))
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100) / 100.0))
+    assert(salted.toSeq == direct.toSeq)
+  }
+}
