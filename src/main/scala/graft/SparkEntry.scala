@@ -73,6 +73,9 @@ object SparkEntry {
     // Similarity search over embeddings
     "sim_topk_bruteforce" -> (Similarity.topK _),
     "sim_ann_lsh" -> (Similarity.annLsh _),
+    "sim_ann_ivf" -> (Similarity.ivf _),
+    // HLL sketch — engine-specific, driver records rows-only check
+    "q_approx_distinct" -> (Relational.qApproxDistinct _),
     // Multimodal binary-column plumbing
     "mm_inventory" -> (Multimodal.inventory _),
     "mm_video_frames" -> (Multimodal.videoFrames _),
@@ -293,6 +296,7 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.embeddingCosineSql(DuckDialect),
     "sim_topk_bruteforce" -> Similarity.topKSql(DuckDialect),
     "sim_ann_lsh" -> Similarity.annLshSql(DuckDialect),
+    "sim_ann_ivf" -> Similarity.ivfSql(DuckDialect),
     "mm_inventory" -> Multimodal.inventoryOracleSql,
     "mm_video_frames" -> Multimodal.videoFramesOracleSql,
     "mm_decode_features" -> Multimodal.decodeFeaturesOracleSql,

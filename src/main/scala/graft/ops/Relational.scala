@@ -263,6 +263,21 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** Sketch-based distinct counting (HyperLogLog++): the constant-
+    * memory path for distinct cardinalities at 100 TB, alongside the
+    * exact count for error inspection.  No DuckDB oracle — sketch
+    * implementations differ across engines — so the driver records the
+    * weaker rows-only check. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Semi-structured extraction: pull a field out of the JSON `props`
     * column and aggregate by a derived bucket (get_json_object is
     * codegen'd; the scan prunes to the two referenced columns). */

@@ -98,6 +98,48 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF-style ANN: coarse quantization against 5 fixed centroids
+    * (the vectors with vec_id ≡ 50 mod 100 — deterministic, no
+    * k-means RNG), each vector assigned to its nearest centroid
+    * (inverted lists), queries probe the nprobe=2 nearest lists and
+    * rank only candidates there.  At 100 TB the assign step is a
+    * broadcast map over the scan and each query touches ~2/5 of the
+    * data — with real k-means centroids, a tunable fraction. */
+  def ivfSql(d: SqlDialect): String = {
+    s"""WITH ${baseCtes(d)},
+       |c AS (
+       |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |  WHERE vec_id % 100 = 50),
+       |asgn0 AS (
+       |  SELECT n.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${d.dot("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC, c.cid)
+       |      AS crn
+       |  FROM n CROSS JOIN c),
+       |asgn AS (
+       |  SELECT vec_id, cid FROM asgn0 WHERE crn = 1),
+       |probe AS (
+       |  SELECT vec_id AS qid, cid FROM asgn0
+       |  WHERE vec_id % 100 = 0 AND crn <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM probe p JOIN asgn a ON a.cid = p.cid AND a.vec_id != p.qid),
+       |sc AS (
+       |  SELECT cand.qid, cand.nid,
+       |    ${d.dot("q.v", "x.v")} / (q.nrm * x.nrm) AS cs
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.qid
+       |  JOIN n x ON x.vec_id = cand.nid),
+       |r AS (
+       |  SELECT qid, nid, cs,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+       |  FROM sc)
+       |SELECT qid AS query_id, nid AS neighbor_id,
+       |  round(cs, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+       |FROM r WHERE rn <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
@@ -108,4 +150,6 @@ object Similarity {
     run(spark, dir, topKSql(SparkDialect))
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, annLshSql(SparkDialect))
+  def ivf(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, ivfSql(SparkDialect))
 }

@@ -15,6 +15,19 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF probes rank candidates with the exact scoring arithmetic") {
+    val ivf = Similarity.ivf(spark, sf()).collect()
+    assert(ivf.nonEmpty)
+    val brute = Similarity.topK(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    ivf.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      brute.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+      assert(r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 5)
+    }
+  }
+
   test("ANN results agree with brute-force cosines on shared pairs") {
     val ann = Similarity.annLsh(spark, sf()).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
