@@ -245,8 +245,35 @@ object Dedup {
 
   def exact(spark: SparkSession, dir: String): DataFrame =
     runDocs(spark, dir, exactSql(SparkDialect))
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    runDocs(spark, dir, ngramJaccardSql(SparkDialect))
+
+  /** Cached gram-set relation (doc_id, grams, ng), shared by the
+    * ngram and minhash engine paths.  Re-invocations hit Spark's
+    * cache manager (same canonicalized plan → same InMemoryRelation). */
+  private def gramsDF(spark: SparkSession, dir: String): DataFrame =
+    runDocs(spark, dir,
+      s"WITH ${gramCtes(SparkDialect)} SELECT doc_id, grams, ng FROM mh_grams")
+      .cache()
+
+  /** Engine-side ngram Jaccard: the gram relation feeds both sides of
+    * the inverted-index self-join — computed once, cached, joined via
+    * DataFrame aliases (the single-statement SQL form inlines it
+    * twice; kept as the oracle). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = gramsDF(spark, dir)
+      .select($"doc_id", $"ng", explode($"grams").as("gram"))
+    e.as("a")
+      .join(e.as("b"), $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
+      .agg(max($"a.ng").as("na"), max($"b.ng").as("nb"),
+        count(lit(1)).cast("double").as("shared"))
+      .withColumn("jaccard", $"shared" / ($"na" + $"nb" - $"shared"))
+      .filter($"jaccard" >= 0.5)
+      .select($"ia".as("doc_id_a"), $"ib".as("doc_id_b"),
+        round($"jaccard", 6).as("jaccard"))
+      .orderBy($"doc_id_a", $"doc_id_b")
+  }
 
   /** Engine-side MinHash: the signature and gram-set relations are
     * consumed by 8 band projections + 4 verify joins; SQL CTEs are
@@ -262,8 +289,7 @@ object Dedup {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val d = SparkDialect
-    val grams = runDocs(spark, dir,
-      s"WITH ${gramCtes(d)} SELECT doc_id, grams, ng FROM mh_grams").cache()
+    val grams = gramsDF(spark, dir)
     val sig = grams
       .select($"doc_id", explode($"grams").as("gram"))
       .selectExpr("doc_id", s"(${d.h60("gram")} % $P) AS g")
