@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_embedding" -> (Dedup.embeddingCosine _),
+    "dedup_embedding_lsh" -> (Dedup.embeddingLsh _),
     // Similarity search over embeddings
     "sim_topk_bruteforce" -> (Similarity.topK _),
     "sim_ann_lsh" -> (Similarity.annLsh _),
@@ -294,6 +295,7 @@ object SparkEntry {
     // Dedup header for the completeness argument.
     "dedup_simhash" -> Dedup.simhashBruteSql(DuckDialect),
     "dedup_embedding" -> Dedup.embeddingCosineSql(DuckDialect),
+    "dedup_embedding_lsh" -> Dedup.embeddingLshSql(DuckDialect),
     "sim_topk_bruteforce" -> Similarity.topKSql(DuckDialect),
     "sim_ann_lsh" -> Similarity.annLshSql(DuckDialect),
     "sim_ann_ivf" -> Similarity.ivfSql(DuckDialect),

@@ -230,6 +230,57 @@ object Dedup {
        |ORDER BY vec_id_a, vec_id_b""".stripMargin
   }
 
+  /** LSH-blocked embedding near-dup — the 100 TB path: candidates are
+    * pairs sharing at least one hyperplane band (same 16-plane / 4×4
+    * banding as Similarity.annLsh), verified by exact cosine ≥ 0.4.
+    * Approximate-by-construction (banding bounds recall); the engine
+    * and oracle run the identical banding, so the result is still
+    * deterministic and hash-checked.  `dedup_embedding` remains the
+    * exact all-pairs reference. */
+  def embeddingLshSql(d: SqlDialect): String = {
+    val bitCols = (0 until AnnPlanes).map { p =>
+      val proj = d.fold(
+        d.arrTransform(d.sequence1(d.arrSize("v")), "i",
+          s"${d.arrAt("v", "i")} * ${planeWeightSql(d, p.toString, "(i - 1)")}"),
+        "CAST(0.0 AS DOUBLE)", "s", "x", "s + x")
+      s"(CASE WHEN $proj > 0 THEN 1 ELSE 0 END) AS bit$p"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until AnnBands).map { b =>
+      val v = (0 until AnnBandBits)
+        .map(r => s"bit${b * AnnBandBits + r} * ${1 << (AnnBandBits - 1 - r)}")
+        .mkString(" + ")
+      s"SELECT vec_id, $b AS band, ($v) AS bval FROM bits"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(${d.dot("v", "v")}) AS nrm FROM e),
+       |bits AS (
+       |  SELECT vec_id,
+       |    $bitCols
+       |  FROM n),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id),
+       |sc AS (
+       |  SELECT c.ia, c.ib, ${d.dot("x.v", "y.v")} / (x.nrm * y.nrm) AS cs
+       |  FROM cand c
+       |  JOIN n x ON x.vec_id = c.ia
+       |  JOIN n y ON y.vec_id = c.ib)
+       |SELECT ia AS vec_id_a, ib AS vec_id_b, round(cs, 6) AS cosine
+       |FROM sc WHERE cs >= 0.4
+       |ORDER BY vec_id_a, vec_id_b""".stripMargin
+  }
+
+  def embeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    spark.sql(embeddingLshSql(SparkDialect))
+  }
+
   private def runDocs(spark: SparkSession, dir: String, sql: String): DataFrame = {
     // InferFiltersFromGenerate substitutes the whole shingle/token
     // expression into a pre-Generate filter (size(...)>0, isnotnull),

@@ -43,6 +43,18 @@ class DedupSpec extends SparkSuite {
     assert(banded.forall(_._3 <= TextOps.SimHashMaxHamming))
   }
 
+  test("LSH-blocked embedding near-dup is a subset of exact with equal cosines") {
+    val exact = Dedup.embeddingCosine(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b")) ->
+        r.getAs[Double]("cosine")).toMap
+    val lsh = Dedup.embeddingLsh(spark, sf()).collect()
+    lsh.foreach { r =>
+      val k = (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))
+      assert(exact.contains(k))
+      assert(exact(k) == r.getAs[Double]("cosine"))
+    }
+  }
+
   test("embedding cosine near-dup pairs are in range and deduped") {
     val rows = Dedup.embeddingCosine(spark, sf()).collect()
     assert(rows.nonEmpty)
