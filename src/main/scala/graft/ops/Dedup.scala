@@ -155,21 +155,23 @@ object Dedup {
        |${pair.stripPrefix("WITH ")}""".stripMargin
   }
 
-  /** 32-bit SimHash from token counts: bit j set iff the count-weighted
-    * sum of (±1 per word-hash bit j) is positive. */
+  /** 60-bit SimHash from token counts: bit j set iff the count-weighted
+    * sum of (±1 per word-hash bit j) is positive.  The contribution is
+    * linear in the count, so the per-(doc, word) counting stage is
+    * fused away: ±1 terms are summed directly over raw word instances
+    * — one shuffle (groupBy doc) with map-side partial aggregation
+    * instead of two. */
   private def simhashCte(d: SqlDialect): String = {
     val sums = (0 until SimHashBits).map { j =>
-      s"sum(c * (2 * ((${d.shiftRight("h", j.toString)}) & 1) - 1)) AS s$j"
+      s"sum(2 * ((${d.shiftRight("h", j.toString)}) & 1) - 1) AS s$j"
     }.mkString(", ")
     val sig = (0 until SimHashBits)
       .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
     s"""w AS (
        |  SELECT doc_id, ${d.explode(d.tokens("text"))} AS word FROM documents),
-       |wc AS (
-       |  SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
        |wh AS (
-       |  SELECT doc_id, c, ${d.h60("word")} AS h FROM wc),
+       |  SELECT doc_id, ${d.h60("word")} AS h FROM w),
        |bits AS (
        |  SELECT doc_id, $sums FROM wh GROUP BY doc_id),
        |sig AS (
