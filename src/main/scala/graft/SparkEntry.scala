@@ -39,6 +39,9 @@ object SparkEntry {
     "q_having" -> (Relational.qHaving _),
     "q_above_avg" -> (Relational.qAboveAvg _),
     "q_date_agg" -> (Relational.qDateAgg _),
+    "q17_small_qty" -> (Relational.qSmallQtyRevenue _),
+    "q18_large_orders" -> (Relational.qLargeOrders _),
+    "q19_disjunctive" -> (Relational.qDisjunctivePredicates _),
     // Ingestion pipeline (SURVEY §2 S/P/F/A/T over the events stream)
     "ingest_asset_catalog" -> ((s: SparkSession, d: String) =>
       BarPipeline.assetCatalog(s, d).orderBy(col("symbol"))),
@@ -270,6 +273,30 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) > 0
         |    AS run_had_errors
         |FROM b""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+        | round(q.sum_qty, 2) AS sum_qty
+        |FROM orders
+        | JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |       FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200) q
+        |   ON o_orderkey = q.l_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "src_bar_scan" -> graft.sources.BarSourceQueries.srcBarScanOracleSql,
     "q_asof_join" -> Temporal.asofOracleSql,
     "q_session_window" -> Temporal.sessionOracleSql,

@@ -263,6 +263,62 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** TPC-H Q17 shape — correlated scalar subquery, written in its
+    * decorrelated form (per-part threshold aggregate joined back, the
+    * plan Catalyst produces for the correlated SQL; the oracle uses
+    * the correlated form).  All threshold arithmetic is exact
+    * (integer-valued doubles), so membership at the comparison
+    * boundary is engine-independent. */
+  def qSmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val thresholds = li.groupBy($"l_partkey".as("t_partkey"))
+      .agg((avg($"l_quantity") * 0.2).as("qty_thresh"))
+    val brandParts = Tables.part(spark, dir)
+      .filter($"p_brand" === "Brand#23").select($"p_partkey")
+    li.join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
+      .join(thresholds, $"l_partkey" === $"t_partkey")
+      .filter($"l_quantity" < $"qty_thresh")
+      .agg(round(sum($"l_extendedprice") / 7.0, 4).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18 shape — IN-subquery over a grouped HAVING. */
+  def qLargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val big = li.groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 200)
+    Tables.orders(spark, dir)
+      .join(big, $"o_orderkey" === big("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_name")),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"o_orderkey", $"o_orderdate", $"o_totalprice",
+        round($"sum_qty", 2).as("sum_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  /** TPC-H Q19 shape — disjunction of conjunctive range predicates;
+    * the part-side conjuncts push to the part scan, the join stays a
+    * single broadcast. */
+  def qDisjunctivePredicates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir)
+      .select($"p_partkey", $"p_brand", $"p_size")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(10, 30) &&
+          $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#34" && $"p_size".between(20, 50) &&
+          $"l_quantity".between(20, 30)))
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+        .as("revenue"))
+  }
+
   /** Sketch-based distinct counting (HyperLogLog++): the constant-
     * memory path for distinct cardinalities at 100 TB, alongside the
     * exact count for error inspection.  No DuckDB oracle — sketch
