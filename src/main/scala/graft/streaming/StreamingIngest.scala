@@ -65,20 +65,36 @@ object StreamingIngest {
         col("o"), col("h"), col("l"), col("c"), col("v"))
   }
 
-  /** Full streaming ingest: source → bars → canonicalize → upsert.
-    * Update mode + keyed upsert sink = exactly-once-per-key semantics
-    * via deterministic bar keys (the reference's merge=True story). */
+  /** Full streaming ingest: source → bars → canonicalize → upsert →
+    * per-asset summary events (S5).  Update mode + keyed upsert sink =
+    * exactly-once-per-key semantics via deterministic bar keys (the
+    * reference's merge=True story).  When `eventsDir` is set, each
+    * successful micro-batch appends one JSON summary message per asset
+    * (`{event_type, payload{...}}`, the reference's Pub/Sub publish
+    * after a successful write, `app/alpaca_service.py:237-258`) —
+    * emitted AFTER the store merge, preserving the reference's
+    * write-then-publish ordering. */
   def start(spark: SparkSession, srcDir: String, storeDir: String,
       checkpointDir: String, timeframe: String = "Day",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      eventsDir: Option[String] = None): StreamingQuery = {
     val bars = streamingBars(readEvents(spark, srcDir), timeframe)
     bars.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val canonical = Canonicalize.canonicalize(batch, timeframe).get
-        if (!canonical.isEmpty) BarStore.merge(canonical, storeDir)
+        if (!canonical.isEmpty) {
+          BarStore.merge(canonical, storeDir)
+          eventsDir.foreach { dir =>
+            graft.ingest.BarPipeline
+              .summaryEventJson(
+                graft.ingest.BarPipeline.ingestSummaries(canonical))
+              .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+              .write.mode("append").json(dir)
+          }
+        }
       }
       .start()
   }

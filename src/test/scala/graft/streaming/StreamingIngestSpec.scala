@@ -16,11 +16,21 @@ class StreamingIngestSpec extends SparkSuite {
   test("streaming ingest lands the same canonical bars as batch") {
     val store = tmp("store") + "/bars"
     val ckpt = tmp("ckpt")
+    val events = tmp("events") + "/summaries"
     val listener = new RunStatusListener
     spark.streams.addListener(listener)
     try {
-      val q = StreamingIngest.start(spark, sf(), store, ckpt)
+      val q = StreamingIngest.start(spark, sf(), store, ckpt,
+        eventsDir = Some(events))
       q.awaitTermination(120000)
+      // S5: one summary event per asset per successful batch,
+      // published after the store write
+      val published = spark.read.json(events)
+      assert(published.count() >= 5) // 5 symbols in the fixture
+      assert(published.columns.toSet ==
+        Set("event_type", "message", "batch_id"))
+      assert(published.select("event_type").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("HistoricalDataUpdated"))
       val streamed = BarStore.read(spark, store)
         .select("bar_key", "symbol", "timestamp", "timeframe",
           "open", "high", "low", "close", "volume")
