@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSuite
+
+/** Edge-case behavior of the dialect-generated text operators on
+  * degenerate documents: empty, whitespace-only, punctuation-only,
+  * single-word, and sub-shingle-length texts must flow through without
+  * errors and with sensible values. */
+class TextEdgeCaseSpec extends SparkSuite {
+
+  private def withDocs(rows: Seq[(Long, String)])(body: => Unit): Unit = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .createOrReplaceTempView("documents")
+    body
+  }
+
+  private val edgeDocs = Seq(
+    0L -> "",
+    1L -> "   ",
+    2L -> "!!! ... ???",
+    3L -> "word",
+    4L -> "two words",
+    5L -> "the quick brown fox jumps over the lazy dog")
+
+  test("token counts handle empty and degenerate docs") {
+    withDocs(edgeDocs) {
+      val rows = spark.sql(TextAnalysis.tokenCountsSql(SparkDialect))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(rows(0L) == ((0L, 0L, 0L)))
+      assert(rows(1L) == ((0L, 0L, 0L)))
+      assert(rows(2L)._3 == 0L) // punctuation-only: no normalized tokens
+      assert(rows(3L) == ((1L, 1L, 1L)))
+      assert(rows(5L)._1 == 9L)
+    }
+  }
+
+  test("quality scoring never divides by zero") {
+    withDocs(edgeDocs) {
+      val rows = spark.sql(TextAnalysis.qualitySql(SparkDialect)).collect()
+      assert(rows.length == edgeDocs.length)
+      rows.foreach { r =>
+        val q = r.getAs[Double]("quality_score")
+        assert(!q.isNaN && q >= 0.0 && q <= 1.0)
+      }
+    }
+  }
+
+  test("fingerprints of sub-window docs fall back to the full-doc hash") {
+    withDocs(edgeDocs) {
+      val rows = spark.sql(TextAnalysis.fingerprintSql(SparkDialect))
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("doc_fp"), r.getAs[Long]("win_fp"))).toMap
+      assert(rows(0L)._1 == 0L) // empty doc: fold over empty = init
+      // docs shorter than the 8-token window: win_fp == doc_fp
+      assert(rows(3L)._1 == rows(3L)._2)
+      assert(rows(4L)._1 == rows(4L)._2)
+      // the 9-token doc has real windows
+      assert(rows(5L)._1 >= 0L && rows(5L)._2 >= 0L)
+    }
+  }
+
+  test("dedup pipelines ignore docs with no shingles") {
+    withDocs(edgeDocs) {
+      val ngram = spark.sql(Dedup.ngramJaccardSql(SparkDialect)).collect()
+      // only doc 5 has >= 3 tokens; no pair can form
+      assert(ngram.isEmpty)
+      val exact = spark.sql(Dedup.exactSql(SparkDialect)).collect()
+      assert(exact.length == edgeDocs.length) // exact dedup keeps all
+    }
+  }
+
+  test("langid marks hit-less docs as undetermined") {
+    withDocs(edgeDocs) {
+      val rows = spark.sql(TextAnalysis.langIdSql(SparkDialect))
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("pred_lang")).toMap
+      assert(rows(0L) == "und")
+      assert(rows(2L) == "und")
+      assert(rows(5L) == "en") // 'the' ×2 + 'over'... stopword hits
+    }
+  }
+}
