@@ -83,6 +83,7 @@ object SparkEntry {
     // Multimodal binary-column plumbing
     "mm_inventory" -> (Multimodal.inventory _),
     "mm_video_frames" -> (Multimodal.videoFrames _),
+    "mm_image_resize" -> (Multimodal.imageResize _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
   )
 
@@ -328,6 +329,7 @@ object SparkEntry {
     "sim_ann_ivf" -> Similarity.ivfSql(DuckDialect),
     "mm_inventory" -> Multimodal.inventoryOracleSql,
     "mm_video_frames" -> Multimodal.videoFramesOracleSql,
+    "mm_image_resize" -> Multimodal.imageResizeOracleSql,
     "mm_decode_features" -> Multimodal.decodeFeaturesOracleSql,
   )
 }

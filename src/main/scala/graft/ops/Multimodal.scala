@@ -123,6 +123,48 @@ object Multimodal {
        |  md5(frame) AS frame_md5
        |FROM s ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Resize plumbing for image payloads: stride-resample the byte
+    * stream down to a fixed 8×8 thumbnail (64 samples at positions
+    * floor(i·len/64)).  A real implementation would do bilinear pixel
+    * interpolation after decode; the sampling math, schema, and
+    * content-addressing are the real plumbing and fully
+    * oracle-checked.  Pure narrow projection — no shuffle. */
+  val ThumbSamples = 64
+
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter($"media_type" === "image")
+      .select($"doc_id", $"meta.width".as("src_w"), $"meta.height".as("src_h"),
+        expr("CAST(payload AS STRING)").as("s"))
+      .withColumn("len", length($"s"))
+      .withColumn("thumb", expr(
+        s"""array_join(transform(sequence(0, ${ThumbSamples - 1}),
+           |  i -> substring(s, CAST((i * len) DIV $ThumbSamples AS INT) + 1, 1)), '')""".stripMargin))
+      .select($"doc_id", $"src_w", $"src_h",
+        lit(8L).as("out_w"), lit(8L).as("out_h"),
+        length($"thumb").cast("long").as("thumb_len"),
+        md5($"thumb").as("thumb_md5"))
+      .orderBy($"doc_id")
+  }
+
+  def imageResizeOracleSql: String =
+    s"""WITH img AS (
+       |  SELECT doc_id, text AS s, length(text) AS len,
+       |    CAST(64 * (doc_id % 8 + 1) AS BIGINT) AS src_w,
+       |    CAST(64 * (doc_id % 4 + 1) AS BIGINT) AS src_h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |t AS (
+       |  SELECT doc_id, src_w, src_h,
+       |    array_to_string(list_transform(generate_series(0, ${ThumbSamples - 1}),
+       |      i -> substring(s, (i * len) // $ThumbSamples + 1, 1)), '') AS thumb
+       |  FROM img)
+       |SELECT doc_id, src_w, src_h,
+       |  CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+       |  CAST(length(thumb) AS BIGINT) AS thumb_len,
+       |  md5(thumb) AS thumb_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+
   // ---- decode / feature extraction (stubbed codec) -----------------
 
   case class MediaItem(doc_id: Long, media_type: String, payload: Array[Byte])

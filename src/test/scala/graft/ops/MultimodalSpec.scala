@@ -24,6 +24,16 @@ class MultimodalSpec extends SparkSuite {
     })
   }
 
+  test("image resize emits fixed-size thumbnails for every image doc") {
+    val rows = Multimodal.imageResize(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("thumb_len") == Multimodal.ThumbSamples))
+    assert(rows.forall(r => r.getAs[Long]("out_w") == 8 &&
+      r.getAs[Long]("out_h") == 8))
+    // content-addressed: distinct docs give (almost always) distinct thumbs
+    assert(rows.map(_.getAs[String]("thumb_md5")).distinct.length > rows.length / 2)
+  }
+
   test("decode stub emits byte-level features over the full corpus") {
     val rows = Multimodal.decodeFeatures(spark, sf()).collect()
     assert(rows.length == 500)
