@@ -67,6 +67,8 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_sample_split" -> (TextAnalysis.sampleSplit _),
+    "q_ts_correlation" -> (Temporal.tsCorrelation _),
     // Deduplication family
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -315,6 +317,8 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualitySql(DuckDialect),
     "text_langid" -> TextAnalysis.langIdSql(DuckDialect),
     "text_fingerprint" -> TextAnalysis.fingerprintSql(DuckDialect),
+    "text_sample_split" -> TextAnalysis.sampleSplitSql(DuckDialect),
+    "q_ts_correlation" -> Temporal.tsCorrelationOracleSql,
     "dedup_exact" -> Dedup.exactSql(DuckDialect),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(DuckDialect),
     "dedup_minhash_lsh" -> Dedup.minhashLshSql(DuckDialect),

@@ -141,6 +141,36 @@ object Temporal {
       .orderBy($"symbol", $"session_start")
   }
 
+  /** Time-series similarity between symbols: Pearson correlation of
+    * their daily-close series (aligned on the bar timestamp) — the
+    * bar-series flavor of similarity search (cf. the time-series
+    * similarity papers in PAPERS.md).  One equi-join on the timestamp
+    * plus a tiny grouped corr aggregate; trivially scalable. */
+  def tsCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bars = BarPipeline.canonicalBars(spark, dir)
+      .select($"symbol", $"timestamp", $"close")
+    bars.as("a")
+      .join(bars.as("b"),
+        $"a.timestamp" === $"b.timestamp" && $"a.symbol" < $"b.symbol")
+      .groupBy($"a.symbol".as("symbol_a"), $"b.symbol".as("symbol_b"))
+      .agg(count(lit(1)).as("n_days"),
+        round(corr($"a.close", $"b.close"), 4).as("close_corr"))
+      .orderBy($"symbol_a", $"symbol_b")
+  }
+
+  def tsCorrelationOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT event_type AS symbol,
+       |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
+       |    max_by(value, ts) AS close
+       |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT a.symbol AS symbol_a, bb.symbol AS symbol_b,
+       |  count(*) AS n_days,
+       |  round(corr(a.close, bb.close), 4) AS close_corr
+       |FROM b a JOIN b bb ON a.t = bb.t AND a.symbol < bb.symbol
+       |GROUP BY 1, 2 ORDER BY symbol_a, symbol_b""".stripMargin
+
   def sessionOracleSql: String =
     s"""WITH e AS (
        |  SELECT event_type AS symbol, CAST(ts AS TIMESTAMP) AS ts, value

@@ -128,6 +128,26 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic train/val/test splitting (90/5/5) by content-
+    * independent hash of the document id — the split assignment a
+    * training pipeline must reproduce bit-identically on any engine,
+    * any partitioning, any run.  Emits per-split corpus stats. */
+  def sampleSplitSql(d: SqlDialect): String = {
+    val bucket = s"(${d.h60(d.castStr("doc_id"))} % 100)"
+    s"""WITH s AS (
+       |  SELECT doc_id, n_chars,
+       |    CASE WHEN $bucket < 90 THEN 'train'
+       |         WHEN $bucket < 95 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT split, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
+       |FROM s GROUP BY split
+       |ORDER BY split""".stripMargin
+  }
+
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
     spark.sql(sql)
@@ -141,4 +161,6 @@ object TextAnalysis {
     run(spark, dir, langIdSql(SparkDialect))
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, fingerprintSql(SparkDialect))
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, sampleSplitSql(SparkDialect))
 }
