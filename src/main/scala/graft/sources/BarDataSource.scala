@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,17 +51,20 @@ private[sources] class BarTable(props: Map[String, String])
   override def name(): String = s"graft-bars(${props.getOrElse("symbols", "")})"
   override def schema(): StructType = BarGen.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BarScanBuilder(
       options.getOrDefault("symbols", props.getOrElse("symbols", "")),
       LocalDate.parse(options.getOrDefault("start", props.getOrElse("start", "2024-01-01"))),
       LocalDate.parse(options.getOrDefault("end", props.getOrElse("end", "2024-01-31"))),
-      options.getOrDefault("timeframe", props.getOrElse("timeframe", "Day")))
+      options.getOrDefault("timeframe", props.getOrElse("timeframe", "Day")),
+      options.getOrDefault("maxDaysPerBatch",
+        props.getOrElse("maxDaysPerBatch", Long.MaxValue.toString)).toLong)
 }
 
 private[sources] class BarScanBuilder(
-    symbolsCsv: String, var start: LocalDate, var end: LocalDate, tf: String)
+    symbolsCsv: String, var start: LocalDate, var end: LocalDate, tf: String,
+    maxDaysPerBatch: Long = Long.MaxValue)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -105,12 +109,13 @@ private[sources] class BarScanBuilder(
 
   override def build(): Scan =
     new BarScan(symbolsCsv.split(",").map(_.trim).filter(_.nonEmpty),
-      start, end, tf, required)
+      start, end, tf, required, maxDaysPerBatch)
 }
 
 private[sources] class BarScan(
     symbols: Array[String], start: LocalDate, end: LocalDate,
-    tf: String, required: StructType) extends Scan with Batch {
+    tf: String, required: StructType,
+    maxDaysPerBatch: Long = Long.MaxValue) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -125,6 +130,59 @@ private[sources] class BarScan(
       val bp = p.asInstanceOf[BarInputPartition]
       new BarPartitionReader(bp)
     }
+
+  /** Streaming flavor: each micro-batch drains a slice of days (the
+    * scheduled remote fetch as an unbounded source).  Offsets are day
+    * counts from `start`, checkpoint-serializable; `maxDaysPerBatch`
+    * bounds batch size (rate limiting — the knob a remote-API source
+    * needs so a cold start doesn't fetch years in one batch). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BarMicroBatchStream(symbols, start, end, tf, required,
+      maxDaysPerBatch)
+}
+
+private[sources] case class BarOffset(daysDone: Long) extends Offset {
+  override def json(): String = s"""{"daysDone":$daysDone}"""
+}
+
+private[sources] class BarMicroBatchStream(
+    symbols: Array[String], start: LocalDate, end: LocalDate,
+    tf: String, required: StructType, maxDaysPerBatch: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val totalDays = math.max(0L, end.toEpochDay - start.toEpochDay + 1L)
+
+  override def initialOffset(): Offset = BarOffset(0L)
+  override def latestOffset(): Offset = BarOffset(totalDays)
+  /** Admission control: the day cap lives HERE (not in partition
+    * planning) so capped days stay unprocessed in the offset log and
+    * are drained by later batches — never silently skipped.
+    * SupportsTriggerAvailableNow makes Trigger.AvailableNow loop
+    * micro-batches until reportLatestOffset instead of stopping after
+    * the first capped batch. */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val from = startOffset.asInstanceOf[BarOffset].daysDone
+    BarOffset(math.min(totalDays, from + maxDaysPerBatch))
+  }
+  override def reportLatestOffset(): Offset = BarOffset(totalDays)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def deserializeOffset(json: String): Offset =
+    BarOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
+  override def commit(offset: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(s: Offset, e: Offset): Array[InputPartition] = {
+    val from = s.asInstanceOf[BarOffset].daysDone
+    val until = e.asInstanceOf[BarOffset].daysDone
+    if (until <= from) Array.empty
+    else symbols.map(sym => BarInputPartition(sym,
+      start.plusDays(from), start.plusDays(until - 1L), tf, required))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) =>
+      new BarPartitionReader(p.asInstanceOf[BarInputPartition])
 }
 
 private[sources] case class BarInputPartition(

@@ -46,6 +46,23 @@ class BarDataSourceSpec extends SparkSuite {
     assert(df.distinct().count() > 0)
   }
 
+  test("streaming read drains the full range in bounded micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val df = spark.readStream.format("graft.sources.BarDataSource")
+      .option("symbols", "AAPL,MSFT")
+      .option("start", "2024-01-01").option("end", "2024-01-10")
+      .option("maxDaysPerBatch", "3") // 10 days → 4 batches
+      .load()
+    val q = df.writeStream.format("memory").queryName("bars_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("bars_stream").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val batch = read().collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(streamed == batch) // stream ≡ batch, no skips, no dups
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4) // rate-limited
+  }
+
   test("generator matches the portable h60 hash") {
     // Same value as Spark SQL's CONV(SUBSTRING(MD5(x),1,15),16,10)
     val fromSql = spark.sql(
