@@ -37,6 +37,12 @@ object BarPipeline {
         $"symbol")
   }
 
+  /** P8: provider equality predicate over the catalog — the
+    * reference's commented-out `where("provider_doc_id","==","alpaca")`
+    * (`app/alpaca_service.py:85`) implemented as a real option. */
+  def filterByProvider(catalog: DataFrame, provider: String): DataFrame =
+    catalog.filter(col("provider_doc_id") === provider)
+
   /** T5: tumbling-window OHLCV bar construction from ticks.
     * open/close are min_by/max_by on the event timestamp — true
     * time-ordered first/last, not positional (SURVEY §2.4 A1 note).

@@ -71,6 +71,14 @@ object Canonicalize {
     }
   }
 
+  /** F7: server-side write timestamp (`updated_at:
+    * firestore.SERVER_TIMESTAMP`, ref :205) — applied at the sink
+    * boundary, deliberately NOT in the canonical schema so the T3
+    * idempotence property ("re-runs are no-ops modulo updated_at")
+    * stays testable on the data columns, exactly like the reference. */
+  def withServerTimestamp(df: DataFrame): DataFrame =
+    df.withColumn("updated_at", current_timestamp())
+
   /** F2: ISO-8601 string form of a bar timestamp (ref :162). */
   def isoString(df: DataFrame): DataFrame =
     df.withColumn("t_str_iso",

@@ -31,6 +31,21 @@ class BarPipelineSpec extends SparkSuite {
     assert(b.getAs[Long]("v") === 3L)
   }
 
+  test("provider filter keeps only the requested provider (P8)") {
+    val cat = BarPipeline.assetCatalog(spark, sf())
+    assert(BarPipeline.filterByProvider(cat, "alpaca").count() == cat.count())
+    assert(BarPipeline.filterByProvider(cat, "other").count() == 0)
+  }
+
+  test("server timestamp lands at the sink boundary (F7)") {
+    val bars = BarPipeline.canonicalBars(spark, sf()).limit(3)
+    val stamped = Canonicalize.withServerTimestamp(bars)
+    assert(stamped.columns.contains("updated_at"))
+    val ts = stamped.collect().map(_.getAs[java.sql.Timestamp]("updated_at"))
+    val now = System.currentTimeMillis()
+    assert(ts.forall(t => math.abs(t.getTime - now) < 600000L))
+  }
+
   test("null-symbol ticks are skipped (P5)") {
     val withNull = ticks.union(
       Seq((9L, ts("2024-01-02 11:00:00"), 1L,
