@@ -39,6 +39,7 @@ object SparkEntry {
     "q_having" -> (Relational.qHaving _),
     "q_above_avg" -> (Relational.qAboveAvg _),
     "q_date_agg" -> (Relational.qDateAgg _),
+    "q_pivot" -> (Relational.qPivot _),
     "q17_small_qty" -> (Relational.qSmallQtyRevenue _),
     "q18_large_orders" -> (Relational.qLargeOrders _),
     "q19_disjunctive" -> (Relational.qDisjunctivePredicates _),
@@ -276,6 +277,15 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) > 0
         |    AS run_had_errors
         |FROM b""".stripMargin,
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F_price,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n,
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O_price,
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n,
+        | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P_price
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q17_small_qty" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey

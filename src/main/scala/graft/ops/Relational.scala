@@ -319,6 +319,20 @@ object Relational {
         .as("revenue"))
   }
 
+  /** Pivot: yearly order stats spread across the (closed) status
+    * domain.  Explicit pivot values keep the output schema static —
+    * required for a deterministic oracle and the only scalable form
+    * anyway (value discovery is a driver-side distinct at 100 TB). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("price"))
+      .orderBy($"o_year")
+  }
+
   /** Sketch-based distinct counting (HyperLogLog++): the constant-
     * memory path for distinct cardinalities at 100 TB, alongside the
     * exact count for error inspection.  No DuckDB oracle — sketch

@@ -65,6 +65,16 @@ object StreamingIngest {
         col("o"), col("h"), col("l"), col("c"), col("v"))
   }
 
+  /** T3 inside the stream: watermark-bounded key dedup.  The sink-side
+    * upsert already makes duplicates harmless; this drops exact
+    * duplicate bar updates *before* they reach the sink, with state
+    * bounded by the watermark instead of growing forever — the
+    * streaming form of the reference's deterministic-doc-id dedup. */
+  def dedupedBars(bars: DataFrame, watermark: String = "30 days"): DataFrame =
+    bars
+      .withWatermark("t", watermark)
+      .dropDuplicatesWithinWatermark("symbol", "t")
+
   /** Full streaming ingest: source → bars → canonicalize → upsert →
     * per-asset summary events (S5).  Update mode + keyed upsert sink =
     * exactly-once-per-key semantics via deterministic bar keys (the

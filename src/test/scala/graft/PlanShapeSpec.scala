@@ -68,6 +68,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(!scan.contains("volume"), scan.take(800))
   }
 
+  test("bar store date predicates prune partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString + "/bars"
+    graft.ingest.BarStore.upsert(
+      graft.ingest.BarPipeline.canonicalBars(spark, sf()), dir)
+    val pruned = graft.ingest.BarStore.read(spark, dir)
+      .filter(col("bar_date") === "2024-01-05")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(bar_date"), p.take(1200))
+    // the pruned scan reads exactly one date partition
+    assert(pruned.select("bar_date").distinct().count() == 1)
+  }
+
   test("mm frame sampling filters inside the generator, pre-explosion") {
     val p = plan("mm_video_frames")
     // the sample predicate is applied to the sequence before explode:

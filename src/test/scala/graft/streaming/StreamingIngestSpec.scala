@@ -62,6 +62,26 @@ class StreamingIngestSpec extends SparkSuite {
     assert(once === refetch)
   }
 
+  test("watermarked stream dedup drops exact duplicate bar updates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val bars = input.toDS()
+      .toDF("symbol", "t", "close")
+    val q = StreamingIngest.dedupedBars(bars)
+      .writeStream.format("memory").queryName("dedup_bars")
+      .outputMode("append").start()
+    try {
+      val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData(("A", t1, 1.0), ("A", t1, 1.0), ("B", t1, 2.0))
+      q.processAllAvailable()
+      input.addData(("A", t1, 1.0)) // duplicate across batches
+      q.processAllAvailable()
+      assert(spark.table("dedup_bars").count() == 2) // A and B once each
+    } finally q.stop()
+  }
+
   test("merge preserves untouched keys in a touched partition") {
     val store = tmp("store") + "/bars"
     val all = BarPipeline.canonicalBars(spark, sf())
