@@ -21,8 +21,9 @@ import TextOps._
   *    (shared shingle, shared LSH band, shared SimHash band) so the
   *    all-pairs O(n²) never materializes — candidates ≪ n².  The
   *    verify step touches only candidate pairs.
-  *  - SimHash banding (8 bands × 4 bits) is provably complete for
-  *    Hamming distance ≤ 7 by pigeonhole, so the banded engine result
+  *  - SimHash banding (6 bands × 10 bits over the 60-bit signature)
+  *    is provably complete for Hamming distance ≤ 5 by pigeonhole
+  *    (any such pair has an intact band), so the banded engine result
   *    equals the oracle's brute-force all-pairs scan — an
   *    algorithm-independent correctness check.
   *  - Embedding near-dup is exact all-pairs here (the verify gate runs
@@ -180,7 +181,7 @@ object Dedup {
 
   /** Oracle-side SimHash: brute-force all-pairs Hamming scan — a
     * different algorithm that must produce the identical result set,
-    * because banded candidate generation is complete for distance ≤ 7. */
+    * because banded candidate generation is complete for distance ≤ 5. */
   def simhashBruteSql(d: SqlDialect): String =
     s"""WITH ${simhashCte(d)}
        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
