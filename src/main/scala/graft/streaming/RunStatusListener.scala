@@ -16,14 +16,17 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * *intended* v1 semantics (real bar counts) rather than the v2 defect
   * where `bars_count` is always 0 (SURVEY.md §0).
   */
-final class RunStatusListener extends StreamingQueryListener {
-
+object RunStatusListener {
   final case class Snapshot(
       lastAttemptTimestampUtc: Option[String],
       lastSuccessTimestampUtc: Option[String],
       batchesCompleted: Long,
       barsInLastBatch: Long,
       errorMessage: Option[String])
+}
+
+final class RunStatusListener extends StreamingQueryListener {
+  import RunStatusListener.Snapshot
 
   private val state = new AtomicReference(Snapshot(None, None, 0L, 0L, None))
 
