@@ -70,9 +70,12 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /** Registry for graft's native SQL functions. Idempotent; called by
-  * every operator that emits `graft_dot(...)` in its Spark SQL. */
+  * every operator that emits graft_* functions in its Spark SQL. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tokens", exprs => GraftTokens(exprs.head), "built-in")
+  }
 }

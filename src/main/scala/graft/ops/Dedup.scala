@@ -293,6 +293,7 @@ object Dedup {
     // LSH queries at sf0.1.
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
     spark.sql(sql)
   }

@@ -149,6 +149,7 @@ object TextAnalysis {
   }
 
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
     spark.sql(sql)
   }

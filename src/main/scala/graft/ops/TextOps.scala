@@ -111,6 +111,11 @@ object SparkDialect extends SqlDialect {
   /** Codegen'd native expression (graft.functions.DotProduct) instead
     * of the interpreted HOF fold — same left-to-right accumulation. */
   override def dot(a: String, b: String): String = s"graft_dot($a, $b)"
+
+  /** Codegen'd native tokenizer (graft.functions.GraftTokens): one
+    * byte-scan pass, bit-identical to the regex chain the oracle
+    * dialect keeps. */
+  override def tokens(text: String): String = s"graft_tokens($text)"
   def arrSlice(arr: String, start1: String, len: String): String =
     s"slice($arr, $start1, $len)"
   def arrMin(arr: String): String = s"array_min($arr)"
