@@ -11,15 +11,20 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional regex arg filters the query set (local iteration aid).
+    val wanted = args.headOption.map(_.r)
+    val queries = SparkEntry.queries.filter { case (name, _) =>
+      wanted.forall(_.findFirstIn(name).isDefined)
+    }
     val spark = GraftSession.build("graft-bench")
     // Warm-up: run every query once at the smallest sf so JIT +
     // whole-stage-codegen compilation (1-3 s per distinct plan, data-
     // size independent) isn't billed to the measured runs.
-    SparkEntry.queries.values.foreach { fn =>
+    queries.values.foreach { fn =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

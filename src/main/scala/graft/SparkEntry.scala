@@ -83,6 +83,8 @@ object SparkEntry {
     "sim_ann_ivf" -> (Similarity.ivf _),
     // HLL sketch — engine-specific, driver records rows-only check
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
+    // KMV sketch — portable-hash estimator, fully oracle-checked
+    "q_kmv_distinct" -> (Relational.qKmvDistinct _),
     // Multimodal binary-column plumbing
     "mm_inventory" -> (Multimodal.inventory _),
     "mm_video_frames" -> (Multimodal.videoFrames _),
@@ -341,6 +343,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> Similarity.topKSql(DuckDialect),
     "sim_ann_lsh" -> Similarity.annLshSql(DuckDialect),
     "sim_ann_ivf" -> Similarity.ivfSql(DuckDialect),
+    "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,
     "mm_inventory" -> Multimodal.inventoryOracleSql,
     "mm_video_frames" -> Multimodal.videoFramesOracleSql,
     "mm_image_resize" -> Multimodal.imageResizeOracleSql,

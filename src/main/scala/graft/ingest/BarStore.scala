@@ -63,7 +63,12 @@ object BarStore {
     val spark = bars.sparkSession
     val dated = bars.dropDuplicates(key)
       .withColumn("bar_date", to_date(col("timestamp")))
-    if (!new java.io.File(path).exists()) { upsert(bars, path); return }
+    // Resolve through Hadoop's FileSystem — java.io.File is always
+    // false for non-local URIs (hdfs://, s3a://), which would silently
+    // degrade every merge to a key-clobbering upsert on such storage.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) { upsert(bars, path); return }
     val touched = dated.select("bar_date").distinct()
       .collect().map(_.getDate(0)) // small: one row per touched date
     val existing = read(spark, path)

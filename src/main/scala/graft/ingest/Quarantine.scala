@@ -47,6 +47,10 @@ object Quarantine {
       .groupBy($"reason").agg(count(lit(1)).as("n"))
       .unionByName(valid.agg(count(lit(1)).as("n"))
         .select(lit("__valid").as("reason"), $"n"))
+      // Same zero-count convention as the oracle's WHERE n > 0: on a
+      // fixture where every row is rejected, '__valid' (count 0) must
+      // not appear on one side only.
+      .filter($"n" > 0)
       .orderBy($"reason")
   }
 

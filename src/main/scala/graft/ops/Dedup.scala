@@ -205,15 +205,21 @@ object Dedup {
       sig.select($"doc_id", $"simhash", lit(b).as("band"),
         expr(s"(shiftright(simhash, ${b * SimHashBandBits}) & $mask)").as("bval"))
     }.reduce(_.unionByName(_))
+    // Hamming filter BEFORE the pair distinct: signature bits correlate
+    // strongly on a same-vocabulary corpus, so band buckets are large
+    // and the self-join emits millions of candidate pairs — the ≤5-bit
+    // filter keeps a handful.  Filtering in the join stage means the
+    // distinct only ever shuffles the survivors (measured 24s → ~1s at
+    // sf0.1); dedup on (ia, ib) alone is safe since hamming is a
+    // function of the pair.
     bands.as("a")
       .join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
-        $"a.simhash".as("sa"), $"b.simhash".as("sb"))
-      .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
       .filter($"hamming" <= SimHashMaxHamming)
+      .distinct()
       .select($"ia".as("doc_id_a"), $"ib".as("doc_id_b"), $"hamming")
       .orderBy($"doc_id_a", $"doc_id_b")
   }
@@ -291,7 +297,11 @@ object Dedup {
     // generators explode arrays that are essentially never empty, so
     // the inferred filter is pure overhead — measured 5-10x on the
     // LSH queries at sf0.1.
-    spark.conf.set("spark.sql.optimizer.excludedRules",
+    // Appended to (not clobbering) any exclusions another component
+    // set.  Deliberately NOT restored after building the DataFrame:
+    // optimization happens lazily at action time, so restoring here
+    // would re-enable the rule before the plan is ever optimized.
+    TextOps.excludeRule(spark,
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir).createOrReplaceTempView("documents")

@@ -77,12 +77,12 @@ object Multimodal {
        |    CAST(length(text) AS BIGINT) AS bytes
        |  FROM documents)
        |SELECT media_type, count(*) AS n_items,
-       |  sum(bytes) AS total_bytes,
+       |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
        |  round(avg(bytes), 6) AS avg_bytes,
-       |  sum(CASE WHEN media_type = 'image'
-       |      THEN (64 * (doc_id % 8 + 1)) * (64 * (doc_id % 4 + 1)) ELSE 0 END) AS total_pixels,
-       |  sum(CASE WHEN media_type = 'video'
-       |      THEN (bytes + ${FrameBytes - 1}) // $FrameBytes ELSE 0 END) AS total_frames
+       |  CAST(sum(CASE WHEN media_type = 'image'
+       |      THEN (64 * (doc_id % 8 + 1)) * (64 * (doc_id % 4 + 1)) ELSE 0 END) AS BIGINT) AS total_pixels,
+       |  CAST(sum(CASE WHEN media_type = 'video'
+       |      THEN (bytes + ${FrameBytes - 1}) // $FrameBytes ELSE 0 END) AS BIGINT) AS total_frames
        |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin
 
   /** Frame sampling for video payloads: fixed-size frames, every 4th

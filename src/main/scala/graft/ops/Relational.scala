@@ -348,6 +348,57 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** K-Minimum-Values distinct-count sketch — the oracle-checkable
+    * companion to qApproxDistinct: built entirely from the portable
+    * 60-bit md5 hash, so the DuckDB oracle reproduces the estimate
+    * bit-for-bit (HLL sketches differ across engines; KMV doesn't).
+    * Estimator: ndv ≈ (k-1) · 2^60 / h_(k) from the k-th smallest
+    * distinct hash; exact count when a group has < k distinct values.
+    * Scale: distinct-then-window shuffles once on the group key; state
+    * per group is the k smallest hashes — constant memory, mergeable
+    * (the classic KMV property), unlike countDistinct's full set. */
+  val KmvK = 64
+
+  def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        expr(SparkDialect.h60("CAST(l_orderkey AS STRING)")).as("h"))
+      .distinct()
+    val w = Window.partitionBy($"l_returnflag").orderBy($"h")
+    h.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= KmvK) // kth-min + small-group exact count only
+      .groupBy($"l_returnflag")
+      .agg(max(when($"rn" === KmvK, $"h")).as("kth"),
+        count(lit(1)).as("nd"))
+      .select($"l_returnflag",
+        when($"nd" < KmvK, $"nd")
+          .otherwise(floor(lit((KmvK - 1).toDouble) * pow(lit(2.0), 60)
+            / $"kth".cast("double")).cast("long"))
+          .as("kmv_distinct"))
+      .orderBy($"l_returnflag")
+  }
+
+  def qKmvDistinctOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag,
+       |    CAST(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT l_returnflag, h,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+       |  FROM h),
+       |s AS (
+       |  SELECT l_returnflag,
+       |    max(CASE WHEN rn = $KmvK THEN h END) AS kth,
+       |    count(*) AS nd
+       |  FROM r WHERE rn <= $KmvK GROUP BY l_returnflag)
+       |SELECT l_returnflag,
+       |  CAST(CASE WHEN nd < $KmvK THEN nd
+       |    ELSE CAST(floor(${KmvK - 1}.0 * pow(2.0, 60) / CAST(kth AS DOUBLE)) AS BIGINT)
+       |  END AS BIGINT) AS kmv_distinct
+       |FROM s ORDER BY l_returnflag""".stripMargin
+
   /** Semi-structured extraction: pull a field out of the JSON `props`
     * column and aggregate by a derived bucket (get_json_object is
     * codegen'd; the scan prunes to the two referenced columns). */

@@ -196,4 +196,15 @@ object TextOps {
   /** weight(plane p, dim d) = ((1 + (p*67 + d*29) % 97) - 49) ∈ [-48, 48]. */
   def planeWeightSql(d: SqlDialect, p: String, dim0: String): String =
     s"CAST((1 + (($p * 67 + $dim0 * 29) % 97)) - 49 AS DOUBLE)"
+
+  /** Add an optimizer rule to spark.sql.optimizer.excludedRules,
+    * preserving exclusions already present (idempotent). */
+  def excludeRule(spark: org.apache.spark.sql.SparkSession, rule: String): Unit = {
+    val existing = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    if (!existing.contains(rule))
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        (existing :+ rule).mkString(","))
+  }
 }

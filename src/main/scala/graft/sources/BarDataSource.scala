@@ -73,14 +73,21 @@ private[sources] class BarScanBuilder(
 
   private def toDate(v: Any): Option[LocalDate] = v match {
     case i: Instant => Some(i.atZone(ZoneOffset.UTC).toLocalDate)
-    case t: java.sql.Timestamp => Some(t.toLocalDateTime.toLocalDate)
+    // toLocalDateTime would apply the JVM default timezone; the bar
+    // calendar is UTC, so go through the instant explicitly.
+    case t: java.sql.Timestamp =>
+      Some(t.toInstant.atZone(ZoneOffset.UTC).toLocalDate)
     case _ => None
   }
 
-  /** Narrow [start, end] from timestamp range predicates; everything
-    * narrowed is fully handled here (not re-evaluated by Spark). */
+  /** Narrow [start, end] from timestamp range predicates.  Narrowing is
+    * day-granular while predicates can be sub-day, so it is only an
+    * I/O-reduction hint: every filter (accepted or not) is returned as
+    * a residual for Spark to re-evaluate post-scan, and the range is
+    * narrowed *conservatively* — a bound lands on its own day, never
+    * past it — so no row a sub-day predicate would keep is skipped. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
+    val accepted = filters.filter {
       case GreaterThanOrEqual("timestamp", v) => toDate(v).isDefined
       case GreaterThan("timestamp", v) => toDate(v).isDefined
       case LessThanOrEqual("timestamp", v) => toDate(v).isDefined
@@ -91,16 +98,15 @@ private[sources] class BarScanBuilder(
       case GreaterThanOrEqual("timestamp", v) =>
         toDate(v).foreach(d => if (d.isAfter(start)) start = d)
       case GreaterThan("timestamp", v) =>
-        toDate(v).foreach(d => if (!d.isBefore(start)) start = d.plusDays(1))
+        toDate(v).foreach(d => if (d.isAfter(start)) start = d)
       case LessThanOrEqual("timestamp", v) =>
         toDate(v).foreach(d => if (d.isBefore(end)) end = d)
       case LessThan("timestamp", v) =>
-        // bars are stamped at day start: ts < d excludes day d onward
-        toDate(v).foreach(d => if (!d.isAfter(end)) end = d.minusDays(1))
+        toDate(v).foreach(d => if (d.isBefore(end)) end = d)
       case _ =>
     }
     pushed = accepted
-    rejected
+    filters
   }
   override def pushedFilters(): Array[Filter] = pushed
 

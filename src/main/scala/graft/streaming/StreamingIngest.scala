@@ -44,24 +44,33 @@ object StreamingIngest {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  /** T5 under streaming: watermarked tumbling-window OHLCV bars.
-    * Watermark = the reference's 30-day late-data horizon (T4). */
+  /** T5 under streaming: watermarked tumbling OHLCV bars.
+    * Watermark = the reference's 30-day late-data horizon (T4).
+    *
+    * The bucket is calendar `date_trunc`, NOT `window(ts, duration)`:
+    * fixed-length epoch-aligned windows diverge from the batch path for
+    * Week (epoch weeks start Thursday) and Month (no fixed length), and
+    * batch↔streaming interchangeability through the shared BarStore
+    * requires identical bar timestamps/bar_keys.  `date_trunc` is
+    * deterministic per-row, so the watermark moves to the *bucket*
+    * column — grouping on the watermarked column keeps state eviction
+    * (one state row per symbol × bucket, evicted once the watermark
+    * passes the bucket start + the late horizon). */
   def streamingBars(events: DataFrame, timeframe: String = "Day",
       watermark: String = "30 days"): DataFrame = {
-    val duration = graft.model.Timeframes.durations(
-      graft.model.Timeframes.resolve(timeframe))
+    val unit = graft.model.Timeframes.resolve(timeframe).toLowerCase
     events
       .filter(col("event_type").isNotNull) // P5
-      .withWatermark("ts", watermark)
-      .groupBy(col("event_type").as("symbol"),
-        window(col("ts"), duration).as("w"))
+      .withColumn("bucket", date_trunc(unit, col("ts")))
+      .withWatermark("bucket", watermark)
+      .groupBy(col("event_type").as("symbol"), col("bucket"))
       .agg(
         min_by(col("value"), col("ts")).as("o"),
         max(col("value")).as("h"),
         min(col("value")).as("l"),
         max_by(col("value"), col("ts")).as("c"),
         count(lit(1)).as("v"))
-      .select(col("symbol"), col("w.start").as("t"),
+      .select(col("symbol"), col("bucket").as("t"),
         col("o"), col("h"), col("l"), col("c"), col("v"))
   }
 

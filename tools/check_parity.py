@@ -48,8 +48,16 @@ for name in sorted(oracle):
     try:
         mine = con.execute(f"SELECT * FROM '{qdir}/*.parquet'")
         mrows, mcols = mine.fetchall(), [d[0] for d in mine.description]
-        orc = con.execute(sql)
-        orows, ocols = orc.fetchall(), [d[0] for d in orc.description]
+        orc = con.execute(sql).arrow()
+        orows = [tuple(c[i].as_py() for c in orc.columns) for i in range(orc.num_rows)]
+        ocols = orc.schema.names
+        # The driver converts oracle results through pandas/arrow, where
+        # DuckDB HUGEINT (uncast integer sums) becomes decimal128 and
+        # hash-mismatches Spark's int64 even though fetchall agrees.
+        dec = [f.name for f in orc.schema if str(f.type).startswith("decimal")]
+        if dec:
+            print(f"FAIL {name}: oracle cols {dec} are DECIMAL/HUGEINT "
+                  f"(cast sums to BIGINT)"); fails += 1; continue
     except Exception as e:
         print(f"FAIL {name}: {e}"); fails += 1; continue
     if sorted(mcols) != sorted(ocols):
