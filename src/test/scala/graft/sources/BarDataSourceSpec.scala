@@ -40,6 +40,23 @@ class BarDataSourceSpec extends SparkSuite {
     assert(plan.contains("2024-01-20"), s"scan range not narrowed:\n$plan")
   }
 
+  test("sub-day timestamp predicates return exact rows (residual re-eval)") {
+    import spark.implicits._
+    // Narrowing is day-granular; the noon bound must still be applied
+    // exactly: the 2024-01-05 00:00 bar fails `>= 05 12:00` and
+    // passes `< 05 12:00`.
+    val ge = read().filter($"timestamp" >= to_timestamp(lit("2024-01-05 12:00:00")))
+    assert(ge.count() == 2 * 5) // Jan 6..10
+    val lt = read().filter($"timestamp" < to_timestamp(lit("2024-01-05 12:00:00")))
+    assert(lt.count() == 2 * 5) // Jan 1..5 (day-5 bar kept)
+    val gt = read().filter($"timestamp" > to_timestamp(lit("2024-01-05 00:00:00")))
+    assert(gt.count() == 2 * 5) // exact-midnight bound excludes day 5
+    val between = read().filter(
+      $"timestamp".between(to_timestamp(lit("2024-01-03 06:00:00")),
+        to_timestamp(lit("2024-01-07 18:00:00"))))
+    assert(between.count() == 2 * 4) // Jan 4..7
+  }
+
   test("column pruning reaches the reader") {
     val df = read().select("symbol", "close")
     assert(df.columns.toSeq == Seq("symbol", "close"))

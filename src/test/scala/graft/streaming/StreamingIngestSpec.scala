@@ -62,6 +62,23 @@ class StreamingIngestSpec extends SparkSuite {
     assert(once === refetch)
   }
 
+  test("Week bars match batch (calendar buckets, not epoch windows)") {
+    // Epoch-aligned window('1 week') starts weeks on Thursday;
+    // date_trunc('week') starts them Monday.  The streaming path must
+    // produce the batch path's bar timestamps or the shared BarStore
+    // keys diverge.
+    val store = tmp("store") + "/bars"
+    val q = StreamingIngest.start(spark, sf(), store, tmp("ckpt"),
+      timeframe = "Week")
+    q.awaitTermination(120000)
+    val streamed = BarStore.read(spark, store)
+      .select("bar_key", "symbol", "timestamp", "timeframe",
+        "open", "high", "low", "close", "volume")
+      .collect().toSet
+    val batch = BarPipeline.canonicalBars(spark, sf(), "Week").collect().toSet
+    assert(streamed === batch)
+  }
+
   test("watermarked stream dedup drops exact duplicate bar updates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
