@@ -81,6 +81,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (Similarity.topK _),
     "sim_ann_lsh" -> (Similarity.annLsh _),
     "sim_ann_ivf" -> (Similarity.ivf _),
+    "sim_ivf_kmeans" -> (Similarity.ivfKmeans _),
     // HLL sketch — engine-specific, driver records rows-only check
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     // KMV sketch — portable-hash estimator, fully oracle-checked
@@ -343,6 +344,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> Similarity.topKSql(DuckDialect),
     "sim_ann_lsh" -> Similarity.annLshSql(DuckDialect),
     "sim_ann_ivf" -> Similarity.ivfSql(DuckDialect),
+    "sim_ivf_kmeans" -> Similarity.ivfKmeansSql(DuckDialect),
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,
     "mm_inventory" -> Multimodal.inventoryOracleSql,
     "mm_video_frames" -> Multimodal.videoFramesOracleSql,

@@ -140,6 +140,91 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF with TRAINED centroids: spherical k-means (cosine Lloyd
+    * iterations) instead of ivfSql's fixed picks, then the same
+    * nprobe=2 search.  Fully oracle-checked despite float centroids:
+    * the per-cluster mean accumulates µ-quantized integer components
+    * (`CAST(round(x·10⁶) AS BIGINT)`), whose sum is associative and
+    * commutative — so the centroid is bit-identical regardless of
+    * Spark's partial-aggregation order, and the DuckDB oracle lands on
+    * the same doubles.  Assignment ties break on cid; no RNG anywhere
+    * (init = the same deterministic vec_id ≡ 50 picks).
+    *
+    * Scale: each Lloyd round is one broadcast-size cross join (k rows)
+    * + one groupBy(cid) with map-side partial sums of k·D longs — the
+    * textbook distributed k-means step; iterations are unrolled (2
+    * here), so the plan is static and codegen-friendly. */
+  val KmeansDim = 64
+  val KmeansIters = 2
+  val KmeansQuant = "1000000.0"
+
+  def ivfKmeansSql(d: SqlDialect): String = {
+    // One Lloyd round: assignments from centroid relation `cPrev` →
+    // quantized per-dimension means → centroid relation `cNext`.
+    def cosTo(c: String): String =
+      s"${d.dot("n.v", s"$c.cv")} / (n.nrm * $c.cnrm)"
+    def assignCtes(i: Int, cPrev: String): String =
+      s"""x$i AS (
+         |  SELECT n.vec_id, c.cid, ${cosTo("c")} AS cs
+         |  FROM n CROSS JOIN $cPrev c),
+         |a$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |    FROM x$i) z WHERE rn = 1)""".stripMargin
+    def updateCtes(i: Int): String = {
+      val sums = (0 until KmeansDim).map(j =>
+        s"sum(CAST(round(${d.arrAt("n.v", (j + 1).toString)} * $KmeansQuant) AS BIGINT)) AS s$j")
+        .mkString(", ")
+      val comps = (0 until KmeansDim).map(j =>
+        s"CAST(s$j AS DOUBLE) / ($KmeansQuant * cnt)")
+      s"""s${i + 1} AS (
+         |  SELECT a.cid, count(*) AS cnt, $sums
+         |  FROM a$i a JOIN n ON n.vec_id = a.vec_id
+         |  GROUP BY a.cid),
+         |m${i + 1} AS (
+         |  SELECT cid, ${d.arrOf(comps)} AS cv FROM s${i + 1}),
+         |c${i + 1} AS (
+         |  SELECT cid, cv, sqrt(${d.dot("cv", "cv")}) AS cnrm FROM m${i + 1})""".stripMargin
+    }
+    val lloyd = (0 until KmeansIters).map { i =>
+      s"${assignCtes(i, s"c$i")},\n${updateCtes(i)}"
+    }.mkString(",\n")
+    val f = KmeansIters // final centroid relation index
+    s"""WITH ${baseCtes(d)},
+       |c0 AS (
+       |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |  WHERE vec_id % 100 = 50),
+       |$lloyd,
+       |xf AS (
+       |  SELECT n.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${cosTo("c")} DESC, c.cid) AS crn
+       |  FROM n CROSS JOIN c$f c),
+       |asgn AS (
+       |  SELECT vec_id, cid FROM xf WHERE crn = 1),
+       |probe AS (
+       |  SELECT vec_id AS qid, cid FROM xf
+       |  WHERE vec_id % 100 = 0 AND crn <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM probe p JOIN asgn a ON a.cid = p.cid AND a.vec_id != p.qid),
+       |sc AS (
+       |  SELECT cand.qid, cand.nid,
+       |    ${d.dot("q.v", "x.v")} / (q.nrm * x.nrm) AS cs
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.qid
+       |  JOIN n x ON x.vec_id = cand.nid),
+       |r AS (
+       |  SELECT qid, nid, cs,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+       |  FROM sc)
+       |SELECT qid AS query_id, nid AS neighbor_id,
+       |  round(cs, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+       |FROM r WHERE rn <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
@@ -152,4 +237,88 @@ object Similarity {
     run(spark, dir, annLshSql(SparkDialect))
   def ivf(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, ivfSql(SparkDialect))
+
+  /** Engine-side k-means IVF: the single-statement SQL form (kept as
+    * the oracle) inlines the whole Lloyd chain at every reference, so
+    * Spark would recompute each round several times.  Distributed
+    * k-means is naturally driver-coordinated instead: centroids are k·D
+    * numbers, so each round is ONE aggregation job (map-side partial
+    * sums of quantized longs) whose k-row result is collected and
+    * inlined into the next round's assignment projection — the
+    * DataFrame equivalent of broadcasting the codebook.  All arithmetic
+    * (quantized sums, µ/10⁶/n division, left-to-right dot folds, tie on
+    * cid) is identical to the oracle SQL, so results stay bit-equal. */
+  def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    graft.functions.GraftFunctions.register(spark)
+    val quant = KmeansQuant.toDouble
+    val n = Tables.embeddings(spark, dir)
+      .select($"vec_id", expr(
+        SparkDialect.toDoubleArr("embedding")).as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .cache()
+
+    def lit64(a: Array[Double]): Column =
+      array(a.map(lit(_)): _*)
+    // cosine of v against a literal centroid (same fold as the oracle)
+    def cosTo(cv: Array[Double], cnrm: Double): Column =
+      call_function("graft_dot", $"v", lit64(cv)).divide($"nrm" * lit(cnrm))
+    def dotSelf(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }; s
+    }
+
+    // init: deterministic picks, ordered by cid
+    var cents: Seq[(Long, Array[Double], Double)] =
+      n.filter($"vec_id" % 100 === 50).orderBy($"vec_id").collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (r.getLong(0), v, math.sqrt(dotSelf(v)))
+      }.toSeq
+
+    // per-row centroid ranking: ascending (-cs, cid) struct sort ≡ the
+    // oracle's ORDER BY cs DESC, cid (exact for non-NaN doubles)
+    def ordCol(): Column = array_sort(array(cents.map {
+      case (cid, cv, cnrm) =>
+        struct((-cosTo(cv, cnrm)).as("ncs"), lit(cid).as("cid"))
+    }: _*))
+
+    for (_ <- 0 until KmeansIters) {
+      val sums = (0 until KmeansDim).map(j =>
+        sum(round(element_at($"v", j + 1) * quant).cast("long")).as(s"s$j"))
+      val updated = n.withColumn("cid", ordCol()(0).getField("cid"))
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .collect()
+      cents = updated.map { r =>
+        val cnt = r.getLong(1)
+        val cv = Array.tabulate(KmeansDim)(j =>
+          r.getLong(2 + j).toDouble / (quant * cnt))
+        (r.getLong(0), cv, math.sqrt(dotSelf(cv)))
+      }.sortBy(_._1).toSeq
+    }
+
+    val ranked = n.withColumn("ord", ordCol())
+    val asgn = ranked.select($"vec_id", $"ord"(0).getField("cid").as("cid"))
+    val probe = ranked.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), explode(slice($"ord", 1, 2)).as("p"))
+      .select($"qid", $"p.cid".as("cid"))
+    val cand = probe.join(asgn, "cid")
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"))
+    val sc = cand
+      .join(n.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")), "qid")
+      .join(n.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nn")), "nid")
+      .select($"qid", $"nid",
+        expr("graft_dot(qv, nv)").divide($"qn" * $"nn").as("cs"))
+    import org.apache.spark.sql.expressions.Window
+    sc.withColumn("rn",
+        row_number().over(Window.partitionBy($"qid")
+          .orderBy($"cs".desc, $"nid")))
+      .filter($"rn" <= 5)
+      .select($"qid".as("query_id"), $"nid".as("neighbor_id"),
+        round($"cs", 6).as("cosine"), $"rn".cast("long").as("rank"))
+      .orderBy($"query_id", $"rank")
+  }
 }

@@ -59,6 +59,8 @@ sealed trait SqlDialect {
   def castStr(x: String): String
   /** Explode an array column to rows (select-list position). */
   def explode(arr: String): String
+  /** Array literal from element expressions. */
+  def arrOf(items: Seq[String]): String
   /** [0..n-1], empty when n < 1. */
   def sequence0(n: String): String
 
@@ -121,6 +123,7 @@ object SparkDialect extends SqlDialect {
   def arrMin(arr: String): String = s"array_min($arr)"
   def castStr(x: String): String = s"CAST($x AS STRING)"
   def explode(arr: String): String = s"explode($arr)"
+  def arrOf(items: Seq[String]): String = s"array(${items.mkString(", ")})"
   def sequence0(n: String): String =
     s"(CASE WHEN ($n) >= 1 THEN sequence(0, ($n) - 1) ELSE slice(sequence(1, 1), 1, 0) END)"
 }
@@ -157,6 +160,7 @@ object DuckDialect extends SqlDialect {
   def arrMin(arr: String): String = s"list_min($arr)"
   def castStr(x: String): String = s"CAST($x AS VARCHAR)"
   def explode(arr: String): String = s"unnest($arr)"
+  def arrOf(items: Seq[String]): String = s"[${items.mkString(", ")}]"
   def sequence0(n: String): String = s"generate_series(0, ($n) - 1)"
 }
 

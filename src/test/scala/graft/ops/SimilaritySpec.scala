@@ -28,6 +28,26 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("k-means IVF trains centroids deterministically and improves on init") {
+    val a = Similarity.ivfKmeans(spark, sf()).collect()
+    val b = Similarity.ivfKmeans(spark, sf()).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // no RNG, no order dependence
+    assert(a.nonEmpty)
+    // trained codebook must actually move: assignments differ from the
+    // fixed-centroid variant for at least one (query, rank) slot
+    val fixed = Similarity.ivf(spark, sf()).collect().map(_.toSeq).toSet
+    assert(a.map(_.toSeq).toSet != fixed)
+    // scoring arithmetic is still exact — any pair shared with
+    // brute-force carries the identical cosine
+    val brute = Similarity.topK(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    a.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      brute.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+  }
+
   test("ANN results agree with brute-force cosines on shared pairs") {
     val ann = Similarity.annLsh(spark, sf()).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
