@@ -248,10 +248,9 @@ object Dedup {
     * exact all-pairs reference. */
   def embeddingLshSql(d: SqlDialect): String = {
     val bitCols = (0 until AnnPlanes).map { p =>
-      val proj = d.fold(
-        d.arrTransform(d.sequence1(d.arrSize("v")), "i",
-          s"${d.arrAt("v", "i")} * ${planeWeightSql(d, p.toString, "(i - 1)")}"),
-        "CAST(0.0 AS DOUBLE)", "s", "x", "s + x")
+      // literal weight array → plain (codegen'd) dot product, not an
+      // interpreted per-element HOF chain; same left-to-right fold
+      val proj = d.dot("v", d.arrOf(planeWeights(p).map(d.dlit)))
       s"(CASE WHEN $proj > 0 THEN 1 ELSE 0 END) AS bit$p"
     }.mkString(",\n    ")
     val bandSelects = (0 until AnnBands).map { b =>

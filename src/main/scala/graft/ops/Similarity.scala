@@ -50,12 +50,11 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** Signed projection onto deterministic hyperplane p (0-based dim). */
+  /** Signed projection onto deterministic hyperplane p: a dot product
+    * against the literal weight array (codegen'd graft_dot on the
+    * engine side; same left-to-right fold as the HOF form it replaced). */
   private def projBit(d: SqlDialect, p: Int): String = {
-    val proj = d.fold(
-      d.arrTransform(d.sequence1(d.arrSize("v")), "i",
-        s"${d.arrAt("v", "i")} * ${planeWeightSql(d, p.toString, "(i - 1)")}"),
-      "CAST(0.0 AS DOUBLE)", "s", "x", "s + x")
+    val proj = d.dot("v", d.arrOf(planeWeights(p).map(d.dlit)))
     s"(CASE WHEN $proj > 0 THEN 1 ELSE 0 END)"
   }
 

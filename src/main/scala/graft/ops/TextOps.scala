@@ -61,6 +61,9 @@ sealed trait SqlDialect {
   def explode(arr: String): String
   /** Array literal from element expressions. */
   def arrOf(items: Seq[String]): String
+  /** Double literal (Spark parses bare `5.0` as DECIMAL — force the
+    * double type explicitly in both dialects). */
+  def dlit(x: Double): String
   /** [0..n-1], empty when n < 1. */
   def sequence0(n: String): String
 
@@ -124,6 +127,7 @@ object SparkDialect extends SqlDialect {
   def castStr(x: String): String = s"CAST($x AS STRING)"
   def explode(arr: String): String = s"explode($arr)"
   def arrOf(items: Seq[String]): String = s"array(${items.mkString(", ")})"
+  def dlit(x: Double): String = s"${x}D"
   def sequence0(n: String): String =
     s"(CASE WHEN ($n) >= 1 THEN sequence(0, ($n) - 1) ELSE slice(sequence(1, 1), 1, 0) END)"
 }
@@ -161,6 +165,7 @@ object DuckDialect extends SqlDialect {
   def castStr(x: String): String = s"CAST($x AS VARCHAR)"
   def explode(arr: String): String = s"unnest($arr)"
   def arrOf(items: Seq[String]): String = s"[${items.mkString(", ")}]"
+  def dlit(x: Double): String = s"CAST($x AS DOUBLE)"
   def sequence0(n: String): String = s"generate_series(0, ($n) - 1)"
 }
 
@@ -200,6 +205,15 @@ object TextOps {
   /** weight(plane p, dim d) = ((1 + (p*67 + d*29) % 97) - 49) ∈ [-48, 48]. */
   def planeWeightSql(d: SqlDialect, p: String, dim0: String): String =
     s"CAST((1 + (($p * 67 + $dim0 * 29) % 97)) - 49 AS DOUBLE)"
+
+  /** Embedding dimensionality of the fixture corpus (64-float vectors). */
+  val EmbeddingDim = 64
+
+  /** The same plane weights as literal doubles (integers — exact in
+    * IEEE), so hyperplane projections compile to a plain dot product
+    * against a constant array instead of a per-element HOF chain. */
+  def planeWeights(p: Int): Seq[Double] =
+    (0 until EmbeddingDim).map(d => ((1 + ((p * 67 + d * 29) % 97)) - 49).toDouble)
 
   /** Add an optimizer rule to spark.sql.optimizer.excludedRules,
     * preserving exclusions already present (idempotent). */
