@@ -81,6 +81,25 @@ class PlanShapeSpec extends SparkSuite {
     assert(pruned.select("bar_date").distinct().count() == 1)
   }
 
+  test("kmv sketch scans only the two referenced lineitem columns") {
+    val p = plan("q_kmv_distinct")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>"),
+      p.take(1500))
+    // the rn <= k filter keeps the per-group aggregation bounded
+    assert(p.contains("row_number"), p.take(1500))
+  }
+
+  test("simhash banded join filters hamming before the pair distinct") {
+    val p = plan("dedup_simhash")
+    // the ≤5-bit filter must sit below the distinct's exchange: the
+    // distinct aggregate keys on (ia, ib, hamming) — i.e. hamming was
+    // computed pre-distinct — and no exchange moves raw (sa, sb) pairs
+    assert(p.contains("bit_count"), p.take(1500))
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("bit_count") > 0)
+    assert(!p.contains("distinct(sa"), p.take(1500))
+  }
+
   test("mm frame sampling filters inside the generator, pre-explosion") {
     val p = plan("mm_video_frames")
     // the sample predicate is applied to the sequence before explode:
