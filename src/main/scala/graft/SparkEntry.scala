@@ -36,6 +36,8 @@ object SparkEntry {
     "q_set_ops" -> (Relational.qSetOps _),
     "q_case_agg" -> (Relational.qCaseAgg _),
     "q_rollup" -> (Relational.qRollup _),
+    "q_cube" -> (Relational.qCube _),
+    "q_full_outer" -> (Relational.qFullOuter _),
     "q_having" -> (Relational.qHaving _),
     "q_above_avg" -> (Relational.qAboveAvg _),
     "q_date_agg" -> (Relational.qDateAgg _),
@@ -208,6 +210,8 @@ object SparkEntry {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_cube" -> Relational.qCubeOracleSql,
+    "q_full_outer" -> Relational.qFullOuterOracleSql,
     "q_having" ->
       """SELECT l_partkey, count(*) AS n_lines,
         | round(sum(l_quantity), 2) AS total_qty

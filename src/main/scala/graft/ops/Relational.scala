@@ -348,6 +348,55 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Grouping sets via CUBE: all four aggregation levels over
+    * (status, priority) in one pass — Spark expands the grouping sets
+    * and aggregates once, no union of scans. */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("sum_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
+  def qCubeOracleSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      | round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST,
+      |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Full outer join: per-nation rare-rich-customer count vs supplier
+    * count — the filter makes one side sparse so both null sides of
+    * the join are actually exercised. */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+      .filter($"c_acctbal" > 9900)
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("rich_customers"))
+    val s = Tables.supplier(spark, dir)
+      .filter($"s_acctbal" > 8000)
+      .groupBy($"s_nationkey").agg(count(lit(1)).as("suppliers"))
+    c.join(s, $"c_nationkey" === $"s_nationkey", "full_outer")
+      .select(coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+        $"rich_customers", $"suppliers")
+      .orderBy($"nationkey")
+  }
+
+  def qFullOuterOracleSql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey, count(*) AS rich_customers
+      |  FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey),
+      |s AS (
+      |  SELECT s_nationkey, count(*) AS suppliers
+      |  FROM supplier WHERE s_acctbal > 8000 GROUP BY s_nationkey)
+      |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+      |  rich_customers, suppliers
+      |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   /** K-Minimum-Values distinct-count sketch — the oracle-checkable
     * companion to qApproxDistinct: built entirely from the portable
     * 60-bit md5 hash, so the DuckDB oracle reproduces the estimate
