@@ -48,12 +48,13 @@ final case class RunStatus(
     errorMessage: Option[String])
 
 object Timeframes {
-  /** Valid timeframe labels → tumbling-window durations (T5). */
-  val durations: Map[String, String] = Map(
-    "Minute" -> "1 minute", "Hour" -> "1 hour", "Day" -> "1 day",
-    "Week" -> "1 week", "Month" -> "30 days")
+  /** Valid timeframe labels (T5).  Buckets are calendar `date_trunc`
+    * units (lowercased label), NOT fixed window durations — epoch-
+    * aligned `window()` durations diverge from calendar weeks/months
+    * (see StreamingIngest.streamingBars). */
+  val valid: Set[String] = Set("Minute", "Hour", "Day", "Week", "Month")
 
   /** Reference behavior (F8, `app/config.py:62-71`): warn + default to
     * Day on an invalid timeframe string rather than failing. */
-  def resolve(s: String): String = if (durations.contains(s)) s else "Day"
+  def resolve(s: String): String = if (valid.contains(s)) s else "Day"
 }
