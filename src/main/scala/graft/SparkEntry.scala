@@ -93,6 +93,7 @@ object SparkEntry {
     "mm_video_frames" -> (Multimodal.videoFrames _),
     "mm_image_resize" -> (Multimodal.imageResize _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
+    "mm_audio_windows" -> (Multimodal.audioWindows _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -354,5 +355,6 @@ object SparkEntry {
     "mm_video_frames" -> Multimodal.videoFramesOracleSql,
     "mm_image_resize" -> Multimodal.imageResizeOracleSql,
     "mm_decode_features" -> Multimodal.decodeFeaturesOracleSql,
+    "mm_audio_windows" -> Multimodal.audioWindowsOracleSql,
   )
 }

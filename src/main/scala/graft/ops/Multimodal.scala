@@ -165,6 +165,59 @@ object Multimodal {
        |  md5(thumb) AS thumb_md5
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Audio windowing: split each audio payload into 100 ms windows
+    * using the item's own sample_rate metadata (1 byte/sample stub —
+    * a real codec would decode PCM first), with per-window amplitude
+    * stats.  The window length varies per row (typed metadata drives
+    * the operator), unlike the fixed-size video frames. */
+  def audioWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter($"media_type" === "audio")
+      .select($"doc_id", $"meta.sample_rate".as("rate"),
+        $"meta.channels".as("channels"),
+        expr("CAST(payload AS STRING)").as("s"))
+      // 10 ms of samples per channel — integer division on both sides
+      .withColumn("wl", expr("CAST((rate DIV 100) DIV channels AS INT)"))
+      .withColumn("len", length($"s"))
+      .select($"doc_id", $"rate", $"channels", $"wl", $"s", $"len",
+        explode(expr("sequence(0, CAST((len + wl - 1) DIV wl AS INT) - 1)"))
+          .as("window_idx"))
+      .select($"doc_id", $"rate", $"channels",
+        $"window_idx".cast("long").as("window_idx"),
+        expr("substring(s, window_idx * wl + 1, wl)").as("w"))
+      .select($"doc_id", $"rate", $"channels", $"window_idx",
+        length($"w").cast("long").as("n_samples"),
+        round(expr(
+          """CAST(aggregate(transform(sequence(1, length(w)),
+            |  i -> ascii(substring(w, i, 1))), 0L, (a, x) -> a + CAST(x AS LONG))
+            |  AS DOUBLE) / length(w)""".stripMargin), 6).as("avg_amp"))
+      .orderBy($"doc_id", $"window_idx")
+  }
+
+  def audioWindowsOracleSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, text AS s, length(text) AS len,
+       |    CAST(8000 * (doc_id % 3 + 1) AS BIGINT) AS rate,
+       |    CAST((doc_id % 2) + 1 AS BIGINT) AS channels,
+       |    CAST((8000 * (doc_id % 3 + 1) // 100) // ((doc_id % 2) + 1)
+       |      AS INTEGER) AS wl
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |e AS (
+       |  SELECT doc_id, rate, channels, wl, s,
+       |    unnest(generate_series(0, ((len + wl - 1) // wl) - 1)) AS window_idx
+       |  FROM a),
+       |w AS (
+       |  SELECT doc_id, rate, channels, CAST(window_idx AS BIGINT) AS window_idx,
+       |    substring(s, window_idx * wl + 1, wl) AS w
+       |  FROM e)
+       |SELECT doc_id, rate, channels, window_idx,
+       |  CAST(length(w) AS BIGINT) AS n_samples,
+       |  round(CAST(list_reduce(list_prepend(0, list_transform(
+       |    generate_series(1, length(w)), i -> ascii(substring(w, i, 1)))),
+       |    (a, x) -> a + x) AS DOUBLE) / length(w), 6) AS avg_amp
+       |FROM w ORDER BY doc_id, window_idx""".stripMargin
+
   // ---- decode / feature extraction (stubbed codec) -----------------
 
   case class MediaItem(doc_id: Long, media_type: String, payload: Array[Byte])

@@ -24,6 +24,21 @@ class MultimodalSpec extends SparkSuite {
     })
   }
 
+  test("audio windowing derives the window length from row metadata") {
+    val rows = Multimodal.audioWindows(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // mono (160-sample) and stereo (80-sample) windows both occur
+    assert(rows.map(_.getAs[Long]("channels")).distinct.sorted.toSeq == Seq(1L, 2L))
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, ws) =>
+      val wl = (ws.head.getAs[Long]("rate") / 100) / ws.head.getAs[Long]("channels")
+      // every window except the trailing remainder is exactly wl samples
+      val full = ws.count(_.getAs[Long]("n_samples") == wl)
+      assert(full >= ws.length - 1, s"expected ≥${ws.length - 1} full windows")
+      assert(ws.map(_.getAs[Long]("window_idx")).sorted.toSeq ==
+        (0L until ws.length).toSeq) // contiguous indices
+    }
+  }
+
   test("image resize emits fixed-size thumbnails for every image doc") {
     val rows = Multimodal.imageResize(spark, sf()).collect()
     assert(rows.nonEmpty)
