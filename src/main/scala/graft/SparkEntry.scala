@@ -77,6 +77,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_clusters" -> (Dedup.simhashClusters _),
     "dedup_embedding" -> (Dedup.embeddingCosine _),
     "dedup_embedding_lsh" -> (Dedup.embeddingLsh _),
     // Similarity search over embeddings
@@ -344,6 +345,9 @@ object SparkEntry {
     // all-pairs) that must equal the engine's banded result — see
     // Dedup header for the completeness argument.
     "dedup_simhash" -> Dedup.simhashBruteSql(DuckDialect),
+    // Cluster oracle is a recursive-CTE reachability closure vs the
+    // engine's iterated label propagation — independent algorithms.
+    "dedup_clusters" -> Dedup.simhashClustersOracleSql(DuckDialect),
     "dedup_embedding" -> Dedup.embeddingCosineSql(DuckDialect),
     "dedup_embedding_lsh" -> Dedup.embeddingLshSql(DuckDialect),
     "sim_topk_bruteforce" -> Similarity.topKSql(DuckDialect),

@@ -43,6 +43,24 @@ class DedupSpec extends SparkSuite {
     assert(banded.forall(_._3 <= TextOps.SimHashMaxHamming))
   }
 
+  test("clusters are closed over the pair graph with min-id representatives") {
+    val pairs = Dedup.simhash(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.simhashClusters(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every pair endpoint is clustered, and paired docs share a rep
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split")
+    }
+    // the representative is the minimum member of its cluster
+    clusters.groupBy(_._2._1).foreach { case (rep, members) =>
+      assert(members.keys.min == rep)
+      // cluster_size is consistent across members
+      assert(members.values.map(_._2).toSet == Set(members.size.toLong))
+    }
+  }
+
   test("LSH-blocked embedding near-dup is a subset of exact with equal cosines") {
     val exact = Dedup.embeddingCosine(spark, sf()).collect()
       .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b")) ->
