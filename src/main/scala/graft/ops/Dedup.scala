@@ -446,7 +446,11 @@ object Dedup {
       .select($"doc_id_a", $"doc_id_b").cache()
     val forest = pairs.as[(Long, Long)]
       .mapPartitions(localCC)         // phase 1: per-partition contraction
-      .coalesce(1)
+      // repartition, NOT coalesce: coalesce(1) is a narrow dependency
+      // that would collapse phase 1 into the single downstream task;
+      // the shuffle boundary keeps phase 1 parallel and ships only the
+      // contracted forest
+      .repartition(1)
       .mapPartitions(localCC)         // phase 2: stitch the forests
       .toDF("node", "rep")
     val labels = forest.select($"node", $"rep")

@@ -165,11 +165,12 @@ object Multimodal {
        |  md5(thumb) AS thumb_md5
        |FROM t ORDER BY doc_id""".stripMargin
 
-  /** Audio windowing: split each audio payload into 100 ms windows
-    * using the item's own sample_rate metadata (1 byte/sample stub —
-    * a real codec would decode PCM first), with per-window amplitude
-    * stats.  The window length varies per row (typed metadata drives
-    * the operator), unlike the fixed-size video frames. */
+  /** Audio windowing: split each audio payload into 10 ms windows
+    * using the item's own sample_rate/channels metadata (1 byte per
+    * sample stub — a real codec would decode PCM first), with
+    * per-window amplitude stats.  The window length varies per row
+    * (typed metadata drives the operator), unlike the fixed-size
+    * video frames. */
   def audioWindows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
@@ -181,8 +182,10 @@ object Multimodal {
       .withColumn("wl", expr("CAST((rate DIV 100) DIV channels AS INT)"))
       .withColumn("len", length($"s"))
       .select($"doc_id", $"rate", $"channels", $"wl", $"s", $"len",
-        explode(expr("sequence(0, CAST((len + wl - 1) DIV wl AS INT) - 1)"))
-          .as("window_idx"))
+        // sequence0 guard: Spark's sequence(0, -1) DESCENDS, so an
+        // empty payload must yield no windows, as in the oracle
+        explode(expr(SparkDialect.sequence0(
+          "CAST((len + wl - 1) DIV wl AS INT)"))).as("window_idx"))
       .select($"doc_id", $"rate", $"channels",
         $"window_idx".cast("long").as("window_idx"),
         expr("substring(s, window_idx * wl + 1, wl)").as("w"))

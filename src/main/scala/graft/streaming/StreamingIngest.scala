@@ -55,14 +55,31 @@ object StreamingIngest {
     * deterministic per-row, so the watermark moves to the *bucket*
     * column — grouping on the watermarked column keeps state eviction
     * (one state row per symbol × bucket, evicted once the watermark
-    * passes the bucket start + the late horizon). */
+    * passes the bucket start + the late horizon).
+    *
+    * The eviction delay is the caller's horizon PLUS one bucket
+    * length: truncation moves an event's time back by up to a bucket,
+    * so without the slack a previous-Month bucket could close the
+    * moment the new month starts — any event the ts-based horizon
+    * would accept (ts ≥ max(ts) − horizon) is then still accepted,
+    * because bucket(ts) ≥ ts − bucketLen. */
   def streamingBars(events: DataFrame, timeframe: String = "Day",
       watermark: String = "30 days"): DataFrame = {
     val unit = graft.model.Timeframes.resolve(timeframe).toLowerCase
+    val slackDays = unit match {
+      case "week" => 7
+      case "month" => 31
+      case _ => 1
+    }
+    val delay = watermark.trim.split("\\s+") match {
+      case Array(n, u) if n.forall(_.isDigit) && u.startsWith("day") =>
+        s"${n.toLong + slackDays} days"
+      case _ => watermark // non-day units: caller manages the slack
+    }
     events
       .filter(col("event_type").isNotNull) // P5
       .withColumn("bucket", date_trunc(unit, col("ts")))
-      .withWatermark("bucket", watermark)
+      .withWatermark("bucket", delay)
       .groupBy(col("event_type").as("symbol"), col("bucket"))
       .agg(
         min_by(col("value"), col("ts")).as("o"),

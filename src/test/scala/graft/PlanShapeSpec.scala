@@ -91,13 +91,15 @@ class PlanShapeSpec extends SparkSuite {
 
   test("simhash banded join filters hamming before the pair distinct") {
     val p = plan("dedup_simhash")
-    // the ≤5-bit filter must sit below the distinct's exchange: the
-    // distinct aggregate keys on (ia, ib, hamming) — i.e. hamming was
-    // computed pre-distinct — and no exchange moves raw (sa, sb) pairs
+    // the ≤5-bit filter must sit BELOW the distinct: plans print
+    // top-down, so in the good plan the bit_count projection/filter
+    // appears after (textually below) the first dedup HashAggregate;
+    // a regressed filter-above-distinct plan puts bit_count first
     assert(p.contains("bit_count"), p.take(1500))
     val firstAgg = p.indexOf("HashAggregate")
-    assert(firstAgg >= 0 && p.indexOf("bit_count") > 0)
-    assert(!p.contains("distinct(sa"), p.take(1500))
+    assert(firstAgg >= 0)
+    assert(p.indexOf("bit_count") > firstAgg,
+      s"hamming filter sits above the distinct:\n${p.take(1500)}")
   }
 
   test("mm frame sampling filters inside the generator, pre-explosion") {

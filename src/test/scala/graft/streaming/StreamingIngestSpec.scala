@@ -79,6 +79,23 @@ class StreamingIngestSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("Month bars match batch (bucket-length watermark slack)") {
+    // Month is the worst case for the bucket-column watermark: without
+    // the one-bucket slack the previous month's state could evict the
+    // moment a new month starts, dropping late events the 30-day
+    // ts-horizon would accept.
+    val store = tmp("store") + "/bars"
+    val q = StreamingIngest.start(spark, sf(), store, tmp("ckpt"),
+      timeframe = "Month")
+    q.awaitTermination(120000)
+    val streamed = BarStore.read(spark, store)
+      .select("bar_key", "symbol", "timestamp", "timeframe",
+        "open", "high", "low", "close", "volume")
+      .collect().toSet
+    val batch = BarPipeline.canonicalBars(spark, sf(), "Month").collect().toSet
+    assert(streamed === batch)
+  }
+
   test("watermarked stream dedup drops exact duplicate bar updates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
