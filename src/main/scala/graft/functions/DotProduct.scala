@@ -70,12 +70,19 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /** Registry for graft's native SQL functions. Idempotent; called by
-  * every operator that emits graft_* functions in its Spark SQL. */
+  * every operator that emits graft_* functions in its Spark SQL.
+  * Skips sessions already carrying the functions — re-registering
+  * emits a "function replaced" WARN per call, which at a query per
+  * operator floods the driver log. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_tokens", exprs => GraftTokens(exprs.head), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    val known = reg.listFunction().map(_.funcName).toSet
+    if (!known.contains("graft_dot"))
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    if (!known.contains("graft_tokens"))
+      reg.createOrReplaceTempFunction(
+        "graft_tokens", exprs => GraftTokens(exprs.head), "built-in")
   }
 }
