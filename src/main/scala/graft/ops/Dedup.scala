@@ -212,7 +212,10 @@ object Dedup {
     // distinct only ever shuffles the survivors (measured 24s → ~1s at
     // sf0.1); dedup on (ia, ib) alone is safe since hamming is a
     // function of the pair.
-    bands.as("a")
+    // The verified pair relation is cached (like sig/gramsDF): both
+    // dedup_simhash and dedup_clusters consume it, and the cache
+    // manager substitutes it into any plan containing this subplan.
+    val verified = bands.as("a")
       .join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
           $"a.doc_id" < $"b.doc_id")
@@ -220,6 +223,8 @@ object Dedup {
         expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
       .filter($"hamming" <= SimHashMaxHamming)
       .distinct()
+      .cache()
+    verified
       .select($"ia".as("doc_id_a"), $"ib".as("doc_id_b"), $"hamming")
       .orderBy($"doc_id_a", $"doc_id_b")
   }
@@ -442,8 +447,10 @@ object Dedup {
   def simhashClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // no extra cache here: the pair relation inside simhashBanded is
+    // already cached and substitutes into this plan
     val pairs = simhashBanded(spark, dir)
-      .select($"doc_id_a", $"doc_id_b").cache()
+      .select($"doc_id_a", $"doc_id_b")
     val forest = pairs.as[(Long, Long)]
       .mapPartitions(localCC)         // phase 1: per-partition contraction
       // repartition, NOT coalesce: coalesce(1) is a narrow dependency
