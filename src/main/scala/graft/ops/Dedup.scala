@@ -444,14 +444,17 @@ object Dedup {
     * the phase-2 forest outgrew one executor, phase 1 repeats on the
     * contracted graph (contraction halves it each time) — same two
     * building blocks, O(log) passes, still no driver-side data. */
-  def simhashClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** Generic connected components over any two-column Long pair
+    * DataFrame (any near-dup pair source: SimHash, MinHash, embedding
+    * cosine).  Output: one row per clustered node with the component's
+    * min id as representative and the component size. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // no extra cache here: the pair relation inside simhashBanded is
-    // already cached and substitutes into this plan
-    val pairs = simhashBanded(spark, dir)
-      .select($"doc_id_a", $"doc_id_b")
-    val forest = pairs.as[(Long, Long)]
+    val forest = pairs
+      .select(pairs.columns.take(2).map(c => col(c).cast("long")): _*)
+      .as[(Long, Long)]
       .mapPartitions(localCC)         // phase 1: per-partition contraction
       // repartition, NOT coalesce: coalesce(1) is a narrow dependency
       // that would collapse phase 1 into the single downstream task;
@@ -460,8 +463,7 @@ object Dedup {
       .repartition(1)
       .mapPartitions(localCC)         // phase 2: stitch the forests
       .toDF("node", "rep")
-    val labels = forest.select($"node", $"rep")
-    labels
+    forest
       .groupBy($"rep")
       .agg(collect_list($"node").as("members"))
       .select($"rep".as("cluster_rep"),
@@ -470,6 +472,12 @@ object Dedup {
       .select($"doc_id", $"cluster_rep", $"cluster_size")
       .orderBy($"doc_id")
   }
+
+  def simhashClusters(spark: SparkSession, dir: String): DataFrame =
+    // no extra cache here: the pair relation inside simhashBanded is
+    // already cached and substitutes into this plan
+    connectedComponents(
+      simhashBanded(spark, dir).select("doc_id_a", "doc_id_b"))
 
   /** Oracle: reachability closure via recursive CTE — a different
     * algorithm that must land on the identical min-reachable-id. */
