@@ -76,12 +76,12 @@ case class DotProduct(left: Expression, right: Expression)
   * operator floods the driver log. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
     val reg = spark.sessionState.functionRegistry
-    val known = reg.listFunction().map(_.funcName).toSet
-    if (!known.contains("graft_dot"))
+    if (!reg.functionExists(FunctionIdentifier("graft_dot")))
       reg.createOrReplaceTempFunction(
         "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    if (!known.contains("graft_tokens"))
+    if (!reg.functionExists(FunctionIdentifier("graft_tokens")))
       reg.createOrReplaceTempFunction(
         "graft_tokens", exprs => GraftTokens(exprs.head), "built-in")
   }

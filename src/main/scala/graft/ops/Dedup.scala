@@ -190,11 +190,12 @@ object Dedup {
        |WHERE bit_count(${d.xor("a.simhash", "b.simhash")}) <= $SimHashMaxHamming
        |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
-  /** SimHash near-dup pairs with Hamming distance ≤ 5 via band-blocked
-    * candidates (complete by pigeonhole — see header).  The signature
-    * relation feeds 6 band projections, so the engine computes it once
-    * as a cached DataFrame (same reasoning as minhashLsh). */
-  def simhashBanded(spark: SparkSession, dir: String): DataFrame = {
+  /** SimHash near-dup pairs (ia, ib, hamming ≤ 5) via band-blocked
+    * candidates (complete by pigeonhole — see header), UNSORTED.  The
+    * signature relation feeds 6 band projections, so the engine
+    * computes it once as a cached DataFrame (same reasoning as
+    * minhashLsh). */
+  def simhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val d = SparkDialect
@@ -215,7 +216,7 @@ object Dedup {
     // The verified pair relation is cached (like sig/gramsDF): both
     // dedup_simhash and dedup_clusters consume it, and the cache
     // manager substitutes it into any plan containing this subplan.
-    val verified = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
           $"a.doc_id" < $"b.doc_id")
@@ -224,7 +225,12 @@ object Dedup {
       .filter($"hamming" <= SimHashMaxHamming)
       .distinct()
       .cache()
-    verified
+  }
+
+  /** Oracle-facing form of the banded result: sorted, renamed. */
+  def simhashBanded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    simhashVerifiedPairs(spark, dir)
       .select($"ia".as("doc_id_a"), $"ib".as("doc_id_b"), $"hamming")
       .orderBy($"doc_id_a", $"doc_id_b")
   }
@@ -474,10 +480,10 @@ object Dedup {
   }
 
   def simhashClusters(spark: SparkSession, dir: String): DataFrame =
-    // no extra cache here: the pair relation inside simhashBanded is
-    // already cached and substitutes into this plan
-    connectedComponents(
-      simhashBanded(spark, dir).select("doc_id_a", "doc_id_b"))
+    // the UNSORTED cached pair relation: union-find is order-
+    // insensitive, so the oracle-facing orderBy would be a wasted
+    // exchange+sort here
+    connectedComponents(simhashVerifiedPairs(spark, dir).select("ia", "ib"))
 
   /** Oracle: reachability closure via recursive CTE — a different
     * algorithm that must land on the identical min-reachable-id. */

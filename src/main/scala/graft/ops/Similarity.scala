@@ -153,7 +153,7 @@ object Similarity {
     * + one groupBy(cid) with map-side partial sums of k·D longs — the
     * textbook distributed k-means step; iterations are unrolled (2
     * here), so the plan is static and codegen-friendly. */
-  val KmeansDim = 64
+  val KmeansDim: Int = EmbeddingDim // single source for the fixture dim
   val KmeansIters = 2
   val KmeansQuant = "1000000.0"
 

@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions._
 /** Streaming exact deduplication of a document feed — the online
   * counterpart of `ops.Dedup.exact` for a training-data ingest
   * pipeline: the first occurrence of a content digest passes through,
-  * every later duplicate (same batch or any later batch) is dropped.
+  * and duplicates arriving within the watermark horizon of it (same
+  * batch or a later one) are dropped.  A duplicate arriving AFTER the
+  * horizon passes again — bounded state necessarily bounds the dedup
+  * guarantee; size the watermark to the feed's duplicate-lag envelope,
+  * or finish with a batch `Dedup.exact` pass for an absolute
+  * guarantee.
   *
   * The digest is the same normalization + md5 as the batch operator
-  * (whitespace-collapsed lowercase text), so a corpus ingested through
-  * the stream equals the batch-deduped corpus (spec-verified).
+  * (whitespace-collapsed lowercase text), so a corpus ingested within
+  * the horizon equals the batch-deduped corpus (spec-verified).
   *
   * Scale notes: state is one row per distinct digest inside the
   * watermark horizon — `dropDuplicatesWithinWatermark` evicts state

@@ -66,15 +66,28 @@ object StreamingIngest {
   def streamingBars(events: DataFrame, timeframe: String = "Day",
       watermark: String = "30 days"): DataFrame = {
     val unit = graft.model.Timeframes.resolve(timeframe).toLowerCase
-    val slackDays = unit match {
-      case "week" => 7
-      case "month" => 31
-      case _ => 1
+    val slackMinutes: Long = unit match {
+      case "minute" => 1L
+      case "hour" => 60L
+      case "day" => 1440L
+      case "week" => 7L * 1440L
+      case "month" => 31L * 1440L
+      case _ => 1440L
     }
-    val delay = watermark.trim.split("\\s+") match {
-      case Array(n, u) if n.forall(_.isDigit) && u.startsWith("day") =>
-        s"${n.toLong + slackDays} days"
-      case _ => watermark // non-day units: caller manages the slack
+    // normalize the horizon to minutes so any common interval spelling
+    // ("30 days", "30 DAYS", "720 hours", "4 weeks") gets the slack;
+    // unrecognized forms pass through unchanged (caller manages slack)
+    val interval = "(?i)^\\s*(\\d+)\\s*(minute|hour|day|week)s?\\s*$".r
+    val delay = watermark match {
+      case interval(n, u) =>
+        val unitMin = u.toLowerCase match {
+          case "minute" => 1L
+          case "hour" => 60L
+          case "day" => 1440L
+          case "week" => 7L * 1440L
+        }
+        s"${n.toLong * unitMin + slackMinutes} minutes"
+      case _ => watermark
     }
     events
       .filter(col("event_type").isNotNull) // P5
