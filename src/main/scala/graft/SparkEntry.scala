@@ -62,6 +62,7 @@ object SparkEntry {
     "src_bar_scan" -> (graft.sources.BarSourceQueries.srcBarScan _),
     // Temporal operators + error isolation + semi-structured
     "q_asof_join" -> (Temporal.asofEventBars _),
+    "q_range_join" -> (Temporal.rangeJoinEventBars _),
     "q_session_window" -> (Temporal.sessionWindows _),
     "q_json_extract" -> (Relational.qJsonExtract _),
     "ingest_quarantine" -> (graft.ingest.Quarantine.eventQuarantineSummary _),
@@ -321,6 +322,7 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "src_bar_scan" -> graft.sources.BarSourceQueries.srcBarScanOracleSql,
     "q_asof_join" -> Temporal.asofOracleSql,
+    "q_range_join" -> Temporal.rangeJoinOracleSql,
     "q_session_window" -> Temporal.sessionOracleSql,
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,

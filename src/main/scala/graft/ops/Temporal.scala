@@ -146,6 +146,55 @@ object Temporal {
     * bar-series flavor of similarity search (cf. the time-series
     * similarity papers in PAPERS.md).  One equi-join on the timestamp
     * plus a tiny grouped corr aggregate; trivially scalable. */
+  /** Range join: events matched to every daily bar within ±2 days —
+    * the interval-predicate join Spark has no native operator for.  A
+    * naive `|e.ts − b.t| ≤ 2d` condition plans as a nested-loop/cross
+    * join; the engine instead BINS both sides to days and equi-joins on
+    * (symbol, candidate day) — each event explodes to its 5 candidate
+    * bins, the join is a plain shuffled/broadcast hash join, and the
+    * exact microsecond predicate filters inside the join stage
+    * (plan-shape-tested: no BroadcastNestedLoopJoin).  That is the
+    * standard binned range-join at any scale: work ∝ rows × bins, not
+    * rows².  The oracle runs the naive inequality join — a different
+    * plan that must produce identical rows. */
+  val RangeJoinDays = 2
+
+  def rangeJoinEventBars(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rangeUs = RangeJoinDays * 86400L * 1000000L
+    val events = Tables.events(spark, dir)
+      .filter($"event_type".isNotNull)
+      .select($"event_type".as("symbol"), $"ts", $"value")
+    val bars = BarPipeline.canonicalBars(spark, dir)
+      .select($"symbol".as("b_symbol"), $"timestamp".as("bar_ts"))
+    events
+      .withColumn("d", date_trunc("day", $"ts"))
+      .withColumn("off", explode(expr(
+        s"sequence(${-RangeJoinDays}, $RangeJoinDays)")))
+      .withColumn("cand_day", expr("timestampadd(DAY, off, d)"))
+      .join(bars, $"symbol" === $"b_symbol" && $"cand_day" === $"bar_ts")
+      .filter(abs(unix_micros($"ts") - unix_micros($"bar_ts")) <= rangeUs)
+      .groupBy($"symbol", $"bar_ts")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"symbol", $"bar_ts")
+  }
+
+  def rangeJoinOracleSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type AS symbol, CAST(ts AS TIMESTAMP) AS ts, value
+       |  FROM events WHERE event_type IS NOT NULL),
+       |b AS (
+       |  SELECT event_type AS symbol,
+       |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS t
+       |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT ev.symbol, b.t AS bar_ts, count(*) AS n_events,
+       |  round(sum(ev.value), 4) AS sum_value
+       |FROM ev JOIN b ON ev.symbol = b.symbol
+       |  AND abs(epoch_us(ev.ts) - epoch_us(b.t))
+       |      <= ${RangeJoinDays * 86400L * 1000000L}
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def tsCorrelation(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bars = BarPipeline.canonicalBars(spark, dir)

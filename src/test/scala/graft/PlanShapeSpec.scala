@@ -81,6 +81,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(pruned.select("bar_date").distinct().count() == 1)
   }
 
+  test("range join plans as a binned hash join, not a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("Join"), p.take(1500)) // the binned equi-join
+  }
+
   test("kmv sketch scans only the two referenced lineitem columns") {
     val p = plan("q_kmv_distinct")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>"),
