@@ -84,5 +84,8 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("graft_tokens")))
       reg.createOrReplaceTempFunction(
         "graft_tokens", exprs => GraftTokens(exprs.head), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_h60")))
+      reg.createOrReplaceTempFunction(
+        "graft_h60", exprs => GraftH60(exprs.head), "built-in")
   }
 }

@@ -410,6 +410,8 @@ object Relational {
 
   def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark) // graft_h60
+
     // Declarative distinct-then-rank: the distinct's map-side partial
     // aggregation is already the partition-local reduction (a typed
     // mapPartitions top-k was measured no faster — the encoder

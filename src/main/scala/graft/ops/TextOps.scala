@@ -86,8 +86,10 @@ sealed trait SqlDialect {
 
 object SparkDialect extends SqlDialect {
   def rx(p: String): String = "'" + p.replace("\\", "\\\\") + "'"
-  def h60(x: String): String =
-    s"CAST(CONV(SUBSTRING(MD5($x), 1, 15), 16, 10) AS BIGINT)"
+  /** Native fused expression (graft.functions.GraftH60) — bit-identical
+    * to CAST(CONV(SUBSTRING(MD5(x),1,15),16,10) AS BIGINT), which the
+    * oracle dialect keeps. */
+  def h60(x: String): String = s"graft_h60($x)"
   def reReplace(x: String, p: String, rep: String): String =
     s"regexp_replace($x, ${rx(p)}, '$rep')"
   def split(x: String, sep: String): String = s"split($x, ${rx(sep)})"
