@@ -90,6 +90,8 @@ object SparkEntry {
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     // KMV sketch — portable-hash estimator, fully oracle-checked
     "q_kmv_distinct" -> (Relational.qKmvDistinct _),
+    // Skew-safe salted aggregation ≡ the plain aggregate (the oracle)
+    "q_salted_agg" -> (ScalePatterns.qSaltedAgg _),
     // Multimodal binary-column plumbing
     "mm_inventory" -> (Multimodal.inventory _),
     "mm_video_frames" -> (Multimodal.videoFrames _),
@@ -357,6 +359,7 @@ object SparkEntry {
     "sim_ann_ivf" -> Similarity.ivfSql(DuckDialect),
     "sim_ivf_kmeans" -> Similarity.ivfKmeansSql(DuckDialect),
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,
+    "q_salted_agg" -> ScalePatterns.qSaltedAggOracleSql,
     "mm_inventory" -> Multimodal.inventoryOracleSql,
     "mm_video_frames" -> Multimodal.videoFramesOracleSql,
     "mm_image_resize" -> Multimodal.imageResizeOracleSql,

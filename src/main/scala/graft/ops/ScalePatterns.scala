@@ -50,4 +50,27 @@ object ScalePatterns {
       .groupBy(col(key))
       .agg(sum("__n").as("n"), sum("__s").as(s"sum_$valueCol"))
   }
+
+  /** Salted aggregation as an oracle-checked query: l_returnflag has
+    * only 3 values, so a plain groupBy funnels 600 k rows into 3
+    * reducers — the textbook aggregation-skew shape.  The salted
+    * two-phase form spreads each hot key over 16 sub-keys and must
+    * produce EXACTLY the plain aggregate (l_quantity is integral, so
+    * the double sums are order-independent); the oracle is the plain
+    * single-phase GROUP BY. */
+  def qSaltedAgg(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): DataFrame = {
+    import spark.implicits._
+    saltedSumCount(
+      graft.Tables.lineitem(spark, dir).select($"l_returnflag", $"l_quantity"),
+      "l_returnflag", "l_quantity", salts = 16)
+      .select($"l_returnflag", $"n",
+        round($"sum_l_quantity", 2).as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  def qSaltedAggOracleSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      | round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }

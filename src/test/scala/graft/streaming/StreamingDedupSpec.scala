@@ -37,6 +37,37 @@ class StreamingDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("digest state survives a checkpointed restart") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("dedup_src").toString
+    val ckpt = Files.createTempDirectory("dedup_ckpt").toString
+    val out = Files.createTempDirectory("dedup_out").toString
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    def writeBatch(name: String, rows: Seq[(Long, Timestamp, String)]): Unit =
+      rows.toDF("doc_id", "ingest_ts", "text")
+        .write.mode("append").parquet(src)
+    def drain(): Unit = {
+      val q = StreamingDedup.dedupDocs(
+        spark.readStream.schema("doc_id LONG, ingest_ts TIMESTAMP, text STRING")
+          .parquet(src))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    writeBatch("b1", Seq((1L, t, "alpha doc"), (2L, t, "beta doc")))
+    drain()
+    // restart from the same checkpoint: a duplicate of doc 1 must be
+    // dropped by state recovered from the checkpoint, not re-emitted
+    writeBatch("b2", Seq((3L, t, "ALPHA   DOC"), (4L, t, "gamma doc")))
+    drain()
+    val result = spark.read.parquet(out)
+    assert(result.count() == 3) // alpha once, beta, gamma
+    assert(result.filter($"doc_id" === 3L).count() == 0)
+  }
+
   test("streamed corpus equals the batch-exact-deduped corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = graft.Tables.documents(spark, sf())
