@@ -72,6 +72,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_sample_split" -> (TextAnalysis.sampleSplit _),
+    "text_curation" -> (TextAnalysis.curation _),
     "q_ts_correlation" -> (Temporal.tsCorrelation _),
     // Deduplication family
     "dedup_exact" -> (Dedup.exact _),
@@ -341,6 +342,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.langIdSql(DuckDialect),
     "text_fingerprint" -> TextAnalysis.fingerprintSql(DuckDialect),
     "text_sample_split" -> TextAnalysis.sampleSplitSql(DuckDialect),
+    "text_curation" -> TextAnalysis.curationSql(DuckDialect),
     "q_ts_correlation" -> Temporal.tsCorrelationOracleSql,
     "dedup_exact" -> Dedup.exactSql(DuckDialect),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(DuckDialect),

@@ -65,7 +65,7 @@ object TextAnalysis {
        |    ${d.fold(d.arrTransform("toks", "t", "length(t)"),
                      "CAST(0 AS BIGINT)", "s", "x", "s + x")} AS tok_chars,
        |    CAST(${lenMinus("[^a-zA-Z0-9\\s]")} AS DOUBLE) AS n_sym,
-       |    CAST(${lenMinus("[^0-9]")} AS DOUBLE) AS n_digit,
+       |    CAST(${lenMinus("[0-9]")} AS DOUBLE) AS n_digit,
        |    CAST(${d.arrSize(d.arrFilter("toks", "t", d.containedIn("t", StopEn)))}
        |      AS DOUBLE) AS n_stop
        |  FROM t)
@@ -148,6 +148,55 @@ object TextAnalysis {
        |ORDER BY split""".stripMargin
   }
 
+  /** End-to-end curation pipeline — the composition a training-data
+    * team actually runs, as ONE declarative query: quality-gate the
+    * corpus (same composite score as qualitySql, threshold 0.5) →
+    * exact-dedup the survivors to their min-id representatives → assign
+    * deterministic 90/5/5 splits → per-split corpus stats.  Each stage
+    * reuses the shared dialect fragments, so the whole pipeline is
+    * oracle-checked end to end; at scale it is a narrow scoring pass,
+    * one dedup shuffle, and one small aggregation. */
+  def curationSql(d: SqlDialect): String = {
+    val norm = d.reReplace("trim(lower(text))", "\\s+", " ")
+    val bucket = s"(${d.h60(d.castStr("doc_id"))} % 100)"
+    val lenMinus = (pat: String) =>
+      s"(length(text) - length(${d.reReplace("text", pat, "")}))"
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars, text, ${d.tokens("text")} AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_chars, text,
+       |    CAST(${d.arrSize("toks")} AS BIGINT) AS n_tokens,
+       |    CAST(${lenMinus("[^a-zA-Z0-9\\s]")} AS DOUBLE) AS n_sym,
+       |    CAST(${lenMinus("[0-9]")} AS DOUBLE) AS n_digit
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, n_chars, n_tokens, text,
+       |    least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 50.0)
+       |      * (1.0 - n_sym / greatest(n_chars, 1))
+       |      * (1.0 - n_digit / greatest(n_chars, 1)) AS score
+       |  FROM m),
+       |keep AS (
+       |  SELECT doc_id, n_chars, n_tokens, md5($norm) AS text_md5
+       |  FROM q WHERE score >= 0.5),
+       |rep AS (
+       |  SELECT text_md5, min(doc_id) AS rep_id FROM keep GROUP BY text_md5),
+       |ded AS (
+       |  SELECT k.doc_id, k.n_chars, k.n_tokens
+       |  FROM keep k JOIN rep r
+       |    ON k.text_md5 = r.text_md5 AND k.doc_id = r.rep_id),
+       |s AS (
+       |  SELECT CASE WHEN $bucket < 90 THEN 'train'
+       |              WHEN $bucket < 95 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |    doc_id, n_chars, n_tokens
+       |  FROM ded)
+       |SELECT split, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+  }
+
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
@@ -164,4 +213,6 @@ object TextAnalysis {
     run(spark, dir, fingerprintSql(SparkDialect))
   def sampleSplit(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, sampleSplitSql(SparkDialect))
+  def curation(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, curationSql(SparkDialect))
 }

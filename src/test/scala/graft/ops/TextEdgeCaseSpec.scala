@@ -37,6 +37,23 @@ class TextEdgeCaseSpec extends SparkSuite {
     }
   }
 
+  test("digit and symbol ratios count the right character classes") {
+    // regression: lenMinus('[^0-9]') counted NON-digits — every score
+    // collapsed to 0 because digit_ratio read 1.0 on a digit-free corpus
+    withDocs(Seq(0L -> "abc 123 def!", 1L -> "no digits here")) {
+      val rows = spark.sql(TextAnalysis.qualitySql(SparkDialect))
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Double]("symbol_ratio"), r.getAs[Double]("digit_ratio"),
+            r.getAs[Double]("quality_score"))).toMap
+      val (sym0, dig0, _) = rows(0L)
+      assert(dig0 == 0.25, s"digit_ratio $dig0") // '123' of 12 chars
+      assert(sym0 == 0.083333, s"symbol_ratio $sym0") // the '!', round(1/12, 6)
+      val (sym1, dig1, q1) = rows(1L)
+      assert(dig1 == 0.0 && sym1 == 0.0)
+      assert(q1 > 0.0) // a clean doc must not score zero
+    }
+  }
+
   test("quality scoring never divides by zero") {
     withDocs(edgeDocs) {
       val rows = spark.sql(TextAnalysis.qualitySql(SparkDialect)).collect()
