@@ -44,7 +44,11 @@ object ScalePatterns {
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      salts: Int): DataFrame = {
     df
-      .withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(salts)))
+      // row-based salt: hashing the VALUE column gives no spread when a
+      // hot key carries few distinct values (the common skew shape);
+      // a per-row id guarantees the fan-out, and the result is exact
+      // regardless — the sums are reassociated either way
+      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
       .groupBy(col(key))

@@ -51,11 +51,32 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -- fragments shared by qualitySql / sampleSplitSql / curationSql --
+  // (one definition each: a fix in one operator cannot silently
+  // diverge from the pipeline that composes it)
+
+  /** Count of characters matching `pat` (removal-length difference). */
+  private def lenMinus(d: SqlDialect)(pat: String): String =
+    s"(length(text) - length(${d.reReplace("text", pat, "")}))"
+
+  /** Composite [0,1] quality score over columns
+    * (n_tokens, n_sym, n_digit, n_chars), unrounded. */
+  private def scoreExpr: String =
+    """least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 50.0)
+      |    * (1.0 - n_sym / greatest(n_chars, 1))
+      |    * (1.0 - n_digit / greatest(n_chars, 1))""".stripMargin
+
+  /** Deterministic 90/5/5 split assignment from the doc_id hash. */
+  private def splitCase(d: SqlDialect): String = {
+    val bucket = s"(${d.h60(d.castStr("doc_id"))} % 100)"
+    s"""CASE WHEN $bucket < 90 THEN 'train'
+       |         WHEN $bucket < 95 THEN 'val'
+       |         ELSE 'test' END""".stripMargin
+  }
+
   /** Quality scoring: char/token counts, symbol/digit ratios, stopword
     * ratio, and a composite [0,1] quality score. */
   def qualitySql(d: SqlDialect): String = {
-    val lenMinus = (pat: String) =>
-      s"(length(text) - length(${d.reReplace("text", pat, "")}))"
     s"""WITH t AS (
        |  SELECT doc_id, text, ${d.tokens("text")} AS toks FROM documents),
        |m AS (
@@ -64,8 +85,8 @@ object TextAnalysis {
        |    CAST(${d.arrSize("toks")} AS BIGINT) AS n_tokens,
        |    ${d.fold(d.arrTransform("toks", "t", "length(t)"),
                      "CAST(0 AS BIGINT)", "s", "x", "s + x")} AS tok_chars,
-       |    CAST(${lenMinus("[^a-zA-Z0-9\\s]")} AS DOUBLE) AS n_sym,
-       |    CAST(${lenMinus("[0-9]")} AS DOUBLE) AS n_digit,
+       |    CAST(${lenMinus(d)("[^a-zA-Z0-9\\s]")} AS DOUBLE) AS n_sym,
+       |    CAST(${lenMinus(d)("[0-9]")} AS DOUBLE) AS n_digit,
        |    CAST(${d.arrSize(d.arrFilter("toks", "t", d.containedIn("t", StopEn)))}
        |      AS DOUBLE) AS n_stop
        |  FROM t)
@@ -74,9 +95,7 @@ object TextAnalysis {
        |  round(n_sym / greatest(n_chars, 1), 6) AS symbol_ratio,
        |  round(n_digit / greatest(n_chars, 1), 6) AS digit_ratio,
        |  round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
-       |  round(least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 50.0)
-       |    * (1.0 - n_sym / greatest(n_chars, 1))
-       |    * (1.0 - n_digit / greatest(n_chars, 1)), 6) AS quality_score
+       |  round($scoreExpr, 6) AS quality_score
        |FROM m
        |ORDER BY doc_id""".stripMargin
   }
@@ -133,12 +152,9 @@ object TextAnalysis {
     * training pipeline must reproduce bit-identically on any engine,
     * any partitioning, any run.  Emits per-split corpus stats. */
   def sampleSplitSql(d: SqlDialect): String = {
-    val bucket = s"(${d.h60(d.castStr("doc_id"))} % 100)"
     s"""WITH s AS (
        |  SELECT doc_id, n_chars,
-       |    CASE WHEN $bucket < 90 THEN 'train'
-       |         WHEN $bucket < 95 THEN 'val'
-       |         ELSE 'test' END AS split
+       |    ${splitCase(d)} AS split
        |  FROM documents)
        |SELECT split, count(*) AS n_docs,
        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -157,24 +173,21 @@ object TextAnalysis {
     * oracle-checked end to end; at scale it is a narrow scoring pass,
     * one dedup shuffle, and one small aggregation. */
   def curationSql(d: SqlDialect): String = {
+    // composed from the SAME fragments as quality/dedup/split — the
+    // rounded score gate matches text_quality's displayed score exactly
     val norm = d.reReplace("trim(lower(text))", "\\s+", " ")
-    val bucket = s"(${d.h60(d.castStr("doc_id"))} % 100)"
-    val lenMinus = (pat: String) =>
-      s"(length(text) - length(${d.reReplace("text", pat, "")}))"
     s"""WITH t AS (
        |  SELECT doc_id, n_chars, text, ${d.tokens("text")} AS toks
        |  FROM documents),
        |m AS (
        |  SELECT doc_id, n_chars, text,
        |    CAST(${d.arrSize("toks")} AS BIGINT) AS n_tokens,
-       |    CAST(${lenMinus("[^a-zA-Z0-9\\s]")} AS DOUBLE) AS n_sym,
-       |    CAST(${lenMinus("[0-9]")} AS DOUBLE) AS n_digit
+       |    CAST(${lenMinus(d)("[^a-zA-Z0-9\\s]")} AS DOUBLE) AS n_sym,
+       |    CAST(${lenMinus(d)("[0-9]")} AS DOUBLE) AS n_digit
        |  FROM t),
        |q AS (
        |  SELECT doc_id, n_chars, n_tokens, text,
-       |    least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 50.0)
-       |      * (1.0 - n_sym / greatest(n_chars, 1))
-       |      * (1.0 - n_digit / greatest(n_chars, 1)) AS score
+       |    round($scoreExpr, 6) AS score
        |  FROM m),
        |keep AS (
        |  SELECT doc_id, n_chars, n_tokens, md5($norm) AS text_md5
@@ -186,9 +199,7 @@ object TextAnalysis {
        |  FROM keep k JOIN rep r
        |    ON k.text_md5 = r.text_md5 AND k.doc_id = r.rep_id),
        |s AS (
-       |  SELECT CASE WHEN $bucket < 90 THEN 'train'
-       |              WHEN $bucket < 95 THEN 'val'
-       |              ELSE 'test' END AS split,
+       |  SELECT ${splitCase(d)} AS split,
        |    doc_id, n_chars, n_tokens
        |  FROM ded)
        |SELECT split, count(*) AS n_docs,

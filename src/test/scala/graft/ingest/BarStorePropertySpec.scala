@@ -39,12 +39,11 @@ class BarStorePropertySpec extends SparkSuite {
         .toMap
       // reference: within a batch dropDuplicates keeps an arbitrary
       // row per key, but our generator makes volume == seq for every
-      // row of a batch, so last-batch-wins is well-defined on volume
+      // row of a batch, so last-batch-wins is well-defined on volume;
+      // the key is pure-Scala computable (same format toDf builds)
       val want = batches.zipWithIndex.flatMap { case (b, seq) =>
         b.map { case (s, d, _) =>
-          val df = toDf(Seq((s, d, 0)), seq)
-          val key = df.select("symbol", "bar_key").head
-          (key.getString(0), key.getString(1)) -> seq.toLong
+          (s, f"202401$d%02dT000000Z_Day") -> seq.toLong
         }
       }.toMap // later entries overwrite earlier → last write wins
       assert(got == want, s"seed $i")

@@ -43,7 +43,7 @@ class StreamingDedupSpec extends SparkSuite {
     val ckpt = Files.createTempDirectory("dedup_ckpt").toString
     val out = Files.createTempDirectory("dedup_out").toString
     val t = Timestamp.valueOf("2024-01-01 00:00:00")
-    def writeBatch(name: String, rows: Seq[(Long, Timestamp, String)]): Unit =
+    def writeBatch(rows: Seq[(Long, Timestamp, String)]): Unit =
       rows.toDF("doc_id", "ingest_ts", "text")
         .write.mode("append").parquet(src)
     def drain(): Unit = {
@@ -57,11 +57,11 @@ class StreamingDedupSpec extends SparkSuite {
         .start()
       q.awaitTermination(120000)
     }
-    writeBatch("b1", Seq((1L, t, "alpha doc"), (2L, t, "beta doc")))
+    writeBatch(Seq((1L, t, "alpha doc"), (2L, t, "beta doc")))
     drain()
     // restart from the same checkpoint: a duplicate of doc 1 must be
     // dropped by state recovered from the checkpoint, not re-emitted
-    writeBatch("b2", Seq((3L, t, "ALPHA   DOC"), (4L, t, "gamma doc")))
+    writeBatch(Seq((3L, t, "ALPHA   DOC"), (4L, t, "gamma doc")))
     drain()
     val result = spark.read.parquet(out)
     assert(result.count() == 3) // alpha once, beta, gamma
