@@ -25,6 +25,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // static conf, must be set before the first session: the default
+      // generated-class cache holds 100 entries, but this engine's query
+      // suite compiles several hundred distinct codegen units — at 100,
+      // warm-up compilations are LRU-evicted before the measured run and
+      // the big generated classes (SimHash's 60 bit-sums) pay their
+      // multi-second Janino compile a second time
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

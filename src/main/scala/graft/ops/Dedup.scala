@@ -195,13 +195,20 @@ object Dedup {
     * signature relation feeds 6 band projections, so the engine
     * computes it once as a cached DataFrame (same reasoning as
     * minhashLsh). */
-  def simhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+  def simhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    RelationCache.cached(spark, s"simhash_pairs:$dir") {
+      simhashVerifiedPairsPlan(spark, dir)
+    }
+
+  private def simhashVerifiedPairsPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val d = SparkDialect
     val mask = (1 << SimHashBandBits) - 1
-    val sig = runDocs(spark, dir,
-      s"WITH ${simhashCte(d)} SELECT doc_id, simhash FROM sig").cache()
+    val sig = RelationCache.cached(spark, s"simhash_sig:$dir") {
+      runDocs(spark, dir,
+        s"WITH ${simhashCte(d)} SELECT doc_id, simhash FROM sig")
+    }
     val bands = (0 until SimHashBands).map { b =>
       sig.select($"doc_id", $"simhash", lit(b).as("band"),
         expr(s"(shiftright(simhash, ${b * SimHashBandBits}) & $mask)").as("bval"))
@@ -213,9 +220,9 @@ object Dedup {
     // distinct only ever shuffles the survivors (measured 24s → ~1s at
     // sf0.1); dedup on (ia, ib) alone is safe since hamming is a
     // function of the pair.
-    // The verified pair relation is cached (like sig/gramsDF): both
-    // dedup_simhash and dedup_clusters consume it, and the cache
-    // manager substitutes it into any plan containing this subplan.
+    // The verified pair relation is cached once per (session, dir) via
+    // RelationCache: both dedup_simhash and dedup_clusters consume the
+    // same DataFrame instance.
     bands.as("a")
       .join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
@@ -224,7 +231,6 @@ object Dedup {
         expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
       .filter($"hamming" <= SimHashMaxHamming)
       .distinct()
-      .cache()
   }
 
   /** Oracle-facing form of the banded result: sorted, renamed. */
@@ -325,9 +331,10 @@ object Dedup {
     * ngram and minhash engine paths.  Re-invocations hit Spark's
     * cache manager (same canonicalized plan → same InMemoryRelation). */
   private def gramsDF(spark: SparkSession, dir: String): DataFrame =
-    runDocs(spark, dir,
-      s"WITH ${gramCtes(SparkDialect)} SELECT doc_id, grams, ng FROM mh_grams")
-      .cache()
+    RelationCache.cached(spark, s"mh_grams:$dir") {
+      runDocs(spark, dir,
+        s"WITH ${gramCtes(SparkDialect)} SELECT doc_id, grams, ng FROM mh_grams")
+    }
 
   /** Engine-side ngram Jaccard: the gram relation feeds both sides of
     * the inverted-index self-join — computed once, cached, joined via
@@ -365,14 +372,15 @@ object Dedup {
     import org.apache.spark.sql.functions._
     val d = SparkDialect
     val grams = gramsDF(spark, dir)
-    val sig = grams
-      .select($"doc_id", explode($"grams").as("gram"))
-      .selectExpr("doc_id", s"(${d.h60("gram")} % $P) AS g")
-      .groupBy($"doc_id")
-      .agg(expr(s"min((${permA(0)} * g + ${permB(0)}) % $P)").as("h0"),
-        (1 until NumPerms).map(i =>
-          expr(s"min((${permA(i)} * g + ${permB(i)}) % $P)").as(s"h$i")): _*)
-      .cache()
+    val sig = RelationCache.cached(spark, s"mh_sig:$dir") {
+      grams
+        .select($"doc_id", explode($"grams").as("gram"))
+        .selectExpr("doc_id", s"(${d.h60("gram")} % $P) AS g")
+        .groupBy($"doc_id")
+        .agg(expr(s"min((${permA(0)} * g + ${permB(0)}) % $P)").as("h0"),
+          (1 until NumPerms).map(i =>
+            expr(s"min((${permA(i)} * g + ${permB(i)}) % $P)").as(s"h$i")): _*)
+    }
     val bands = (0 until Bands).map { b =>
       sig.select($"doc_id", lit(b).as("band"),
         expr(bandKey(d, b)).as("bkey"))

@@ -44,11 +44,16 @@ object ScalePatterns {
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      salts: Int): DataFrame = {
     df
-      // row-based salt: hashing the VALUE column gives no spread when a
-      // hot key carries few distinct values (the common skew shape);
-      // a per-row id guarantees the fan-out, and the result is exact
-      // regardless — the sums are reassociated either way
-      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      // content-derived salt: hashing EVERY column keeps the salt a
+      // deterministic function of the row, so a stage retry after a
+      // fetch failure re-assigns identical salts and the partial
+      // aggregates stay exact (a monotonically_increasing_id salt can
+      // shift across attempts — SPARK-23207 class of bugs).  Spread is
+      // still guaranteed for the common skew shape: identical duplicate
+      // rows that collapse onto one salt are exactly the rows map-side
+      // partial aggregation combines for free
+      .withColumn("__salt",
+        pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
       .groupBy(col(key))

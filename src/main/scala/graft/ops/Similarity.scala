@@ -253,11 +253,15 @@ object Similarity {
     import org.apache.spark.sql.Column
     graft.functions.GraftFunctions.register(spark)
     val quant = KmeansQuant.toDouble
-    val n = Tables.embeddings(spark, dir)
-      .select($"vec_id", expr(
-        SparkDialect.toDoubleArr("embedding")).as("v"))
-      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-      .cache()
+    // session-scoped cached relation (RelationCache): repeated bench /
+    // verify invocations reuse one cache entry instead of pinning a new
+    // one per call
+    val n = RelationCache.cached(spark, s"kmeans_base:$dir") {
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", expr(
+          SparkDialect.toDoubleArr("embedding")).as("v"))
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    }
 
     def lit64(a: Array[Double]): Column =
       array(a.map(lit(_)): _*)

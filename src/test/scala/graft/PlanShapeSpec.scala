@@ -97,16 +97,39 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("simhash banded join filters hamming before the pair distinct") {
-    val p = plan("dedup_simhash")
-    // the ≤5-bit filter must sit BELOW the distinct: plans print
-    // top-down, so in the good plan the bit_count projection/filter
-    // appears after (textually below) the first dedup HashAggregate;
-    // a regressed filter-above-distinct plan puts bit_count first
-    assert(p.contains("bit_count"), p.take(1500))
-    val firstAgg = p.indexOf("HashAggregate")
-    assert(firstAgg >= 0)
-    assert(p.indexOf("bit_count") > firstAgg,
-      s"hamming filter sits above the distinct:\n${p.take(1500)}")
+    // traverse the physical plan tree (through AQE wrappers and cached
+    // relations) rather than comparing explain-string positions: the
+    // ≤5-bit Hamming filter must be a DESCENDANT of the dedup
+    // aggregate, i.e. filtering happens before the pair distinct
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+      case o                        => o.children
+    }
+    def subtree(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(subtree)
+    def isBitCount(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.BitwiseCount])
+    // the filter may survive as a FilterExec or be fused into the band
+    // join's non-equi condition — both run before the distinct
+    def hasHammingFilter(n: SparkPlan): Boolean = n match {
+      case f: FilterExec => isBitCount(f.condition)
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.condition.exists(isBitCount)
+      case _ => false
+    }
+    val root = SparkEntry.queries("dedup_simhash")(spark, sf())
+      .queryExecution.executedPlan
+    val all = subtree(root)
+    assert(all.exists(hasHammingFilter), root.toString.take(1500))
+    val filterUnderDedup = all.collect { case a: BaseAggregateExec => a }
+      .exists(a => subtree(a).drop(1).exists(hasHammingFilter))
+    assert(filterUnderDedup,
+      s"hamming filter sits above the distinct:\n${root.toString.take(1500)}")
   }
 
   test("mm frame sampling filters inside the generator, pre-explosion") {
