@@ -45,6 +45,21 @@ object SparkEntry {
     "q17_small_qty" -> (Relational.qSmallQtyRevenue _),
     "q18_large_orders" -> (Relational.qLargeOrders _),
     "q19_disjunctive" -> (Relational.qDisjunctivePredicates _),
+    // Round-3 TPC-H fills + analytic extensions (RelationalExt)
+    "q4_order_priority" -> (RelationalExt.q4OrderPriority _),
+    "q7_nation_volume" -> (RelationalExt.q7NationVolume _),
+    "q8_market_share" -> (RelationalExt.q8MarketShare _),
+    "q10_returned_items" -> (RelationalExt.q10ReturnedItems _),
+    "q14_promo_revenue" -> (RelationalExt.q14PromoRevenue _),
+    "q15_top_supplier" -> (RelationalExt.q15TopSupplier _),
+    "q_grouping_sets" -> (RelationalExt.qGroupingSets _),
+    "q_moving_avg" -> (RelationalExt.qMovingAvg _),
+    "q_ntile_lag" -> (RelationalExt.qNtileLag _),
+    "q_percentiles" -> (RelationalExt.qPercentiles _),
+    "q_unpivot" -> (RelationalExt.qUnpivot _),
+    "q_bloom_semi_join" -> (RelationalExt.qBloomSemiJoin _),
+    "q_gapfill" -> (RelationalExt.qGapfill _),
+    "q_array_stats" -> (RelationalExt.qArrayStats _),
     // Ingestion pipeline (SURVEY §2 S/P/F/A/T over the events stream)
     "ingest_asset_catalog" -> ((s: SparkSession, d: String) =>
       BarPipeline.assetCatalog(s, d).orderBy(col("symbol"))),
@@ -73,6 +88,9 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_sample_split" -> (TextAnalysis.sampleSplit _),
     "text_curation" -> (TextAnalysis.curation _),
+    "text_tfidf" -> (TextAnalysis.tfidf _),
+    "text_pack_sequences" -> (TextAnalysis.packSequences _),
+    "text_contamination" -> (TextAnalysis.contamination _),
     "q_ts_correlation" -> (Temporal.tsCorrelation _),
     // Deduplication family
     "dedup_exact" -> (Dedup.exact _),
@@ -323,6 +341,20 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q4_order_priority" -> RelationalExt.q4OrderPriorityOracleSql,
+    "q7_nation_volume" -> RelationalExt.q7NationVolumeOracleSql,
+    "q8_market_share" -> RelationalExt.q8MarketShareOracleSql,
+    "q10_returned_items" -> RelationalExt.q10ReturnedItemsOracleSql,
+    "q14_promo_revenue" -> RelationalExt.q14PromoRevenueOracleSql,
+    "q15_top_supplier" -> RelationalExt.q15TopSupplierOracleSql,
+    "q_grouping_sets" -> RelationalExt.qGroupingSetsSql,
+    "q_moving_avg" -> RelationalExt.qMovingAvgSql,
+    "q_ntile_lag" -> RelationalExt.qNtileLagSql,
+    "q_percentiles" -> RelationalExt.qPercentilesOracleSql,
+    "q_unpivot" -> RelationalExt.qUnpivotOracleSql,
+    "q_bloom_semi_join" -> RelationalExt.qBloomSemiJoinOracleSql,
+    "q_gapfill" -> RelationalExt.qGapfillOracleSql,
+    "q_array_stats" -> RelationalExt.arrayStatsSql(DuckDialect),
     "src_bar_scan" -> graft.sources.BarSourceQueries.srcBarScanOracleSql,
     "q_asof_join" -> Temporal.asofOracleSql,
     "q_range_join" -> Temporal.rangeJoinOracleSql,
@@ -343,6 +375,9 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintSql(DuckDialect),
     "text_sample_split" -> TextAnalysis.sampleSplitSql(DuckDialect),
     "text_curation" -> TextAnalysis.curationSql(DuckDialect),
+    "text_tfidf" -> TextAnalysis.tfidfSql(DuckDialect),
+    "text_pack_sequences" -> TextAnalysis.packSequencesSql(DuckDialect),
+    "text_contamination" -> TextAnalysis.contaminationSql(DuckDialect),
     "q_ts_correlation" -> Temporal.tsCorrelationOracleSql,
     "dedup_exact" -> Dedup.exactSql(DuckDialect),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(DuckDialect),

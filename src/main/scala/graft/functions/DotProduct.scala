@@ -87,5 +87,21 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("graft_h60")))
       reg.createOrReplaceTempFunction(
         "graft_h60", exprs => GraftH60(exprs.head), "built-in")
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // own runtime row-level filtering but does not expose them in the
+    // public registry; surface them for the bloom-prefilter pattern
+    // (ops.RelationalExt.qBloomSemiJoin).
+    if (!reg.functionExists(FunctionIdentifier("graft_bloom_agg")))
+      reg.createOrReplaceTempFunction(
+        "graft_bloom_agg",
+        exprs => org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs.head, exprs(1), exprs(2), 0, 0),
+        "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_might_contain")))
+      reg.createOrReplaceTempFunction(
+        "graft_might_contain",
+        exprs => org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs.head, exprs(1)),
+        "built-in")
   }
 }

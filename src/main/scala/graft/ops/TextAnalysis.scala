@@ -208,6 +208,104 @@ object TextAnalysis {
        |FROM s GROUP BY split ORDER BY split""".stripMargin
   }
 
+  /** TF-IDF top-3 terms per document: term frequency over normalized
+    * tokens, document frequency from the distinct (doc, term) relation,
+    * idf = ln(N/df), ranked per doc (ties on term).  The classic
+    * keyword-extraction / relevance-weighting operator; at scale it is
+    * two hash aggregations and a broadcast of the (tiny) doc count. */
+  def tfidfSql(d: SqlDialect): String = {
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
+       |e AS (
+       |  SELECT doc_id, ${d.explode("toks")} AS term FROM tok),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM e GROUP BY doc_id, term),
+       |df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (
+       |  SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+       |s AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    CAST(tf.tf AS DOUBLE)
+       |      * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+       |r AS (
+       |  SELECT doc_id, term, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY tfidf DESC, term) AS rn
+       |  FROM s)
+       |SELECT doc_id, term, round(tfidf, 6) AS tfidf,
+       |  CAST(rn AS BIGINT) AS rank
+       |FROM r WHERE rn <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+  }
+
+  /** Sequence packing (token-budget sharding): per language, documents
+    * in doc_id order are assigned to consecutive packs of ≤2048-token
+    * running budget via the cumulative token count — the deterministic,
+    * window-expressible form of next-fit packing a training pipeline
+    * uses to build fixed-size context batches.  Per-key windows keep it
+    * embarrassingly parallel across shards at scale. */
+  def packSequencesSql(d: SqlDialect): String = {
+    val budget = 2048
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, ${d.arrSize(d.tokens("text"))} AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM tok),
+       |p AS (
+       |  SELECT lang, doc_id, n_tok,
+       |    ${d.intDiv("(cum - 1)", budget.toString)} AS pack_id
+       |  FROM c)
+       |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       |  CAST(max(n_tok) AS BIGINT) AS max_tokens,
+       |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+       |  CAST(max(doc_id) AS BIGINT) AS last_doc
+       |FROM p GROUP BY lang, pack_id
+       |ORDER BY lang, pack_id""".stripMargin
+  }
+
+  /** Benchmark-contamination check: eval-split documents sharing word
+    * 3-gram shingles with the train split.  Candidates come from the
+    * inverted shingle index (blocked equi-join — never all-pairs); per
+    * eval doc we report how many train docs share ≥ 3 shingles and the
+    * strongest-overlap train doc (ties → min id).  Split assignment
+    * reuses the shared 90/5/5 hash fragment, so "train"/"eval" here is
+    * exactly text_sample_split's assignment. */
+  def contaminationSql(d: SqlDialect): String = {
+    s"""WITH t AS (
+       |  SELECT doc_id, ${splitCase(d)} AS split, ${d.tokens("text")} AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, split, ${d.shingles3("toks")} AS grams FROM t),
+       |e AS (
+       |  SELECT doc_id, split, ${d.explode("grams")} AS gram FROM g),
+       |pair AS (
+       |  SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
+       |    count(*) AS shared
+       |  FROM e ev JOIN e tr ON ev.gram = tr.gram
+       |  WHERE ev.split != 'train' AND tr.split = 'train'
+       |  GROUP BY ev.doc_id, tr.doc_id
+       |  HAVING count(*) >= 3),
+       |r AS (
+       |  SELECT eval_id, train_id, shared,
+       |    count(*) OVER (PARTITION BY eval_id) AS n_train_matches,
+       |    row_number() OVER (PARTITION BY eval_id
+       |      ORDER BY shared DESC, train_id) AS rn
+       |  FROM pair)
+       |SELECT eval_id AS doc_id,
+       |  CAST(n_train_matches AS BIGINT) AS n_train_matches,
+       |  train_id AS top_train_doc,
+       |  CAST(shared AS BIGINT) AS top_shared_grams
+       |FROM r WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
@@ -226,4 +324,10 @@ object TextAnalysis {
     run(spark, dir, sampleSplitSql(SparkDialect))
   def curation(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, curationSql(SparkDialect))
+  def tfidf(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, tfidfSql(SparkDialect))
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, packSequencesSql(SparkDialect))
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, contaminationSql(SparkDialect))
 }

@@ -56,6 +56,7 @@ sealed trait SqlDialect {
   def containedIn(v: String, items: Seq[String]): String
   def arrSlice(arr: String, start1: String, len: String): String // 1-based
   def arrMin(arr: String): String
+  def arrMax(arr: String): String
   def castStr(x: String): String
   /** Explode an array column to rows (select-list position). */
   def explode(arr: String): String
@@ -126,6 +127,7 @@ object SparkDialect extends SqlDialect {
   def arrSlice(arr: String, start1: String, len: String): String =
     s"slice($arr, $start1, $len)"
   def arrMin(arr: String): String = s"array_min($arr)"
+  def arrMax(arr: String): String = s"array_max($arr)"
   def castStr(x: String): String = s"CAST($x AS STRING)"
   def explode(arr: String): String = s"explode($arr)"
   def arrOf(items: Seq[String]): String = s"array(${items.mkString(", ")})"
@@ -164,6 +166,7 @@ object DuckDialect extends SqlDialect {
   def arrSlice(arr: String, start1: String, len: String): String =
     s"list_slice($arr, $start1, ($start1) + ($len) - 1)"
   def arrMin(arr: String): String = s"list_min($arr)"
+  def arrMax(arr: String): String = s"list_max($arr)"
   def castStr(x: String): String = s"CAST($x AS VARCHAR)"
   def explode(arr: String): String = s"unnest($arr)"
   def arrOf(items: Seq[String]): String = s"[${items.mkString(", ")}]"
