@@ -132,6 +132,39 @@ class PlanShapeSpec extends SparkSuite {
       s"hamming filter sits above the distinct:\n${root.toString.take(1500)}")
   }
 
+  test("bloom probe filters the fact scan before any shuffle") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case o                        => o.children
+    }
+    def subtree(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(subtree)
+    val root = SparkEntry.queries("q_bloom_semi_join")(spark, sf())
+      .queryExecution.executedPlan
+    val probes = subtree(root).collect {
+      case f: FilterExec if f.condition.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain]) => f
+    }
+    assert(probes.nonEmpty, root.toString.take(1500))
+    // the probe's subtree is scan-side: no shuffle below it
+    probes.foreach { f =>
+      assert(!subtree(f).exists(_.isInstanceOf[ShuffleExchangeLike]),
+        "bloom probe sits above a shuffle:\n" + f.toString.take(1200))
+    }
+  }
+
+  test("unpivot plans as a narrow Expand, array stats stay shuffle-lean") {
+    val up = plan("q_unpivot")
+    assert(up.contains("Expand"), up.take(1200))
+    val as = plan("q_array_stats")
+    val exchanges = "Exchange".r.findAllIn(as).length
+    // one range exchange for the ORDER BY; no aggregation shuffle
+    assert(exchanges <= 2, s"q_array_stats has $exchanges exchanges:\n${as.take(1200)}")
+  }
+
   test("mm frame sampling filters inside the generator, pre-explosion") {
     val p = plan("mm_video_frames")
     // the sample predicate is applied to the sequence before explode:
