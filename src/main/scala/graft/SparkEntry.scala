@@ -60,6 +60,8 @@ object SparkEntry {
     "q_bloom_semi_join" -> (RelationalExt.qBloomSemiJoin _),
     "q_gapfill" -> (RelationalExt.qGapfill _),
     "q_array_stats" -> (RelationalExt.qArrayStats _),
+    // Typed Aggregator extension surface (bounded-heap map-side top-k)
+    "q_topk_per_group" -> (graft.functions.TopKQueries.qTopkPerGroup _),
     // Ingestion pipeline (SURVEY §2 S/P/F/A/T over the events stream)
     "ingest_asset_catalog" -> ((s: SparkSession, d: String) =>
       BarPipeline.assetCatalog(s, d).orderBy(col("symbol"))),
@@ -355,6 +357,7 @@ object SparkEntry {
     "q_bloom_semi_join" -> RelationalExt.qBloomSemiJoinOracleSql,
     "q_gapfill" -> RelationalExt.qGapfillOracleSql,
     "q_array_stats" -> RelationalExt.arrayStatsSql(DuckDialect),
+    "q_topk_per_group" -> graft.functions.TopKQueries.qTopkPerGroupOracleSql,
     "src_bar_scan" -> graft.sources.BarSourceQueries.srcBarScanOracleSql,
     "q_asof_join" -> Temporal.asofOracleSql,
     "q_range_join" -> Temporal.rangeJoinOracleSql,
