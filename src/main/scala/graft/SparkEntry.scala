@@ -62,6 +62,10 @@ object SparkEntry {
     "q_array_stats" -> (RelationalExt.qArrayStats _),
     // Typed Aggregator extension surface (bounded-heap map-side top-k)
     "q_topk_per_group" -> (graft.functions.TopKQueries.qTopkPerGroup _),
+    // Events analytics: profiling, funnel, cohort retention
+    "q_profile" -> (RelationalExt.qProfile _),
+    "q_event_funnel" -> (RelationalExt.qEventFunnel _),
+    "q_retention" -> (RelationalExt.qRetention _),
     // Ingestion pipeline (SURVEY §2 S/P/F/A/T over the events stream)
     "ingest_asset_catalog" -> ((s: SparkSession, d: String) =>
       BarPipeline.assetCatalog(s, d).orderBy(col("symbol"))),
@@ -358,6 +362,9 @@ object SparkEntry {
     "q_gapfill" -> RelationalExt.qGapfillOracleSql,
     "q_array_stats" -> RelationalExt.arrayStatsSql(DuckDialect),
     "q_topk_per_group" -> graft.functions.TopKQueries.qTopkPerGroupOracleSql,
+    "q_profile" -> RelationalExt.qProfileSql,
+    "q_event_funnel" -> RelationalExt.qEventFunnelSql,
+    "q_retention" -> RelationalExt.qRetentionSql,
     "src_bar_scan" -> graft.sources.BarSourceQueries.srcBarScanOracleSql,
     "q_asof_join" -> Temporal.asofOracleSql,
     "q_range_join" -> Temporal.rangeJoinOracleSql,

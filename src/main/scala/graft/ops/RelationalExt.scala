@@ -501,4 +501,100 @@ object RelationalExt {
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
     spark.sql(arrayStatsSql(SparkDialect))
   }
+
+  // ---------------------------------------------------------- data profiling
+
+  /** Column-profile operator: per-column row/null/distinct counts plus
+    * a numeric min/max (value for numeric columns, length for strings)
+    * — the data-quality summary every ingestion pipeline runs before
+    * accepting a drop.  One scan per profiled relation (the UNION ALL
+    * branches share the cached scan; each branch is a partial-agg
+    * reduction).  ANSI-shared text. */
+  val qProfileSql: String =
+    """SELECT 'c_acctbal' AS col, count(*) AS n,
+      |  CAST(count(*) - count(c_acctbal) AS BIGINT) AS n_null,
+      |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_distinct,
+      |  round(min(c_acctbal), 2) AS min_v, round(max(c_acctbal), 2) AS max_v
+      |FROM customer
+      |UNION ALL
+      |SELECT 'c_custkey', count(*),
+      |  CAST(count(*) - count(c_custkey) AS BIGINT),
+      |  CAST(count(DISTINCT c_custkey) AS BIGINT),
+      |  CAST(min(c_custkey) AS DOUBLE), CAST(max(c_custkey) AS DOUBLE)
+      |FROM customer
+      |UNION ALL
+      |SELECT 'c_name_len', count(*),
+      |  CAST(count(*) - count(c_name) AS BIGINT),
+      |  CAST(count(DISTINCT c_name) AS BIGINT),
+      |  CAST(min(length(c_name)) AS DOUBLE), CAST(max(length(c_name)) AS DOUBLE)
+      |FROM customer
+      |UNION ALL
+      |SELECT 'c_mktsegment_len', count(*),
+      |  CAST(count(*) - count(c_mktsegment) AS BIGINT),
+      |  CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+      |  CAST(min(length(c_mktsegment)) AS DOUBLE),
+      |  CAST(max(length(c_mktsegment)) AS DOUBLE)
+      |FROM customer
+      |ORDER BY col""".stripMargin
+
+  def qProfile(spark: SparkSession, dir: String): DataFrame =
+    runSql(spark, dir, qProfileSql, Seq("customer"))
+
+  // --------------------------------------------------------------- funnel
+
+  /** Ordered event funnel over the events stream: per user, did a
+    * signup happen, then a later click, then a later purchase?  The
+    * strictly-ordered min-timestamp chain (min(signup) < min(click
+    * after signup) < min(purchase after that)) — one groupBy(user)
+    * with conditional aggregates, no self-joins.  ANSI-shared text. */
+  val qEventFunnelSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, u.t_signup,
+      |    min(CASE WHEN e.event_type = 'click'
+      |             AND e.ts > u.t_signup THEN e.ts END) AS t_click
+      |  FROM events e JOIN u ON e.user_id = u.user_id
+      |  GROUP BY e.user_id, u.t_signup),
+      |p AS (
+      |  SELECT e.user_id, c.t_signup, c.t_click,
+      |    min(CASE WHEN e.event_type = 'purchase'
+      |             AND e.ts > c.t_click THEN e.ts END) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  GROUP BY e.user_id, c.t_signup, c.t_click)
+      |SELECT
+      |  count(*) AS n_users,
+      |  CAST(count(t_signup) AS BIGINT) AS n_signup,
+      |  CAST(count(t_click) AS BIGINT) AS n_signup_click,
+      |  CAST(count(t_purchase) AS BIGINT) AS n_full_funnel,
+      |  round(CAST(count(t_purchase) AS DOUBLE)
+      |    / greatest(count(t_signup), 1), 6) AS conversion
+      |FROM p""".stripMargin
+
+  def qEventFunnel(spark: SparkSession, dir: String): DataFrame =
+    runSql(spark, dir, qEventFunnelSql, Seq("events"))
+
+  // ------------------------------------------------------------- retention
+
+  /** Weekly cohort retention: for each pair (first-active week w0,
+    * active week w), how many users from the w0 cohort were active in
+    * w — the classic triangle retention matrix, via two grouped
+    * aggregates and one broadcast-size join.  Weeks are day-precision
+    * epochs (date_trunc week), shared ANSI text. */
+  val qRetentionSql: String =
+    """WITH a AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      |  FROM events GROUP BY user_id, CAST(date_trunc('week', ts) AS TIMESTAMP)),
+      |f AS (
+      |  SELECT user_id, min(wk) AS w0 FROM a GROUP BY user_id)
+      |SELECT f.w0 AS cohort_week, a.wk AS active_week,
+      |  count(*) AS n_active
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY f.w0, a.wk
+      |ORDER BY cohort_week, active_week""".stripMargin
+
+  def qRetention(spark: SparkSession, dir: String): DataFrame =
+    runSql(spark, dir, qRetentionSql, Seq("events"))
 }
