@@ -87,6 +87,9 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("graft_h60")))
       reg.createOrReplaceTempFunction(
         "graft_h60", exprs => GraftH60(exprs.head), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_simhash")))
+      reg.createOrReplaceTempFunction(
+        "graft_simhash", exprs => GraftSimHash(exprs.head), "built-in")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     // own runtime row-level filtering but does not expose them in the
     // public registry; surface them for the bloom-prefilter pattern

@@ -179,6 +179,11 @@ object Dedup {
        |  SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
 
+  /** The SQL sig relation alone (test hook: GraftSimHashSpec checks
+    * the native expression against this independent formulation). */
+  def simhashSqlSigForTest(d: SqlDialect): String =
+    s"WITH ${simhashCte(d)} SELECT doc_id, simhash FROM sig"
+
   /** Oracle-side SimHash: brute-force all-pairs Hamming scan — a
     * different algorithm that must produce the identical result set,
     * because banded candidate generation is complete for distance ≤ 5. */
@@ -205,9 +210,15 @@ object Dedup {
     import org.apache.spark.sql.functions._
     val d = SparkDialect
     val mask = (1 << SimHashBandBits) - 1
+    // Engine-side signature: the native graft_simhash projection (one
+    // narrow pass, no explode/shuffle) — the SQL sum-per-bit CTE stays
+    // as the oracle's independent formulation.  Token-less docs yield
+    // NULL and are filtered, matching the CTE's emits-no-row behavior.
     val sig = RelationCache.cached(spark, s"simhash_sig:$dir") {
       runDocs(spark, dir,
-        s"WITH ${simhashCte(d)} SELECT doc_id, simhash FROM sig")
+        s"""SELECT doc_id, graft_simhash(${d.tokens("text")}) AS simhash
+           |FROM documents""".stripMargin)
+        .filter($"simhash".isNotNull)
     }
     val bands = (0 until SimHashBands).map { b =>
       sig.select($"doc_id", $"simhash", lit(b).as("band"),

@@ -12,6 +12,23 @@ class PlanShapeSpec extends SparkSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
 
+  // Full physical-plan traversal: through AQE wrappers (final or not),
+  // materialized query stages, reused exchanges, and cached relations.
+  private def planSubtree(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+      case o                        => o.children
+    }
+    p +: kids.flatMap(planSubtree)
+  }
+
   test("q6: all three predicates push into the parquet scan") {
     val p = plan("q6_selective_filter")
     // the toString truncates the PushedFilters list; assert the prefix
@@ -102,15 +119,8 @@ class PlanShapeSpec extends SparkSuite {
     // ≤5-bit Hamming filter must be a DESCENDANT of the dedup
     // aggregate, i.e. filtering happens before the pair distinct
     import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
-      case o                        => o.children
-    }
-    def subtree(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(subtree)
+    def subtree(p: SparkPlan): Seq[SparkPlan] = planSubtree(p)
     def isBitCount(e: org.apache.spark.sql.catalyst.expressions.Expression) =
       e.exists(_.isInstanceOf[
         org.apache.spark.sql.catalyst.expressions.BitwiseCount])
@@ -134,13 +144,8 @@ class PlanShapeSpec extends SparkSuite {
 
   test("bloom probe filters the fact scan before any shuffle") {
     import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case o                        => o.children
-    }
-    def subtree(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(subtree)
+    def subtree(p: SparkPlan): Seq[SparkPlan] = planSubtree(p)
     val root = SparkEntry.queries("q_bloom_semi_join")(spark, sf())
       .queryExecution.executedPlan
     val probes = subtree(root).collect {
