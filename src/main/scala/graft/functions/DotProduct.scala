@@ -90,6 +90,12 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("graft_simhash")))
       reg.createOrReplaceTempFunction(
         "graft_simhash", exprs => GraftSimHash(exprs.head), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_shingles3")))
+      reg.createOrReplaceTempFunction(
+        "graft_shingles3", exprs => GraftShingles3(exprs.head), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_minhash")))
+      reg.createOrReplaceTempFunction(
+        "graft_minhash", exprs => GraftMinHash(exprs.head), "built-in")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     // own runtime row-level filtering but does not expose them in the
     // public registry; surface them for the bloom-prefilter pattern

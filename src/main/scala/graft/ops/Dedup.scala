@@ -383,14 +383,17 @@ object Dedup {
     import org.apache.spark.sql.functions._
     val d = SparkDialect
     val grams = gramsDF(spark, dir)
+    // Native per-row signature (graft_minhash): one md5 per gram + 32
+    // min-updates in a narrow projection, replacing the explode →
+    // hash-shuffle → 32-min aggregate subplan.  The grouped SQL form
+    // stays as the oracle's independent formulation; empty gram sets
+    // yield NULL and are filtered to match its emits-no-row relation.
     val sig = RelationCache.cached(spark, s"mh_sig:$dir") {
       grams
-        .select($"doc_id", explode($"grams").as("gram"))
-        .selectExpr("doc_id", s"(${d.h60("gram")} % $P) AS g")
-        .groupBy($"doc_id")
-        .agg(expr(s"min((${permA(0)} * g + ${permB(0)}) % $P)").as("h0"),
-          (1 until NumPerms).map(i =>
-            expr(s"min((${permA(i)} * g + ${permB(i)}) % $P)").as(s"h$i")): _*)
+        .selectExpr("doc_id", "graft_minhash(grams) AS mh")
+        .where("mh IS NOT NULL")
+        .selectExpr("doc_id" +:
+          (0 until NumPerms).map(i => s"element_at(mh, ${i + 1}) AS h$i"): _*)
     }
     val bands = (0 until Bands).map { b =>
       sig.select($"doc_id", lit(b).as("band"),

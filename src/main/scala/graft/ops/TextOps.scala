@@ -124,6 +124,12 @@ object SparkDialect extends SqlDialect {
     * byte-scan pass, bit-identical to the regex chain the oracle
     * dialect keeps. */
   override def tokens(text: String): String = s"graft_tokens($text)"
+
+  /** Native one-pass shingle set (graft.functions.GraftShingles3) —
+    * same first-occurrence-ordered distinct as the array_distinct/
+    * transform chain the oracle dialect keeps, which Spark would run
+    * as interpreted HOF lambdas. */
+  override def shingles3(toks: String): String = s"graft_shingles3($toks)"
   def arrSlice(arr: String, start1: String, len: String): String =
     s"slice($arr, $start1, $len)"
   def arrMin(arr: String): String = s"array_min($arr)"
