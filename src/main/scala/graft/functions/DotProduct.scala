@@ -75,42 +75,42 @@ case class DotProduct(left: Expression, right: Expression)
   * emits a "function replaced" WARN per call, which at a query per
   * operator floods the driver log. */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Single source of truth for every native function the library
+    * exposes — consumed by both the imperative `register` path and the
+    * `GraftExtensions` injection path, so the two can never diverge.
+    * The bloom pair wraps expressions Spark ships for its own runtime
+    * row-level filtering but keeps out of the public registry; they
+    * power the bloom-prefilter pattern (RelationalExt.qBloomSemiJoin). */
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct],
+      es => DotProduct(es.head, es(1))),
+    ("graft_tokens", classOf[GraftTokens],
+      es => GraftTokens(es.head)),
+    ("graft_h60", classOf[GraftH60],
+      es => GraftH60(es.head)),
+    ("graft_simhash", classOf[GraftSimHash],
+      es => GraftSimHash(es.head)),
+    ("graft_shingles3", classOf[GraftShingles3],
+      es => GraftShingles3(es.head)),
+    ("graft_minhash", classOf[GraftMinHash],
+      es => GraftMinHash(es.head)),
+    ("graft_bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      es => org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es.head, es(1), es(2), 0, 0)),
+    ("graft_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      es => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es.head, es(1))))
+
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("graft_dot")))
-      reg.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    if (!reg.functionExists(FunctionIdentifier("graft_tokens")))
-      reg.createOrReplaceTempFunction(
-        "graft_tokens", exprs => GraftTokens(exprs.head), "built-in")
-    if (!reg.functionExists(FunctionIdentifier("graft_h60")))
-      reg.createOrReplaceTempFunction(
-        "graft_h60", exprs => GraftH60(exprs.head), "built-in")
-    if (!reg.functionExists(FunctionIdentifier("graft_simhash")))
-      reg.createOrReplaceTempFunction(
-        "graft_simhash", exprs => GraftSimHash(exprs.head), "built-in")
-    if (!reg.functionExists(FunctionIdentifier("graft_shingles3")))
-      reg.createOrReplaceTempFunction(
-        "graft_shingles3", exprs => GraftShingles3(exprs.head), "built-in")
-    if (!reg.functionExists(FunctionIdentifier("graft_minhash")))
-      reg.createOrReplaceTempFunction(
-        "graft_minhash", exprs => GraftMinHash(exprs.head), "built-in")
-    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
-    // own runtime row-level filtering but does not expose them in the
-    // public registry; surface them for the bloom-prefilter pattern
-    // (ops.RelationalExt.qBloomSemiJoin).
-    if (!reg.functionExists(FunctionIdentifier("graft_bloom_agg")))
-      reg.createOrReplaceTempFunction(
-        "graft_bloom_agg",
-        exprs => org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(exprs.head, exprs(1), exprs(2), 0, 0),
-        "built-in")
-    if (!reg.functionExists(FunctionIdentifier("graft_might_contain")))
-      reg.createOrReplaceTempFunction(
-        "graft_might_contain",
-        exprs => org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(exprs.head, exprs(1)),
-        "built-in")
+    builders.foreach { case (name, _, builder) =>
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

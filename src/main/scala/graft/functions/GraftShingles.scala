@@ -45,8 +45,13 @@ object GraftShingles3 {
     val seen = new java.util.LinkedHashSet[UTF8String]((n - 2) * 2)
     var i = 0
     while (i <= n - 3) {
-      seen.add(UTF8String.concat(arr.getUTF8String(i), Space,
-        arr.getUTF8String(i + 1), Space, arr.getUTF8String(i + 2)))
+      // a null token nulls the concat in the HOF chain and the null
+      // gram is dropped by the downstream explode/hash — skip it here
+      // so the output honors containsNull=false (graft_tokens never
+      // emits nulls; this guards the public SQL surface)
+      if (!arr.isNullAt(i) && !arr.isNullAt(i + 1) && !arr.isNullAt(i + 2))
+        seen.add(UTF8String.concat(arr.getUTF8String(i), Space,
+          arr.getUTF8String(i + 1), Space, arr.getUTF8String(i + 2)))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
@@ -73,18 +78,15 @@ case class GraftMinHash(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    if (arr.numElements() == 0) null else GraftMinHash.compute(arr)
-  }
+  override def nullSafeEval(input: Any): Any =
+    GraftMinHash.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |if ($c.numElements() == 0) {
+         |${ev.value} = graft.functions.GraftMinHash.compute($c);
+         |if (${ev.value} == null) {
          |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = graft.functions.GraftMinHash.compute($c);
          |}
        """.stripMargin)
 
@@ -98,20 +100,27 @@ object GraftMinHash {
   private val as: Array[Long] = Array.tabulate(NumPerms)(permA)
   private val bs: Array[Long] = Array.tabulate(NumPerms)(permB)
 
+  /** Returns null when no non-null element contributes (the grouped
+    * form's min() skips nulls; a group of only nulls yields no usable
+    * signature). */
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(NumPerms)(Long.MaxValue)
+    var contributed = false
     var i = 0
     while (i < n) {
-      val g = GraftH60.h60(arr.getUTF8String(i)) % P
-      var k = 0
-      while (k < NumPerms) {
-        val v = (as(k) * g + bs(k)) % P
-        if (v < mins(k)) mins(k) = v
-        k += 1
+      if (!arr.isNullAt(i)) {
+        contributed = true
+        val g = GraftH60.h60(arr.getUTF8String(i)) % P
+        var k = 0
+        while (k < NumPerms) {
+          val v = (as(k) * g + bs(k)) % P
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (!contributed) null else new GenericArrayData(mins)
   }
 }

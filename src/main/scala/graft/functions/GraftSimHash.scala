@@ -37,18 +37,17 @@ case class GraftSimHash(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def prettyName: String = "graft_simhash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    if (arr.numElements() == 0) null else GraftSimHash.compute(arr)
-  }
+  override def nullSafeEval(input: Any): Any =
+    GraftSimHash.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |if ($c.numElements() == 0) {
+         |java.lang.Long ${ev.value}$$r = graft.functions.GraftSimHash.compute($c);
+         |if (${ev.value}$$r == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.GraftSimHash.compute($c);
+         |  ${ev.value} = ${ev.value}$$r.longValue();
          |}
        """.stripMargin)
 
@@ -59,28 +58,33 @@ case class GraftSimHash(child: Expression) extends UnaryExpression {
 object GraftSimHash {
   val Bits = 60
 
-  /** Sign-packed per-bit ±1 sums over the h60 hashes of all elements.
-    * Caller guarantees numElements > 0 and non-null string elements
-    * (graft_tokens output). */
-  def compute(arr: ArrayData): Long = {
+  /** Sign-packed per-bit ±1 sums over the h60 hashes of all non-null
+    * elements; null when none contribute (the grouped SQL form's sum()
+    * skips nulls and emits no row for an empty group). */
+  def compute(arr: ArrayData): java.lang.Long = {
     val n = arr.numElements()
     val counts = new Array[Int](Bits)
+    var contributed = false
     var i = 0
     while (i < n) {
-      val h = GraftH60.h60(arr.getUTF8String(i))
-      var j = 0
-      while (j < Bits) {
-        counts(j) += ((((h >>> j) & 1L) << 1) - 1L).toInt
-        j += 1
+      if (!arr.isNullAt(i)) {
+        contributed = true
+        val h = GraftH60.h60(arr.getUTF8String(i))
+        var j = 0
+        while (j < Bits) {
+          counts(j) += ((((h >>> j) & 1L) << 1) - 1L).toInt
+          j += 1
+        }
       }
       i += 1
     }
+    if (!contributed) return null
     var sig = 0L
     var j = 0
     while (j < Bits) {
       if (counts(j) > 0) sig |= (1L << j)
       j += 1
     }
-    sig
+    java.lang.Long.valueOf(sig)
   }
 }

@@ -200,26 +200,32 @@ object Dedup {
     * signature relation feeds 6 band projections, so the engine
     * computes it once as a cached DataFrame (same reasoning as
     * minhashLsh). */
-  def simhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
+  def simhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the sig memo entry BEFORE entering the pairs memo so
+    // the two cached() calls never nest
+    val sig = simhashSig(spark, dir)
     RelationCache.cached(spark, s"simhash_pairs:$dir") {
-      simhashVerifiedPairsPlan(spark, dir)
+      simhashVerifiedPairsPlan(spark, sig)
+    }
+  }
+
+  /** Engine-side signature relation: the native graft_simhash
+    * projection (one narrow pass, no explode/shuffle) — the SQL
+    * sum-per-bit CTE stays as the oracle's independent formulation.
+    * Token-less docs yield NULL and are filtered, matching the CTE's
+    * emits-no-row behavior. */
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame =
+    RelationCache.cached(spark, s"simhash_sig:$dir") {
+      runDocs(spark, dir,
+        s"""SELECT doc_id, graft_simhash(${SparkDialect.tokens("text")}) AS simhash
+           |FROM documents""".stripMargin)
+        .filter("simhash IS NOT NULL")
     }
 
-  private def simhashVerifiedPairsPlan(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashVerifiedPairsPlan(spark: SparkSession, sig: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val d = SparkDialect
     val mask = (1 << SimHashBandBits) - 1
-    // Engine-side signature: the native graft_simhash projection (one
-    // narrow pass, no explode/shuffle) — the SQL sum-per-bit CTE stays
-    // as the oracle's independent formulation.  Token-less docs yield
-    // NULL and are filtered, matching the CTE's emits-no-row behavior.
-    val sig = RelationCache.cached(spark, s"simhash_sig:$dir") {
-      runDocs(spark, dir,
-        s"""SELECT doc_id, graft_simhash(${d.tokens("text")}) AS simhash
-           |FROM documents""".stripMargin)
-        .filter($"simhash".isNotNull)
-    }
     val bands = (0 until SimHashBands).map { b =>
       sig.select($"doc_id", $"simhash", lit(b).as("band"),
         expr(s"(shiftright(simhash, ${b * SimHashBandBits}) & $mask)").as("bval"))

@@ -25,9 +25,25 @@ object RelationCache {
   private val memo = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Return the memoized cached relation for `key`, building and
-    * `.cache()`-ing it on first use in this session. */
-  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((spark, key), _ => build.cache())
+    * `.cache()`-ing it on first use in this session.
+    *
+    * Deliberately NOT computeIfAbsent: a build function that itself
+    * memoizes a child relation (pairs → sig) would re-enter the map
+    * mid-update, which ConcurrentHashMap forbids (IllegalStateException
+    * "Recursive update" when the keys share a bin).  get-then-putIfAbsent
+    * tolerates reentrancy; a lost race leaves a harmless duplicate
+    * cache() call (the CacheManager dedupes storage by plan — do not
+    * unpersist the loser, that would evict the shared entry). */
+  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (spark, key)
+    val existing = memo.get(k)
+    if (existing != null) existing
+    else {
+      val df = build.cache()
+      val prev = memo.putIfAbsent(k, df)
+      if (prev != null) prev else df
+    }
+  }
 
   /** Unpersist and forget every relation memoized for `spark`. */
   def clear(spark: SparkSession): Unit = {

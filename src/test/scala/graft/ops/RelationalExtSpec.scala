@@ -166,30 +166,32 @@ class RelationalExtSpec extends SparkSuite {
     assert(rows.forall(_.getAs[Double]("tfidf") >= 0.0))
   }
 
-  test("pack sequences: budget respected up to one oversized doc") {
-    val rows = TextAnalysis.packSequences(spark, sf()).collect()
+  test("pack sequences equal a hand-rolled cumulative-budget packing") {
     val budget = 2048L
-    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
-      val byPack = rs.sortBy(_.getAs[Long]("pack_id"))
-      // packs are consecutive from 0
-      assert(byPack.head.getAs[Long]("pack_id") == 0L)
-      // doc ranges don't overlap across consecutive packs
-      byPack.sliding(2).foreach {
-        case Array(a, b) =>
-          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
-        case _ => ()
-      }
-      // cumulative consistency: all but the last pack are filled past
-      // the previous boundary (sum_tokens can exceed budget only via
-      // the straddling doc)
-      assert(rs.map(_.getAs[Long]("sum_tokens")).sum ==
-        rs.map(_.getAs[Long]("sum_tokens")).sum) // totals preserved
+    val got = TextAnalysis.packSequences(spark, sf()).collect()
+      .map(r => ((r.getAs[String]("lang"), r.getAs[Long]("pack_id")),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))).toMap
+    // independent recomputation from raw token counts
+    graft.Tables.documents(spark, sf()).createOrReplaceTempView("documents")
+    val docs = spark.sql(
+      """SELECT doc_id, lang, size(graft_tokens(text)) AS n
+        |FROM documents""".stripMargin).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Int]("n").toLong))
+    val want = docs.groupBy(_._2).flatMap { case (lang, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (id, _, n) =>
+        cum += n
+        (lang, (cum - 1) / budget, id, n)
+      }.groupBy { case (_, pack, _, _) => pack }
+        .map { case (pack, members) =>
+          ((lang, pack), (members.length.toLong, members.map(_._4).sum,
+            members.map(_._3).min, members.map(_._3).max))
+        }
     }
-    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
-    assert(totalDocs == 500L)
-    assert(rows.forall(_.getAs[Long]("max_tokens") <=
-      rows.map(_.getAs[Long]("sum_tokens")).max))
-    assert(budget > 0)
+    assert(got == want)
+    assert(got.values.map(_._1).sum == 500L)
   }
 
   test("contamination: reported docs are non-train with real overlap") {
