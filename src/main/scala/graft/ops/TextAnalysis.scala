@@ -332,6 +332,41 @@ object TextAnalysis {
     run(spark, dir, tfidfSql(SparkDialect))
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, packSequencesSql(SparkDialect))
-  def contamination(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir, contaminationSql(SparkDialect))
+  /** Engine-side contamination: the exploded (doc, split, gram)
+    * relation feeds BOTH sides of the inverted-index join; the
+    * single-statement SQL (kept as the oracle) inlines the tokenize +
+    * shingle chain per reference, so the engine computes it once as a
+    * cached DataFrame and self-joins aliases — the same multi-consumer
+    * pattern as Dedup's gram/signature relations. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val d = SparkDialect
+    val e = RelationCache.cached(spark, s"contamination_grams:$dir") {
+      run(spark, dir,
+        s"""WITH t AS (
+           |  SELECT doc_id, ${splitCase(d)} AS split, ${d.tokens("text")} AS toks
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, split, ${d.shingles3("toks")} AS grams FROM t)
+           |SELECT doc_id, split, ${d.explode("grams")} AS gram FROM g""".stripMargin)
+    }
+    val pair = e.filter(col("split") =!= "train").as("ev")
+      .join(e.filter(col("split") === "train").as("tr"),
+        col("ev.gram") === col("tr.gram"))
+      .groupBy(col("ev.doc_id").as("eval_id"), col("tr.doc_id").as("train_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+    pair
+      .withColumn("n_train_matches",
+        count(lit(1)).over(Window.partitionBy(col("eval_id"))))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("eval_id"))
+        .orderBy(col("shared").desc, col("train_id"))))
+      .filter(col("rn") === 1)
+      .select(col("eval_id").as("doc_id"),
+        col("n_train_matches").cast("long").as("n_train_matches"),
+        col("train_id").as("top_train_doc"),
+        col("shared").cast("long").as("top_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
 }
