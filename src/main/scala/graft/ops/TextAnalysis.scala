@@ -74,6 +74,22 @@ object TextAnalysis {
        |         ELSE 'test' END""".stripMargin
   }
 
+  /** The quality score + split assignment as self-contained SELECT
+    * expressions over (doc_id, text) — the fragments inlined into one
+    * projection, for callers that need a single narrow pass (the
+    * streaming curation path).  Same lenMinus/scoreExpr/splitCase
+    * definitions as qualitySql/curationSql, so stream, batch, and
+    * oracle cannot diverge. */
+  def scoredSplitExprs(d: SqlDialect): Seq[String] = {
+    val inlined = scoreExpr
+      .replace("n_tokens", s"CAST(${d.arrSize(d.tokens("text"))} AS BIGINT)")
+      .replace("n_sym", s"CAST(${lenMinus(d)("[^a-zA-Z0-9\\s]")} AS DOUBLE)")
+      .replace("n_digit", s"CAST(${lenMinus(d)("[0-9]")} AS DOUBLE)")
+      .replace("n_chars", "CAST(length(text) AS BIGINT)")
+    Seq(s"round($inlined, 6) AS quality_score",
+      s"${splitCase(d)} AS split")
+  }
+
   /** Quality scoring: char/token counts, symbol/digit ratios, stopword
     * ratio, and a composite [0,1] quality score. */
   def qualitySql(d: SqlDialect): String = {
