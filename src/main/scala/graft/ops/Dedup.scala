@@ -360,12 +360,11 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // both join sides consume the exploded relation — cache it so the
-    // explode (and the scan under it) runs once, not once per side
-    val e = RelationCache.cached(spark, s"mh_grams_exploded:$dir") {
-      gramsDF(spark, dir)
-        .select($"doc_id", $"ng", explode($"grams").as("gram"))
-    }
+    // both join sides re-run only the explode over the cached gram
+    // relation — cheap, and NOT worth pinning a second (exploded,
+    // larger) copy of the gram corpus in cache memory
+    val e = gramsDF(spark, dir)
+      .select($"doc_id", $"ng", explode($"grams").as("gram"))
     e.as("a")
       .join(e.as("b"), $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))

@@ -59,12 +59,16 @@ object TextAnalysis {
   private def lenMinus(d: SqlDialect)(pat: String): String =
     s"(length(text) - length(${d.reReplace("text", pat, "")}))"
 
-  /** Composite [0,1] quality score over columns
-    * (n_tokens, n_sym, n_digit, n_chars), unrounded. */
-  private def scoreExpr: String =
-    """least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 50.0)
-      |    * (1.0 - n_sym / greatest(n_chars, 1))
-      |    * (1.0 - n_digit / greatest(n_chars, 1))""".stripMargin
+  /** Composite [0,1] quality score, unrounded.  Parameterized on the
+    * four input expressions (column names in the CTE forms, inline
+    * expressions in the single-projection streaming form) so there is
+    * exactly one formula and no textual substitution. */
+  private def scoreExpr(nTokens: String = "n_tokens", nSym: String = "n_sym",
+                        nDigit: String = "n_digit",
+                        nChars: String = "n_chars"): String =
+    s"""least(CAST(1.0 AS DOUBLE), CAST($nTokens AS DOUBLE) / 50.0)
+       |    * (1.0 - $nSym / greatest($nChars, 1))
+       |    * (1.0 - $nDigit / greatest($nChars, 1))""".stripMargin
 
   /** Deterministic 90/5/5 split assignment from the doc_id hash. */
   private def splitCase(d: SqlDialect): String = {
@@ -81,11 +85,11 @@ object TextAnalysis {
     * definitions as qualitySql/curationSql, so stream, batch, and
     * oracle cannot diverge. */
   def scoredSplitExprs(d: SqlDialect): Seq[String] = {
-    val inlined = scoreExpr
-      .replace("n_tokens", s"CAST(${d.arrSize(d.tokens("text"))} AS BIGINT)")
-      .replace("n_sym", s"CAST(${lenMinus(d)("[^a-zA-Z0-9\\s]")} AS DOUBLE)")
-      .replace("n_digit", s"CAST(${lenMinus(d)("[0-9]")} AS DOUBLE)")
-      .replace("n_chars", "CAST(length(text) AS BIGINT)")
+    val inlined = scoreExpr(
+      nTokens = s"CAST(${d.arrSize(d.tokens("text"))} AS BIGINT)",
+      nSym = s"CAST(${lenMinus(d)("[^a-zA-Z0-9\\s]")} AS DOUBLE)",
+      nDigit = s"CAST(${lenMinus(d)("[0-9]")} AS DOUBLE)",
+      nChars = "CAST(length(text) AS BIGINT)")
     Seq(s"round($inlined, 6) AS quality_score",
       s"${splitCase(d)} AS split")
   }
@@ -111,7 +115,7 @@ object TextAnalysis {
        |  round(n_sym / greatest(n_chars, 1), 6) AS symbol_ratio,
        |  round(n_digit / greatest(n_chars, 1), 6) AS digit_ratio,
        |  round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
-       |  round($scoreExpr, 6) AS quality_score
+       |  round(${scoreExpr()}, 6) AS quality_score
        |FROM m
        |ORDER BY doc_id""".stripMargin
   }
@@ -192,8 +196,13 @@ object TextAnalysis {
     // composed from the SAME fragments as quality/dedup/split — the
     // rounded score gate matches text_quality's displayed score exactly
     val norm = d.reReplace("trim(lower(text))", "\\s+", " ")
+    // n_chars is COMPUTED from the text (like qualitySql and the
+    // streaming scoredSplitExprs), never read from the stored column:
+    // the score must be a pure function of the text so batch, stream,
+    // and oracle agree even on corpora whose stored n_chars drifts
     s"""WITH t AS (
-       |  SELECT doc_id, n_chars, text, ${d.tokens("text")} AS toks
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text,
+       |    ${d.tokens("text")} AS toks
        |  FROM documents),
        |m AS (
        |  SELECT doc_id, n_chars, text,
@@ -203,7 +212,7 @@ object TextAnalysis {
        |  FROM t),
        |q AS (
        |  SELECT doc_id, n_chars, n_tokens, text,
-       |    round($scoreExpr, 6) AS score
+       |    round(${scoreExpr()}, 6) AS score
        |  FROM m),
        |keep AS (
        |  SELECT doc_id, n_chars, n_tokens, md5($norm) AS text_md5
@@ -297,14 +306,19 @@ object TextAnalysis {
     * strongest-overlap train doc (ties → min id).  Split assignment
     * reuses the shared 90/5/5 hash fragment, so "train"/"eval" here is
     * exactly text_sample_split's assignment. */
-  def contaminationSql(d: SqlDialect): String = {
-    s"""WITH t AS (
+  /** Shared CTE chain ending in relation e(doc_id, split, gram) — one
+    * definition for the oracle SQL and the engine's cached build. */
+  private def contaminationGramCtes(d: SqlDialect): String =
+    s"""t AS (
        |  SELECT doc_id, ${splitCase(d)} AS split, ${d.tokens("text")} AS toks
        |  FROM documents),
        |g AS (
        |  SELECT doc_id, split, ${d.shingles3("toks")} AS grams FROM t),
        |e AS (
-       |  SELECT doc_id, split, ${d.explode("grams")} AS gram FROM g),
+       |  SELECT doc_id, split, ${d.explode("grams")} AS gram FROM g)""".stripMargin
+
+  def contaminationSql(d: SqlDialect): String = {
+    s"""WITH ${contaminationGramCtes(d)},
        |pair AS (
        |  SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
        |    count(*) AS shared
@@ -360,12 +374,8 @@ object TextAnalysis {
     val d = SparkDialect
     val e = RelationCache.cached(spark, s"contamination_grams:$dir") {
       run(spark, dir,
-        s"""WITH t AS (
-           |  SELECT doc_id, ${splitCase(d)} AS split, ${d.tokens("text")} AS toks
-           |  FROM documents),
-           |g AS (
-           |  SELECT doc_id, split, ${d.shingles3("toks")} AS grams FROM t)
-           |SELECT doc_id, split, ${d.explode("grams")} AS gram FROM g""".stripMargin)
+        s"""WITH ${contaminationGramCtes(d)}
+           |SELECT doc_id, split, gram FROM e""".stripMargin)
     }
     val pair = e.filter(col("split") =!= "train").as("ev")
       .join(e.filter(col("split") === "train").as("tr"),

@@ -30,6 +30,7 @@ object StreamingCuration {
     * (TextAnalysis.scoredSplitExprs), so stream, batch, and the
     * DuckDB oracle share one definition. */
   def curate(docs: DataFrame, minScore: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val exprs = TextAnalysis.scoredSplitExprs(SparkDialect)
     docs
       .selectExpr(("*" +: exprs): _*)

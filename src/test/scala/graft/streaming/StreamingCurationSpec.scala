@@ -30,7 +30,8 @@ class StreamingCurationSpec extends SparkSuite {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(120000) finally q.stop()
+    try assert(q.awaitTermination(120000), "stream did not finish in time")
+    finally q.stop()
 
     val streamed = spark.table("curated_docs")
       .select($"doc_id", $"quality_score", $"split")
