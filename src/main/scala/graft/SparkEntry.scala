@@ -50,6 +50,7 @@ object SparkEntry {
     "q7_nation_volume" -> (RelationalExt.q7NationVolume _),
     "q8_market_share" -> (RelationalExt.q8MarketShare _),
     "q10_returned_items" -> (RelationalExt.q10ReturnedItems _),
+    "q11_important_balance" -> (RelationalExt.q11ImportantBalance _),
     "q14_promo_revenue" -> (RelationalExt.q14PromoRevenue _),
     "q15_top_supplier" -> (RelationalExt.q15TopSupplier _),
     "q_grouping_sets" -> (RelationalExt.qGroupingSets _),
@@ -351,6 +352,7 @@ object SparkEntry {
     "q7_nation_volume" -> RelationalExt.q7NationVolumeOracleSql,
     "q8_market_share" -> RelationalExt.q8MarketShareOracleSql,
     "q10_returned_items" -> RelationalExt.q10ReturnedItemsOracleSql,
+    "q11_important_balance" -> RelationalExt.q11ImportantBalanceOracleSql,
     "q14_promo_revenue" -> RelationalExt.q14PromoRevenueOracleSql,
     "q15_top_supplier" -> RelationalExt.q15TopSupplierOracleSql,
     "q_grouping_sets" -> RelationalExt.qGroupingSetsSql,

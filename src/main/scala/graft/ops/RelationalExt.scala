@@ -280,6 +280,43 @@ object RelationalExt {
       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
 
+  // ------------------------------------------------------ TPC-H Q11 (adapted)
+
+  /** Q11-style important balances: nations whose suppliers' revenue
+    * exceeds a fixed fraction of the global total — a scalar subquery
+    * inside HAVING over the same derived relation.  Both the per-group
+    * sums and the threshold are rounded to the money grid before the
+    * comparison, so the predicate evaluates on identical doubles in
+    * both engines. */
+  def q11ImportantBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val supp = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    val nation = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    val rev = RelationCache.cached(spark, s"q11_rev:$dir") {
+      Tables.lineitem(spark, dir)
+        .select($"l_suppkey", $"l_extendedprice")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice"), 2).as("nation_rev"))
+    }
+    val thr = rev.agg(round(sum($"nation_rev") * 0.045, 2).as("thr"))
+    rev.join(broadcast(thr), $"nation_rev" > $"thr")
+      .select($"n_name", $"nation_rev")
+      .orderBy($"nation_rev".desc, $"n_name")
+  }
+
+  val q11ImportantBalanceOracleSql: String =
+    """WITH rev AS (
+      |  SELECT n_name, round(sum(l_extendedprice), 2) AS nation_rev
+      |  FROM lineitem
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT n_name, nation_rev FROM rev
+      |WHERE nation_rev > (SELECT round(sum(nation_rev) * 0.045, 2) FROM rev)
+      |ORDER BY nation_rev DESC, n_name""".stripMargin
+
   // --------------------------------------------------------- GROUPING SETS
 
   /** Explicit GROUPING SETS (distinct from rollup/cube: an arbitrary
