@@ -30,19 +30,26 @@ object Bench {
     // JIT of freshly-loaded generated classes); the minimum is the
     // repeatable per-query cost.  SPARK_GRAFT_BENCH_RUNS=1 restores
     // single-shot timing.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).getOrElse(2))
     val sorted = queries.toSeq.sortBy(_._1)
+    // a failed query reports -1 (never a fast-looking partial time) and
+    // is excluded from the total
     val results = (1 to runs).map { _ =>
       sorted.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
-    }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    }.reduce((a, b) => a.map { case (k, v) =>
+      k -> (if (v < 0 || b(k) < 0) -1.0 else math.min(v, b(k)))
+    })
     val qs = sorted.map { case (k, _) => "\"" + k + f"""\":${results(k)}%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":$failed}""")
     spark.stop()
   }
 }

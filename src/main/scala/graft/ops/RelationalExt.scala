@@ -283,11 +283,13 @@ object RelationalExt {
   // ------------------------------------------------------ TPC-H Q11 (adapted)
 
   /** Q11-style important balances: nations whose suppliers' revenue
-    * exceeds a fixed fraction of the global total — a scalar subquery
-    * inside HAVING over the same derived relation.  Both the per-group
-    * sums and the threshold are rounded to the money grid before the
-    * comparison, so the predicate evaluates on identical doubles in
-    * both engines. */
+    * exceeds a fixed fraction of the global total — Q11's
+    * filter-groups-by-a-global-aggregate shape, expressed as a scalar
+    * subquery over the same derived relation (a WHERE on the grouped
+    * CTE in the oracle; a broadcast threshold join in the engine).
+    * Both the per-group sums and the threshold are rounded to the
+    * money grid before the comparison, so the predicate evaluates on
+    * identical doubles in both engines. */
   def q11ImportantBalance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val supp = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")

@@ -172,8 +172,12 @@ object TextAnalysis {
     * training pipeline must reproduce bit-identically on any engine,
     * any partitioning, any run.  Emits per-split corpus stats. */
   def sampleSplitSql(d: SqlDialect): String = {
+    // n_chars computed from the text, matching qualitySql/curationSql:
+    // every operator's char stats are a pure function of the text, so
+    // the per-split totals reconcile across operators even on corpora
+    // whose stored n_chars column drifts
     s"""WITH s AS (
-       |  SELECT doc_id, n_chars,
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
        |    ${splitCase(d)} AS split
        |  FROM documents)
        |SELECT split, count(*) AS n_docs,
@@ -299,13 +303,6 @@ object TextAnalysis {
        |ORDER BY lang, pack_id""".stripMargin
   }
 
-  /** Benchmark-contamination check: eval-split documents sharing word
-    * 3-gram shingles with the train split.  Candidates come from the
-    * inverted shingle index (blocked equi-join — never all-pairs); per
-    * eval doc we report how many train docs share ≥ 3 shingles and the
-    * strongest-overlap train doc (ties → min id).  Split assignment
-    * reuses the shared 90/5/5 hash fragment, so "train"/"eval" here is
-    * exactly text_sample_split's assignment. */
   /** Shared CTE chain ending in relation e(doc_id, split, gram) — one
     * definition for the oracle SQL and the engine's cached build. */
   private def contaminationGramCtes(d: SqlDialect): String =
@@ -317,6 +314,13 @@ object TextAnalysis {
        |e AS (
        |  SELECT doc_id, split, ${d.explode("grams")} AS gram FROM g)""".stripMargin
 
+  /** Benchmark-contamination check: eval-split documents sharing word
+    * 3-gram shingles with the train split.  Candidates come from the
+    * inverted shingle index (blocked equi-join — never all-pairs); per
+    * eval doc we report how many train docs share ≥ 3 shingles and the
+    * strongest-overlap train doc (ties → min id).  Split assignment
+    * reuses the shared 90/5/5 hash fragment, so "train"/"eval" here is
+    * exactly text_sample_split's assignment. */
   def contaminationSql(d: SqlDialect): String = {
     s"""WITH ${contaminationGramCtes(d)},
        |pair AS (
