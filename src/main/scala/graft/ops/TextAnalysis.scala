@@ -303,6 +303,31 @@ object TextAnalysis {
        |ORDER BY lang, pack_id""".stripMargin
   }
 
+  /** Deterministic quality-weighted sampling: each document is kept
+    * with probability equal to its quality score, decided by comparing
+    * a content-independent hash of the doc id (salted so it is
+    * independent of the split-assignment hash) against the score on a
+    * fixed 10⁶ grid — the training-mix sampler that upweights clean
+    * text, reproducible bit-for-bit on any engine, any partitioning,
+    * any run.  Emits per-language acceptance stats. */
+  def weightedSampleSql(d: SqlDialect): String = {
+    val scoreExprAliased = scoredSplitExprs(d).head // round(...,6) AS quality_score
+    val salted = d.h60(s"${d.castStr("doc_id")} || '_ws'")
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, $scoreExprAliased
+       |  FROM documents),
+       |k AS (
+       |  SELECT lang, quality_score,
+       |    CASE WHEN ($salted % 1000000)
+       |         < CAST(quality_score * 1000000 AS BIGINT)
+       |         THEN 1 ELSE 0 END AS kept
+       |  FROM q)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  round(avg(quality_score), 6) AS avg_score
+       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Shared CTE chain ending in relation e(doc_id, split, gram) — one
     * definition for the oracle SQL and the engine's cached build. */
   private def contaminationGramCtes(d: SqlDialect): String =
@@ -372,6 +397,9 @@ object TextAnalysis {
     * shingle chain per reference, so the engine computes it once as a
     * cached DataFrame and self-joins aliases — the same multi-consumer
     * pattern as Dedup's gram/signature relations. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, weightedSampleSql(SparkDialect))
+
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

@@ -194,6 +194,31 @@ class RelationalExtSpec extends SparkSuite {
     assert(got.values.map(_._1).sum == 500L)
   }
 
+  test("weighted sample keeps exactly the docs whose salted hash clears the score") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val got = TextAnalysis.weightedSample(spark, sf()).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    // independent recomputation: quality scores from the quality
+    // operator, hash decision re-derived in plain Scala
+    val docs = graft.Tables.documents(spark, sf())
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val scores = TextAnalysis.quality(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality_score")))
+    val want = scores.groupBy { case (id, _) => docs(id) }.map { case (lang, ss) =>
+      val kept = ss.count { case (id, score) =>
+        val h = graft.functions.GraftH60.h60(
+          UTF8String.fromString(id.toString + "_ws"))
+        (h % 1000000) < (score * 1000000).toLong
+      }
+      lang -> (ss.length.toLong, kept.toLong)
+    }
+    assert(got == want)
+    // the sampler must actually discriminate: some kept, some dropped
+    assert(got.values.map(_._2).sum > 0)
+    assert(got.values.map(_._2).sum < got.values.map(_._1).sum)
+  }
+
   test("contamination: reported docs are non-train with real overlap") {
     import spark.implicits._
     val rows = TextAnalysis.contamination(spark, sf()).collect()
