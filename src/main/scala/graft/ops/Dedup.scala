@@ -458,49 +458,97 @@ object Dedup {
     nodes.iterator.map(n => (n, find(n)))
   }
 
+  /** Iterated contraction to the exact connected-components forest.
+    * Each round runs union-find inside every edge partition
+    * (`mapPartitions` — executor-side, no shuffle inside the round),
+    * replacing the partition's edges with a (node → local min)
+    * spanning forest.  While the total forest is still larger than
+    * `stitchMaxEdges`, partitions are merged 4-way and contracted
+    * again — the row count is non-increasing and the partition count
+    * drops geometrically, so the loop is O(log parts) rounds — then a
+    * single-task stitch finishes (skipped when a round already
+    * contracted to one partition, which makes the forest exact).
+    *
+    * Returns the stitched (node, rep) forest — one row per distinct
+    * input node — plus the number of contraction rounds run (test
+    * hook: ConnectedComponentsSpec forces ≥2 rounds with a tiny
+    * threshold).
+    *
+    * Each round's forest is persisted so the count that drives the
+    * loop doesn't recompute the upstream pair generation; the previous
+    * round is unpersisted as soon as the next is materialized.  The
+    * final persist stays until Spark evicts it (bounded by
+    * `stitchMaxEdges` rows, or by the phase-1 forest when no iteration
+    * was needed) — repeated invocations share one cache entry because
+    * the logical plan is identical. */
+  private[ops] def contractForest(
+      edges: org.apache.spark.sql.Dataset[(Long, Long)],
+      stitchMaxEdges: Long): (org.apache.spark.sql.Dataset[(Long, Long)], Int) = {
+    import org.apache.spark.storage.StorageLevel
+    import edges.sparkSession.implicits._
+    var forest = edges.mapPartitions(localCC)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var rounds = 1
+    var n = forest.count()
+    var parts = forest.rdd.getNumPartitions
+    while (n > stitchMaxEdges && parts > 1) {
+      val prev = forest
+      parts = math.max(1, parts / 4)
+      // repartition, NOT coalesce: coalesce would turn the round into
+      // a narrow dependency and collapse the parallel contraction into
+      // the downstream task; the shuffle boundary ships only the
+      // already-contracted forest
+      forest = prev.repartition(parts).mapPartitions(localCC)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      rounds += 1
+      n = forest.count()
+      prev.unpersist()
+    }
+    val stitched =
+      if (parts == 1) forest
+      else forest.repartition(1).mapPartitions(localCC)
+    (stitched, rounds)
+  }
+
   /** Near-duplicate clusters: connected components over the SimHash
     * pair graph — the operator a dedup pipeline actually consumes
     * (pick one representative per cluster, drop the rest), built on
     * the pairwise output above.
     *
-    * Engine: two-phase contraction, the MapReduce-classic CC scheme.
-    * Phase 1 runs union-find inside each edge partition
-    * (`mapPartitions` — executor-side, no shuffle), contracting every
-    * partition's edges to a spanning forest of (node → local min) links.
-    * Phase 2 unions the forests of all partitions in one task — the
-    * contracted graph is a forest bounded by the clustered-node count,
-    * vastly smaller than the edge list.  An iterated join loop was
+    * Engine: iterated contraction (`contractForest`), the
+    * MapReduce-classic CC scheme — per-partition union-find rounds
+    * shrink the edge list until it fits one task, then a single-task
+    * stitch finishes.  At tested scales one round suffices and the
+    * plan equals the former fixed two-phase form; at 100 TB with
+    * billions of near-dup docs the loop keeps every task's input
+    * bounded by `stitchMaxEdges`.  An iterated *join* loop was
     * measured 10× slower here: Spark pays ~1 s/round of job+codegen
-    * floor, while diameter-long chains need a dozen rounds.
+    * floor, while diameter-long chains need a dozen rounds — the
+    * contraction loop needs O(log partitions) rounds regardless of
+    * graph diameter.
     *
     * The result (min doc_id per component) is algorithm-independent,
     * so the oracle computes it with a third method again: a DuckDB
     * recursive-CTE reachability closure.
     *
-    * Scale: only near-dup docs (pairs ≪ corpus) enter the graph.  If
-    * the phase-2 forest outgrew one executor, phase 1 repeats on the
-    * contracted graph (contraction halves it each time) — same two
-    * building blocks, O(log) passes, still no driver-side data. */
+    * Scale: only near-dup docs (pairs ≪ corpus) enter the graph. */
   /** Generic connected components over any two-column Long pair
     * DataFrame (any near-dup pair source: SimHash, MinHash, embedding
     * cosine).  Output: one row per clustered node with the component's
-    * min id as representative and the component size. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+    * min id as representative and the component size.
+    * `stitchMaxEdges` caps the single-task stitch input (default 4M
+    * rows ≈ 64 MB of (Long, Long) pairs — comfortable for one task). */
+  def connectedComponents(pairs: DataFrame,
+                          stitchMaxEdges: Long = 4L << 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val forest = pairs
+    val edges = pairs
       .select(pairs.columns.take(2).map(c => col(c).cast("long")): _*)
       .as[(Long, Long)]
-      .mapPartitions(localCC)         // phase 1: per-partition contraction
-      // repartition, NOT coalesce: coalesce(1) is a narrow dependency
-      // that would collapse phase 1 into the single downstream task;
-      // the shuffle boundary keeps phase 1 parallel and ships only the
-      // contracted forest
-      .repartition(1)
-      .mapPartitions(localCC)         // phase 2: stitch the forests
-      .toDF("node", "rep")
+    val (forest, _) = contractForest(edges, stitchMaxEdges)
     forest
+      .toDF("node", "rep")
       .groupBy($"rep")
       .agg(collect_list($"node").as("members"))
       .select($"rep".as("cluster_rep"),

@@ -47,4 +47,35 @@ class ConnectedComponentsSpec extends SparkSuite {
       }
     }
   }
+
+  test("iterated contraction: a forest over the stitch threshold forces extra rounds") {
+    // A chain of 3-cliques: cluster k = nodes {3k, 3k+1, 3k+2}, plus a
+    // bridge edge to the next cluster — one long path-shaped component
+    // (worst case for diameter-bound algorithms) of 600 nodes.
+    val cliques = (0L until 200L).flatMap { k =>
+      val b = 3 * k
+      Seq((b, b + 1), (b + 1, b + 2), (b, b + 2))
+    }
+    val bridges = (0L until 199L).map(k => (3 * k + 2, 3 * k + 3))
+    val edges = (cliques ++ bridges).toDF("a", "b").repartition(32)
+      .as[(Long, Long)]
+
+    // threshold far below the phase-1 forest size (≤600 nodes/partition
+    // slice, but >50 total) so the loop must contract at least twice
+    val (forest, rounds) = Dedup.contractForest(edges, stitchMaxEdges = 50L)
+    assert(rounds >= 2, s"expected iterated contraction, got $rounds round(s)")
+
+    val reps = forest.collect().toMap
+    assert(reps.keySet == (0L until 600L).toSet)
+    assert(reps.values.forall(_ == 0L), "single chain component rooted at 0")
+
+    // and the public operator agrees with the reference regardless of
+    // the threshold that drove it
+    val got = Dedup.connectedComponents(
+        (cliques ++ bridges).toDF("a", "b").repartition(32),
+        stitchMaxEdges = 50L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == (0L until 600L).toSet)
+    assert(got.values.forall { case (rep, size) => rep == 0L && size == 600L })
+  }
 }
