@@ -48,10 +48,17 @@ object Dedup {
   }
 
   /** Word-3-gram Jaccard near-dup pairs (J ≥ 0.5).  Candidates are
-    * blocked on shared shingles (complete for J > 0), the Jaccard is
-    * computed from the inverted-index join counts alone — no array
-    * intersection on the pair side. */
-  def ngramJaccardSql(d: SqlDialect): String = {
+    * blocked on shared shingles, and postings for hot grams
+    * (document frequency > maxDf) are dropped from candidate
+    * generation — a stop-phrase shingle shared by f documents would
+    * otherwise contribute O(f²) join rows, the skew bomb of
+    * inverted-index dedup at scale.  The dropped grams are folded back
+    * EXACTLY into each surviving pair's shared-count via the
+    * intersection of the per-doc hot-gram arrays (small: only
+    * boilerplate grams are hot), so reported Jaccard values are
+    * identical to the uncapped computation; only pairs whose every
+    * shared gram is hot are lost (see TextOps.MaxGramDf). */
+  def ngramJaccardSql(d: SqlDialect, maxDf: Int = MaxGramDf): String = {
     // Layered CTEs on purpose: `toks` and `grams` must be materialized
     // columns before any multi-reference use, or the tokenize chain is
     // substituted into each lambda element access and recomputed per
@@ -66,15 +73,31 @@ object Dedup {
        |  SELECT doc_id, grams, ${d.arrSize("grams")} AS ng FROM t),
        |e AS (
        |  SELECT doc_id, ng, ${d.explode("grams")} AS gram FROM s),
+       |ew AS (
+       |  SELECT doc_id, ng, gram,
+       |    count(*) OVER (PARTITION BY gram) AS df FROM e),
+       |ec AS (
+       |  SELECT doc_id, ng, gram FROM ew WHERE df <= $maxDf),
+       |hot AS (
+       |  SELECT doc_id, ${d.listAgg("gram")} AS hgrams
+       |  FROM ew WHERE df > $maxDf GROUP BY doc_id),
        |c AS (
        |  SELECT a.doc_id AS ia, b.doc_id AS ib,
        |         max(a.ng) AS na, max(b.ng) AS nb,
-       |         CAST(count(*) AS DOUBLE) AS shared
-       |  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)
+       |         CAST(count(*) AS DOUBLE) AS cold
+       |  FROM ec a JOIN ec b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |v AS (
+       |  SELECT c.ia, c.ib, c.na, c.nb,
+       |    c.cold + coalesce(
+       |      CAST(${d.arrIntersectSize("ha.hgrams", "hb.hgrams")} AS DOUBLE),
+       |      ${d.dlit(0.0)}) AS shared
+       |  FROM c
+       |  LEFT JOIN hot ha ON ha.doc_id = c.ia
+       |  LEFT JOIN hot hb ON hb.doc_id = c.ib)
        |SELECT ia AS doc_id_a, ib AS doc_id_b,
        |  round(shared / (na + nb - shared), 6) AS jaccard
-       |FROM c
+       |FROM v
        |WHERE shared / (na + nb - shared) >= 0.5
        |ORDER BY doc_id_a, doc_id_b""".stripMargin
   }

@@ -67,6 +67,10 @@ sealed trait SqlDialect {
   def dlit(x: Double): String
   /** [0..n-1], empty when n < 1. */
   def sequence0(n: String): String
+  /** Aggregate values into an array (grouped-select position).  Element
+    * order is engine-dependent — callers may only use the result in
+    * order-insensitive ways (size, intersection size). */
+  def listAgg(x: String): String
 
   /** Word 3-gram shingle set (distinct) from a token-array expression. */
   def shingles3(toks: String): String =
@@ -140,6 +144,7 @@ object SparkDialect extends SqlDialect {
   def dlit(x: Double): String = s"${x}D"
   def sequence0(n: String): String =
     s"(CASE WHEN ($n) >= 1 THEN sequence(0, ($n) - 1) ELSE slice(sequence(1, 1), 1, 0) END)"
+  def listAgg(x: String): String = s"collect_list($x)"
 }
 
 object DuckDialect extends SqlDialect {
@@ -178,12 +183,29 @@ object DuckDialect extends SqlDialect {
   def arrOf(items: Seq[String]): String = s"[${items.mkString(", ")}]"
   def dlit(x: Double): String = s"CAST($x AS DOUBLE)"
   def sequence0(n: String): String = s"generate_series(0, ($n) - 1)"
+  def listAgg(x: String): String = s"list($x)"
 }
 
 /** Deterministic parameters shared by the hashing operators. */
 object TextOps {
   /** Mersenne prime 2^31 - 1: (a * (h % P) + b) stays < 2^62. */
   val P: Long = 2147483647L
+
+  /** Hot-gram document-frequency cap for the inverted-index joins
+    * (n-gram Jaccard dedup, contamination check).  A shingle shared by
+    * f documents contributes O(f²) candidate pairs, so one viral
+    * boilerplate phrase is a skew bomb at scale; postings for grams
+    * with df > MaxGramDf are dropped from candidate *generation*, and
+    * the dropped grams are folded back EXACTLY into each surviving
+    * pair's shared-count via the intersection of the (small) per-doc
+    * hot-gram arrays — scores are unchanged, only pairs whose every
+    * shared gram is hot are lost (boilerplate-only overlaps, far below
+    * any Jaccard threshold when the cap is generous).  64 is generous
+    * for the fixture corpora (max observed df: 7 at sf0.01, 25 at
+    * sf0.1 — results are bit-identical with or without the cap, which
+    * is how the oracle proves recall is intact); production corpora
+    * tune it via the operator parameter. */
+  val MaxGramDf = 64
 
   /** MinHash: 32 permutations, banded 8 × 4 for LSH candidates. */
   val NumPerms = 32
