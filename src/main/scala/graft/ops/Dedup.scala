@@ -379,7 +379,11 @@ object Dedup {
   /** Engine-side ngram Jaccard: the gram relation feeds both sides of
     * the inverted-index self-join — computed once, cached, joined via
     * DataFrame aliases (the single-statement SQL form inlines it
-    * twice; kept as the oracle). */
+    * twice; kept as the oracle).  Candidate generation runs the SAME
+    * hot-gram df cap + exact fold-back algorithm as `ngramJaccardSql`,
+    * but in the shuffle-safe engine form (`TextOps.capPostings`:
+    * groupBy-count df + broadcast hot set, never a window or shuffle
+    * keyed on a skewed gram). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -388,11 +392,32 @@ object Dedup {
     // larger) copy of the gram corpus in cache memory
     val e = gramsDF(spark, dir)
       .select($"doc_id", $"ng", explode($"grams").as("gram"))
-    e.as("a")
-      .join(e.as("b"), $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+    ngramJaccardCapped(e, MaxGramDf)
+  }
+
+  /** The capped pair stage over an exploded posting relation
+    * e(doc_id, ng, gram) — split out so specs can run it on synthetic
+    * boilerplate-heavy corpora with a tiny cap.  Mirrors the CTE chain
+    * of `ngramJaccardSql` (ec → c → v) exactly: cold candidate join on
+    * df-capped postings, then the dropped hot grams folded back into
+    * each surviving pair's shared-count via the per-doc hot-array
+    * intersection, so reported Jaccard values equal the uncapped
+    * computation (shingles are distinct per doc). */
+  private[ops] def ngramJaccardCapped(posts: DataFrame, maxDf: Int): DataFrame = {
+    val spark = posts.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (cold, hotPerDoc) = TextOps.capPostings(posts, maxDf)
+    val c = cold.as("a")
+      .join(cold.as("b"), $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
       .agg(max($"a.ng").as("na"), max($"b.ng").as("nb"),
-        count(lit(1)).cast("double").as("shared"))
+        count(lit(1)).cast("double").as("cold_shared"))
+    c.join(hotPerDoc.as("ha"), $"ha.doc_id" === $"ia", "left")
+      .join(hotPerDoc.as("hb"), $"hb.doc_id" === $"ib", "left")
+      .withColumn("shared", $"cold_shared" + coalesce(
+        size(array_intersect($"ha.hgrams", $"hb.hgrams")).cast("double"),
+        lit(0.0)))
       .withColumn("jaccard", $"shared" / ($"na" + $"nb" - $"shared"))
       .filter($"jaccard" >= 0.5)
       .select($"ia".as("doc_id_a"), $"ib".as("doc_id_b"),

@@ -319,7 +319,7 @@ object TextAnalysis {
        |k AS (
        |  SELECT lang, quality_score,
        |    CASE WHEN ($salted % 1000000)
-       |         < CAST(quality_score * 1000000 AS BIGINT)
+       |         < CAST(round(quality_score * 1000000, 0) AS BIGINT)
        |         THEN 1 ELSE 0 END AS kept
        |  FROM q)
        |SELECT lang, count(*) AS n_docs,
@@ -345,22 +345,48 @@ object TextAnalysis {
     * eval doc we report how many train docs share ≥ 3 shingles and the
     * strongest-overlap train doc (ties → min id).  Split assignment
     * reuses the shared 90/5/5 hash fragment, so "train"/"eval" here is
-    * exactly text_sample_split's assignment. */
-  def contaminationSql(d: SqlDialect): String = {
+    * exactly text_sample_split's assignment.
+    *
+    * Like `Dedup.ngramJaccardSql`, candidate generation drops postings
+    * for hot grams (df > maxDf) — one viral boilerplate shingle would
+    * otherwise contribute O(f²) join rows — and folds the dropped
+    * grams back EXACTLY into each surviving pair's shared-count via
+    * the per-doc hot-gram array intersection (shingles are distinct
+    * per doc), so the ≥ 3 threshold and the reported counts equal the
+    * uncapped computation.  Only pairs whose every shared gram is hot
+    * (boilerplate-only overlap) are lost. */
+  def contaminationSql(d: SqlDialect, maxDf: Int = TextOps.MaxGramDf): String = {
     s"""WITH ${contaminationGramCtes(d)},
+       |ew AS (
+       |  SELECT doc_id, split, gram,
+       |    count(*) OVER (PARTITION BY gram) AS df FROM e),
+       |ec AS (
+       |  SELECT doc_id, split, gram FROM ew WHERE df <= $maxDf),
+       |hot AS (
+       |  SELECT doc_id, ${d.listAgg("gram")} AS hgrams
+       |  FROM ew WHERE df > $maxDf GROUP BY doc_id),
        |pair AS (
        |  SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
-       |    count(*) AS shared
-       |  FROM e ev JOIN e tr ON ev.gram = tr.gram
+       |    count(*) AS cold
+       |  FROM ec ev JOIN ec tr ON ev.gram = tr.gram
        |  WHERE ev.split != 'train' AND tr.split = 'train'
-       |  GROUP BY ev.doc_id, tr.doc_id
-       |  HAVING count(*) >= 3),
+       |  GROUP BY ev.doc_id, tr.doc_id),
+       |v AS (
+       |  SELECT p.eval_id, p.train_id,
+       |    p.cold + coalesce(
+       |      CAST(${d.arrIntersectSize("he.hgrams", "ht.hgrams")} AS BIGINT),
+       |      CAST(0 AS BIGINT)) AS shared
+       |  FROM pair p
+       |  LEFT JOIN hot he ON he.doc_id = p.eval_id
+       |  LEFT JOIN hot ht ON ht.doc_id = p.train_id),
+       |f AS (
+       |  SELECT eval_id, train_id, shared FROM v WHERE shared >= 3),
        |r AS (
        |  SELECT eval_id, train_id, shared,
        |    count(*) OVER (PARTITION BY eval_id) AS n_train_matches,
        |    row_number() OVER (PARTITION BY eval_id
        |      ORDER BY shared DESC, train_id) AS rn
-       |  FROM pair)
+       |  FROM f)
        |SELECT eval_id AS doc_id,
        |  CAST(n_train_matches AS BIGINT) AS n_train_matches,
        |  train_id AS top_train_doc,
@@ -391,31 +417,47 @@ object TextAnalysis {
     run(spark, dir, tfidfSql(SparkDialect))
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, packSequencesSql(SparkDialect))
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, weightedSampleSql(SparkDialect))
+
   /** Engine-side contamination: the exploded (doc, split, gram)
     * relation feeds BOTH sides of the inverted-index join; the
     * single-statement SQL (kept as the oracle) inlines the tokenize +
     * shingle chain per reference, so the engine computes it once as a
     * cached DataFrame and self-joins aliases — the same multi-consumer
     * pattern as Dedup's gram/signature relations. */
-  def weightedSample(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir, weightedSampleSql(SparkDialect))
-
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    val d = SparkDialect
     val e = RelationCache.cached(spark, s"contamination_grams:$dir") {
       run(spark, dir,
-        s"""WITH ${contaminationGramCtes(d)}
+        s"""WITH ${contaminationGramCtes(SparkDialect)}
            |SELECT doc_id, split, gram FROM e""".stripMargin)
     }
-    val pair = e.filter(col("split") =!= "train").as("ev")
-      .join(e.filter(col("split") === "train").as("tr"),
+    contaminationCapped(e, TextOps.MaxGramDf)
+  }
+
+  /** The capped pair stage over an exploded posting relation
+    * e(doc_id, split, gram) — split out so specs can run it on
+    * synthetic boilerplate-heavy corpora with a tiny cap.  Mirrors the
+    * CTE chain of `contaminationSql` (ec → pair → v → f → r) exactly,
+    * but with gram df from a map-side-combining groupBy and the (tiny)
+    * hot-gram set broadcast (`TextOps.capPostings`) — no window or
+    * shuffle keyed on a skewed gram. */
+  private[ops] def contaminationCapped(posts: DataFrame, maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val (cold, hotPerDoc) = TextOps.capPostings(posts, maxDf)
+    val pair = cold.filter(col("split") =!= "train").as("ev")
+      .join(cold.filter(col("split") === "train").as("tr"),
         col("ev.gram") === col("tr.gram"))
       .groupBy(col("ev.doc_id").as("eval_id"), col("tr.doc_id").as("train_id"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 3)
+      .agg(count(lit(1)).as("cold_shared"))
     pair
+      .join(hotPerDoc.as("he"), col("he.doc_id") === col("eval_id"), "left")
+      .join(hotPerDoc.as("ht"), col("ht.doc_id") === col("train_id"), "left")
+      .withColumn("shared", col("cold_shared") + coalesce(
+        size(array_intersect(col("he.hgrams"), col("ht.hgrams"))).cast("long"),
+        lit(0L)))
+      .filter(col("shared") >= 3)
       .withColumn("n_train_matches",
         count(lit(1)).over(Window.partitionBy(col("eval_id"))))
       .withColumn("rn", row_number().over(Window.partitionBy(col("eval_id"))

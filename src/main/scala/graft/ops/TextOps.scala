@@ -248,6 +248,33 @@ object TextOps {
   def planeWeights(p: Int): Seq[Double] =
     (0 until EmbeddingDim).map(d => ((1 + ((p * 67 + d * 29) % 97)) - 49).toDouble)
 
+  /** Split an exploded posting relation `e(doc_id, ..., gram)` into the
+    * capped candidate-generation inputs: (cold postings — `e` minus the
+    * rows whose gram has document frequency > `maxDf` — and the per-doc
+    * hot-gram arrays for the exact fold-back).  This is the engine-side
+    * form of the df cap in `Dedup.ngramJaccardSql` /
+    * `TextAnalysis.contaminationSql`:
+    *  - gram df comes from a map-side-combining `groupBy("gram")` — NOT
+    *    the SQL form's `count(*) OVER (PARTITION BY gram)`, which ships
+    *    every posting of a hot gram into a single window task (the
+    *    linear-skew variant of the same bomb the cap exists to defuse);
+    *  - the hot-gram set (tiny: boilerplate phrases only) is broadcast
+    *    into both consumers, so no stage ever shuffles postings keyed
+    *    on a skewed gram.  The two broadcasts share one exchange
+    *    (identical subplans → ReusedExchange). */
+  def capPostings(posts: org.apache.spark.sql.DataFrame, maxDf: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val hot = posts.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("gram")
+    val cold = posts.join(broadcast(hot), Seq("gram"), "left_anti")
+    val hotPerDoc = posts.join(broadcast(hot), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("gram")).as("hgrams"))
+    (cold, hotPerDoc)
+  }
+
   /** Add an optimizer rule to spark.sql.optimizer.excludedRules,
     * preserving exclusions already present (idempotent). */
   def excludeRule(spark: org.apache.spark.sql.SparkSession, rule: String): Unit = {

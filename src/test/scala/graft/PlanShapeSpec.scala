@@ -170,6 +170,32 @@ class PlanShapeSpec extends SparkSuite {
     assert(exchanges <= 2, s"q_array_stats has $exchanges exchanges:\n${as.take(1200)}")
   }
 
+  test("hot-gram cap runs as broadcast anti-join, never a gram-keyed window") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    Seq("dedup_ngram_jaccard", "text_contamination").foreach { q =>
+      val root = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
+      val all = planSubtree(root)
+      // the posting filter is a broadcast LeftAnti against the (tiny)
+      // hot-gram set — the df computation never shuffles postings
+      // keyed on a skewed gram
+      val anti = all.collect {
+        case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j
+      }
+      assert(anti.nonEmpty, s"$q: no broadcast anti-join\n${root.toString.take(1500)}")
+      // no window operator partitioned by gram anywhere in the plan
+      // (count(*) OVER (PARTITION BY gram) would ship every posting of
+      // a hot gram into a single task — the linear-skew variant)
+      val gramWindows = all.flatMap {
+        case w: WindowExec           => w.partitionSpec
+        case w: WindowGroupLimitExec => w.partitionSpec
+        case _                       => Nil
+      }.filter(_.toString.contains("gram"))
+      assert(gramWindows.isEmpty, s"$q: window partitioned by gram: $gramWindows")
+    }
+  }
+
   test("mm frame sampling filters inside the generator, pre-explosion") {
     val p = plan("mm_video_frames")
     // the sample predicate is applied to the sequence before explode:

@@ -209,7 +209,10 @@ class RelationalExtSpec extends SparkSuite {
       val kept = ss.count { case (id, score) =>
         val h = graft.functions.GraftH60.h60(
           UTF8String.fromString(id.toString + "_ws"))
-        (h % 1000000) < (score * 1000000).toLong
+        // same grid snap as the shared SQL fragment: round-half-up to
+        // the integer, never IEEE truncation (Spark CAST truncates,
+        // DuckDB CAST rounds — round(x, 0) agrees in both)
+        (h % 1000000) < Math.round(score * 1000000)
       }
       lang -> (ss.length.toLong, kept.toLong)
     }
@@ -217,6 +220,26 @@ class RelationalExtSpec extends SparkSuite {
     // the sampler must actually discriminate: some kept, some dropped
     assert(got.values.map(_._2).sum > 0)
     assert(got.values.map(_._2).sum < got.values.map(_._1).sum)
+  }
+
+  test("weighted-sample threshold snaps boundary-landing scores to the grid") {
+    // 0.29 * 1e6 = 289999.99999999994 in IEEE doubles: a truncating
+    // cast (Spark's CAST semantics) lands one below the intended grid
+    // point while DuckDB's rounding cast lands on it — the latent
+    // one-ulp parity flip the explicit round(x, 0) removes.  Assert
+    // the engine's threshold expression equals the round-half-up Scala
+    // derivation for scores that land below, on, and above the grid.
+    val boundary = Seq(0.29, 0.57, 0.123456, 0.999999, 0.5, 1.0, 0.0)
+    val thresholds = spark.sql(
+      s"""SELECT s, CAST(round(s * 1000000, 0) AS BIGINT) AS t
+         |FROM VALUES ${boundary.map(s => s"(${s}D)").mkString(", ")} AS v(s)"""
+        .stripMargin).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    boundary.foreach { s =>
+      assert(thresholds(s) == Math.round(s * 1000000), s"score $s")
+    }
+    // the regression this guards: truncation disagrees on 0.29
+    assert((0.29 * 1000000).toLong != Math.round(0.29 * 1000000))
   }
 
   test("contamination: reported docs are non-train with real overlap") {
