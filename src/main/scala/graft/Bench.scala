@@ -49,7 +49,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":$failed}""")
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":$failed}"""
+    // The full line (~3 KB with 80+ queries) overflows the harness's
+    // output-tail capture, truncating its front into unparseable text —
+    // so persist it to a file and ALSO print a short summary line LAST,
+    // guaranteed to survive any tail window whole.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(full)
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","runs":$runs,"failed":$failed,"queries_file":"bench_out.json"}""")
     spark.stop()
   }
 }

@@ -309,7 +309,17 @@ object TextAnalysis {
     * independent of the split-assignment hash) against the score on a
     * fixed 10⁶ grid — the training-mix sampler that upweights clean
     * text, reproducible bit-for-bit on any engine, any partitioning,
-    * any run.  Emits per-language acceptance stats. */
+    * any run.  Emits per-language acceptance stats.
+    *
+    * The round(x, 0) before the BIGINT cast is defensive parity
+    * hygiene only: scores here are on the round(..., 6) grid, and any
+    * 6-decimal score times 10⁶ is exactly the intended integer in IEEE
+    * doubles (relative error ≤ 2⁻⁵⁴·10⁶, under half an ulp), so
+    * Spark's truncating CAST and DuckDB's rounding CAST already agree
+    * on-grid.  Divergence only exists for off-grid doubles (e.g.
+    * nextDown(0.29)·10⁶ = 289999.99…), which the round() snaps back —
+    * it guards future callers feeding unsnapped scores, not this
+    * query. */
   def weightedSampleSql(d: SqlDialect): String = {
     val scoreExprAliased = scoredSplitExprs(d).head // round(...,6) AS quality_score
     val salted = d.h60(s"${d.castStr("doc_id")} || '_ws'")
@@ -353,8 +363,24 @@ object TextAnalysis {
     * grams back EXACTLY into each surviving pair's shared-count via
     * the per-doc hot-gram array intersection (shingles are distinct
     * per doc), so the ≥ 3 threshold and the reported counts equal the
-    * uncapped computation.  Only pairs whose every shared gram is hot
-    * (boilerplate-only overlap) are lost. */
+    * uncapped computation for every pair that shares at least one
+    * cold gram.
+    *
+    * KNOWN BLIND SPOT — pairs whose ENTIRE overlap is hot grams are
+    * not reported, and unlike Jaccard dedup (where boilerplate-only
+    * overlap sits far below any similarity threshold) the ≥ 3 bar here
+    * is easily met by hot grams alone, so a short eval doc made of
+    * pure boilerplate can silently lose its contamination hits.  This
+    * is inherent to the cap, not fixable cheaply: generating hot-only
+    * candidates means pairing documents through posting lists of df >
+    * maxDf, i.e. exactly the O(f²) blow-up the cap exists to prevent
+    * (at web scale "documents containing ≥ 1 hot gram" is nearly all
+    * documents, so a hot×hot doc join is an all-pairs join in
+    * disguise).  Callers screening high-value eval sets should raise
+    * `maxDf` (the fixture default of 64 is generous; results here are
+    * proven bit-identical with and without the cap) or pre-strip known
+    * boilerplate before the check.  The oracle applies the identical
+    * cap, so correctness runs verify the capped spec. */
   def contaminationSql(d: SqlDialect, maxDf: Int = TextOps.MaxGramDf): String = {
     s"""WITH ${contaminationGramCtes(d)},
        |ew AS (

@@ -248,6 +248,17 @@ object TextOps {
   def planeWeights(p: Int): Seq[Double] =
     (0 until EmbeddingDim).map(d => ((1 + ((p * 67 + d * 29) % 97)) - 49).toDouble)
 
+  /** Hot-gram sets up to this many rows are force-broadcast into the
+    * cap joins; larger sets fall back to a shuffled join.  1M grams at
+    * ~60 bytes each is ≲ 64 MB on the driver — far under the 8 GB
+    * broadcast ceiling but large enough that every realistic
+    * boilerplate vocabulary fits.  A corpus whose hot set exceeds this
+    * has `maxDf` tuned far too low for its size (at web scale a df cap
+    * of 64 marks *every common phrase* hot — the cap parameter must
+    * scale with the corpus, this guard just makes the failure mode a
+    * slower join instead of a driver OOM). */
+  val BroadcastMaxHotGrams: Long = 1000000L
+
   /** Split an exploded posting relation `e(doc_id, ..., gram)` into the
     * capped candidate-generation inputs: (cold postings — `e` minus the
     * rows whose gram has document frequency > `maxDf` — and the per-doc
@@ -258,18 +269,28 @@ object TextOps {
     *    the SQL form's `count(*) OVER (PARTITION BY gram)`, which ships
     *    every posting of a hot gram into a single window task (the
     *    linear-skew variant of the same bomb the cap exists to defuse);
-    *  - the hot-gram set (tiny: boilerplate phrases only) is broadcast
-    *    into both consumers, so no stage ever shuffles postings keyed
-    *    on a skewed gram.  The two broadcasts share one exchange
-    *    (identical subplans → ReusedExchange). */
+    *  - the hot-gram set is counted first (one agg job over the — in
+    *    practice cached — posting relation) and broadcast into both
+    *    consumers only while it stays under `BroadcastMaxHotGrams`, so
+    *    no stage shuffles postings keyed on a skewed gram and an
+    *    over-eager `maxDf` cannot OOM the driver.  The two broadcasts
+    *    share one exchange (identical subplans → ReusedExchange).  In
+    *    the oversized fallback the joins shuffle; hot postings then
+    *    skew linearly per gram, which AQE's skew-split handles — a
+    *    degraded mode, never a fatal one.
+    *
+    * The per-doc `hgrams` arrays are bounded by each document's own
+    * distinct-shingle count (≤ its token length), never by corpus
+    * size. */
   def capPostings(posts: org.apache.spark.sql.DataFrame, maxDf: Int)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.functions._
     val hot = posts.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("gram")
-    val cold = posts.join(broadcast(hot), Seq("gram"), "left_anti")
-    val hotPerDoc = posts.join(broadcast(hot), Seq("gram"))
+    val hotSide = if (hot.count() <= BroadcastMaxHotGrams) broadcast(hot) else hot
+    val cold = posts.join(hotSide, Seq("gram"), "left_anti")
+    val hotPerDoc = posts.join(hotSide, Seq("gram"))
       .groupBy("doc_id")
       .agg(collect_list(col("gram")).as("hgrams"))
     (cold, hotPerDoc)

@@ -223,12 +223,16 @@ class RelationalExtSpec extends SparkSuite {
   }
 
   test("weighted-sample threshold snaps boundary-landing scores to the grid") {
-    // 0.29 * 1e6 = 289999.99999999994 in IEEE doubles: a truncating
-    // cast (Spark's CAST semantics) lands one below the intended grid
-    // point while DuckDB's rounding cast lands on it — the latent
-    // one-ulp parity flip the explicit round(x, 0) removes.  Assert
-    // the engine's threshold expression equals the round-half-up Scala
-    // derivation for scores that land below, on, and above the grid.
+    // For any on-grid score (round(x, 6) of something), score * 1e6 is
+    // exactly the intended integer in IEEE doubles (the relative error
+    // bound 2^-54 * 1e6 is under half an ulp), so Spark's truncating
+    // CAST and DuckDB's rounding CAST already agreed.  The explicit
+    // round(x, 0) is defensive parity hygiene for OFF-grid doubles,
+    // where the product can land just below the integer and a
+    // truncating cast drops one below the rounding cast.  Assert the
+    // engine's threshold expression equals the round-half-up Scala
+    // derivation on on-grid scores, and that the off-grid divergence
+    // the round() defends against is real.
     val boundary = Seq(0.29, 0.57, 0.123456, 0.999999, 0.5, 1.0, 0.0)
     val thresholds = spark.sql(
       s"""SELECT s, CAST(round(s * 1000000, 0) AS BIGINT) AS t
@@ -238,8 +242,15 @@ class RelationalExtSpec extends SparkSuite {
     boundary.foreach { s =>
       assert(thresholds(s) == Math.round(s * 1000000), s"score $s")
     }
-    // the regression this guards: truncation disagrees on 0.29
-    assert((0.29 * 1000000).toLong != Math.round(0.29 * 1000000))
+    // the divergence round(x, 0) guards against needs an off-grid
+    // double: nextDown(0.29) * 1e6 = 289999.99999999994, where
+    // truncation (Spark CAST) and round-half-up (DuckDB CAST) disagree
+    val offGrid = Math.nextDown(0.29)
+    assert((offGrid * 1000000).toLong != Math.round(offGrid * 1000000))
+    // ...while every on-grid score multiplies to an exact integer
+    boundary.foreach { s =>
+      assert((s * 1000000).toLong == Math.round(s * 1000000), s"score $s")
+    }
   }
 
   test("contamination: reported docs are non-train with real overlap") {
