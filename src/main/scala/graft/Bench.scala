@@ -54,12 +54,16 @@ object Bench {
     // The full line (~3 KB with 80+ queries) overflows the harness's
     // output-tail capture, truncating its front into unparseable text —
     // so persist it to a file and ALSO print a short summary line LAST,
-    // guaranteed to survive any tail window whole.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+    // guaranteed to survive any tail window whole.  The summary carries
+    // a distinct metric key so consumers can't confuse it with the full
+    // per-query line, and the file write cannot abort a successful run.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"bench_out.json write failed: ${e.getMessage}") }
     println(full)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","runs":$runs,"failed":$failed,"queries_file":"bench_out.json"}""")
+      f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","sf":"$sfDir","runs":$runs,"failed":$failed,"queries_file":"bench_out.json"}""")
     spark.stop()
   }
 }

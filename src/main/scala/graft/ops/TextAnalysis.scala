@@ -311,15 +311,15 @@ object TextAnalysis {
     * text, reproducible bit-for-bit on any engine, any partitioning,
     * any run.  Emits per-language acceptance stats.
     *
-    * The round(x, 0) before the BIGINT cast is defensive parity
-    * hygiene only: scores here are on the round(..., 6) grid, and any
-    * 6-decimal score times 10⁶ is exactly the intended integer in IEEE
-    * doubles (relative error ≤ 2⁻⁵⁴·10⁶, under half an ulp), so
-    * Spark's truncating CAST and DuckDB's rounding CAST already agree
-    * on-grid.  Divergence only exists for off-grid doubles (e.g.
-    * nextDown(0.29)·10⁶ = 289999.99…), which the round() snaps back —
-    * it guards future callers feeding unsnapped scores, not this
-    * query. */
+    * The round(x, 0) before the BIGINT cast is REQUIRED, even for
+    * scores already on the round(..., 6) grid: multiplying a 6-decimal
+    * double by 10⁶ is NOT always exact (the error can reach a full ulp
+    * in the upper half of a binade).  Exhaustively, 23,104 of the
+    * 10⁶+1 grid values do not multiply back to the intended integer,
+    * and 11,549 land BELOW it — e.g. 0.000249 · 10⁶ =
+    * 248.99999999999997, where Spark's truncating CAST yields 248
+    * while DuckDB's rounding CAST yields 249.  Removing the round()
+    * breaks Spark/DuckDB parity on-grid; do not remove it. */
   def weightedSampleSql(d: SqlDialect): String = {
     val scoreExprAliased = scoredSplitExprs(d).head // round(...,6) AS quality_score
     val salted = d.h60(s"${d.castStr("doc_id")} || '_ws'")

@@ -285,9 +285,20 @@ object TextOps {
   def capPostings(posts: org.apache.spark.sql.DataFrame, maxDf: Int)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.functions._
+    // The hot set is persisted around the size-guard count so the
+    // groupBy-count aggregation runs exactly once even when `posts` is
+    // an uncached relation (the count is eager; without the persist the
+    // `hot` subplan would be re-evaluated inside both joins below —
+    // three full scans of an uncached `posts`).  The pinned set is tiny
+    // (grams with df > maxDf — the boilerplate vocabulary, not the
+    // corpus), and repeat invocations over the same posting relation
+    // share one cache entry (the CacheManager keys on the canonicalized
+    // plan), so the footprint is bounded by distinct (relation, cap)
+    // pairs — the same O(1)-per-session shape as RelationCache.
     val hot = posts.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hotSide = if (hot.count() <= BroadcastMaxHotGrams) broadcast(hot) else hot
     val cold = posts.join(hotSide, Seq("gram"), "left_anti")
     val hotPerDoc = posts.join(hotSide, Seq("gram"))

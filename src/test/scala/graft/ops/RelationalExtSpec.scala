@@ -223,17 +223,18 @@ class RelationalExtSpec extends SparkSuite {
   }
 
   test("weighted-sample threshold snaps boundary-landing scores to the grid") {
-    // For any on-grid score (round(x, 6) of something), score * 1e6 is
-    // exactly the intended integer in IEEE doubles (the relative error
-    // bound 2^-54 * 1e6 is under half an ulp), so Spark's truncating
-    // CAST and DuckDB's rounding CAST already agreed.  The explicit
-    // round(x, 0) is defensive parity hygiene for OFF-grid doubles,
-    // where the product can land just below the integer and a
-    // truncating cast drops one below the rounding cast.  Assert the
-    // engine's threshold expression equals the round-half-up Scala
-    // derivation on on-grid scores, and that the off-grid divergence
-    // the round() defends against is real.
-    val boundary = Seq(0.29, 0.57, 0.123456, 0.999999, 0.5, 1.0, 0.0)
+    // Multiplying an on-grid score (round(x, 6) of something) by 1e6
+    // is NOT always exact in IEEE doubles — ~23k of the 1e6+1 grid
+    // values miss the intended integer, and ~11.5k land BELOW it
+    // (0.000249 * 1e6 = 248.99999999999997), where a truncating cast
+    // (Spark CAST) yields k-1 but a rounding cast (DuckDB CAST) yields
+    // k.  The explicit round(x, 0) is therefore load-bearing ON-grid,
+    // not just for off-grid doubles.  Assert the engine's
+    // round()-based threshold expression equals the round-half-up
+    // Scala derivation on all boundary scores INCLUDING a divergent
+    // grid point, and that bare truncation really does diverge there.
+    val boundary =
+      Seq(0.29, 0.57, 0.123456, 0.999999, 0.5, 1.0, 0.0, 0.000249)
     val thresholds = spark.sql(
       s"""SELECT s, CAST(round(s * 1000000, 0) AS BIGINT) AS t
          |FROM VALUES ${boundary.map(s => s"(${s}D)").mkString(", ")} AS v(s)"""
@@ -242,15 +243,15 @@ class RelationalExtSpec extends SparkSuite {
     boundary.foreach { s =>
       assert(thresholds(s) == Math.round(s * 1000000), s"score $s")
     }
-    // the divergence round(x, 0) guards against needs an off-grid
-    // double: nextDown(0.29) * 1e6 = 289999.99999999994, where
-    // truncation (Spark CAST) and round-half-up (DuckDB CAST) disagree
+    // The divergence round(x, 0) guards against is live ON-grid:
+    // 0.000249 * 1e6 = 248.99999999999997, so bare truncation yields
+    // 248 while round-half-up yields 249 — proof the round() above is
+    // necessary, not hygiene.  (Off-grid doubles diverge too:
+    // nextDown(0.29) * 1e6 = 289999.99999999994.)
+    assert((0.000249 * 1000000).toLong == 248L)
+    assert(Math.round(0.000249 * 1000000) == 249L)
     val offGrid = Math.nextDown(0.29)
     assert((offGrid * 1000000).toLong != Math.round(offGrid * 1000000))
-    // ...while every on-grid score multiplies to an exact integer
-    boundary.foreach { s =>
-      assert((s * 1000000).toLong == Math.round(s * 1000000), s"score $s")
-    }
   }
 
   test("contamination: reported docs are non-train with real overlap") {
