@@ -113,6 +113,7 @@ object SparkEntry {
     "sim_ann_lsh" -> (Similarity.annLsh _),
     "sim_ann_ivf" -> (Similarity.ivf _),
     "sim_ivf_kmeans" -> (Similarity.ivfKmeans _),
+    "sim_recall" -> (Similarity.recall _),
     // HLL sketch — engine-specific, driver records rows-only check
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     // KMV sketch — portable-hash estimator, fully oracle-checked
@@ -409,6 +410,7 @@ object SparkEntry {
     "sim_ann_lsh" -> Similarity.annLshSql(DuckDialect),
     "sim_ann_ivf" -> Similarity.ivfSql(DuckDialect),
     "sim_ivf_kmeans" -> Similarity.ivfKmeansSql(DuckDialect),
+    "sim_recall" -> Similarity.recallSql(DuckDialect),
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,
     "q_salted_agg" -> ScalePatterns.qSaltedAggOracleSql,
     "mm_inventory" -> Multimodal.inventoryOracleSql,

@@ -224,6 +224,72 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** ANN recall measurement: per query vector, the fraction of the
+    * TRUE cosine top-5 (`topK` restricted to rank ≤ 5 — the exact
+    * brute-force baseline) that each approximate variant recovers.
+    * Deterministic inputs make approximation quality itself an
+    * oracle-checked result instead of a prose claim: the DuckDB oracle
+    * recomputes all four pipelines independently and must land on the
+    * same per-query fractions.
+    *
+    * This is a measurement harness, so it deliberately pays the cost
+    * of all four pipelines (truth + 3 ANN variants); production runs
+    * it on a sampled query set, not the full corpus.  The joins are
+    * tiny (k rows per query) — cost is dominated by the four
+    * pipelines themselves. */
+  def recall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val truth = topK(spark, dir).filter($"rank" <= 5)
+      .select($"query_id", $"neighbor_id")
+    val tc = truth.groupBy($"query_id").agg(count(lit(1)).as("n_true"))
+    def matched(ann: DataFrame, name: String): DataFrame =
+      truth.join(ann.select($"query_id", $"neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as(name))
+    tc
+      .join(matched(annLsh(spark, dir), "m_lsh"), Seq("query_id"), "left")
+      .join(matched(ivf(spark, dir), "m_ivf"), Seq("query_id"), "left")
+      .join(matched(ivfKmeans(spark, dir), "m_km"), Seq("query_id"), "left")
+      .select($"query_id", $"n_true",
+        round(coalesce($"m_lsh", lit(0L)).cast("double") / $"n_true", 6)
+          .as("recall_lsh"),
+        round(coalesce($"m_ivf", lit(0L)).cast("double") / $"n_true", 6)
+          .as("recall_ivf"),
+        round(coalesce($"m_km", lit(0L)).cast("double") / $"n_true", 6)
+          .as("recall_kmeans"))
+      .orderBy($"query_id")
+  }
+
+  /** Oracle form of `recall`: the four pipelines as nested-WITH
+    * subqueries (their CTE names are scoped locally), joined on
+    * (query_id, neighbor_id). */
+  def recallSql(d: SqlDialect): String = {
+    def m(name: String, sub: String): String =
+      s"""$name AS (
+         |  SELECT t.query_id, count(*) AS m FROM truth t
+         |  JOIN ($sub) a
+         |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |  GROUP BY t.query_id)""".stripMargin
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id FROM (${topKSql(d)}) t
+       |  WHERE rank <= 5),
+       |tc AS (
+       |  SELECT query_id, count(*) AS n_true FROM truth GROUP BY query_id),
+       |${m("ml", annLshSql(d))},
+       |${m("mi", ivfSql(d))},
+       |${m("mk", ivfKmeansSql(d))}
+       |SELECT tc.query_id, CAST(tc.n_true AS BIGINT) AS n_true,
+       |  round(CAST(COALESCE(ml.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_lsh,
+       |  round(CAST(COALESCE(mi.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_ivf,
+       |  round(CAST(COALESCE(mk.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_kmeans
+       |FROM tc
+       |LEFT JOIN ml ON ml.query_id = tc.query_id
+       |LEFT JOIN mi ON mi.query_id = tc.query_id
+       |LEFT JOIN mk ON mk.query_id = tc.query_id
+       |ORDER BY tc.query_id""".stripMargin
+  }
+
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")

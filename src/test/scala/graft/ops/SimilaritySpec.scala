@@ -48,6 +48,31 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("recall equals an independent Scala recomputation from the result sets") {
+    val rec = Similarity.recall(spark, sf()).collect()
+    assert(rec.map(_.getAs[Long]("query_id")).toSeq == Seq(0L, 100L, 200L, 300L, 400L))
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val truth = pairs(Similarity.topK(spark, sf()).filter("rank <= 5"))
+    val byMethod = Map(
+      "recall_lsh" -> pairs(Similarity.annLsh(spark, sf())),
+      "recall_ivf" -> pairs(Similarity.ivf(spark, sf())),
+      "recall_kmeans" -> pairs(Similarity.ivfKmeans(spark, sf())))
+    rec.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("n_true") == truth(q).size)
+      byMethod.foreach { case (col, ann) =>
+        val expected = (truth(q) & ann.getOrElse(q, Set.empty)).size.toDouble /
+          truth(q).size
+        val got = r.getAs[Double](col)
+        assert(got == math.rint(expected * 1e6) / 1e6, s"$col for query $q")
+        assert(got >= 0.0 && got <= 1.0)
+      }
+    }
+  }
+
   test("ANN results agree with brute-force cosines on shared pairs") {
     val ann = Similarity.annLsh(spark, sf()).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
