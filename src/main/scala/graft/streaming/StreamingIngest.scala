@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
-import graft.ingest.{BarStore, Canonicalize}
+import graft.ingest.{BarStore, Canonicalize, Quarantine}
 
 /** The E1 dataflow under Structured Streaming (SURVEY.md §2.7 T1-T6).
   *
@@ -122,27 +122,68 @@ object StreamingIngest {
     * (`{event_type, payload{...}}`, the reference's Pub/Sub publish
     * after a successful write, `app/alpaca_service.py:237-258`) —
     * emitted AFTER the store merge, preserving the reference's
-    * write-then-publish ordering. */
+    * write-then-publish ordering.
+    *
+    * T7 under streaming: when `quarantineDir` is set, a second
+    * streaming query routes raw events that violate
+    * `Quarantine.eventRules()` — the SAME rule set as the batch
+    * `ingest_quarantine` operator — to `quarantineDir`/events as
+    * parquet rows carrying their `reject_reasons`, so a malformed
+    * event is isolated without failing (or even touching) the bar
+    * batch.  It is a separate query because the rejects must be
+    * captured at raw-event granularity, BEFORE the stateful window
+    * aggregation that the main query's foreachBatch sees; both drain
+    * under the same trigger (for `AvailableNow` the spec awaits both).
+    * Inside foreachBatch, aggregated rows that `Canonicalize` would
+    * silently drop (null bucket) are likewise quarantined to
+    * `quarantineDir`/bars instead of vanishing — and a canonicalize
+    * reject of the WHOLE batch (missing timestamp column) quarantines
+    * the batch rather than throwing, so one malformed batch can never
+    * kill the query. */
   def start(spark: SparkSession, srcDir: String, storeDir: String,
       checkpointDir: String, timeframe: String = "Day",
       trigger: Trigger = Trigger.AvailableNow(),
-      eventsDir: Option[String] = None): StreamingQuery = {
+      eventsDir: Option[String] = None,
+      quarantineDir: Option[String] = None): StreamingQuery = {
+    quarantineDir.foreach { qd =>
+      val (_, rejects) =
+        Quarantine.split(readEvents(spark, srcDir), Quarantine.eventRules())
+      rejects.writeStream
+        .format("parquet").option("path", s"$qd/events")
+        .option("checkpointLocation", s"$checkpointDir/_quarantine")
+        .outputMode("append")
+        .trigger(trigger)
+        .start()
+    }
     val bars = streamingBars(readEvents(spark, srcDir), timeframe)
     bars.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val canonical = Canonicalize.canonicalize(batch, timeframe).get
-        if (!canonical.isEmpty) {
-          BarStore.merge(canonical, storeDir)
-          eventsDir.foreach { dir =>
-            graft.ingest.BarPipeline
-              .summaryEventJson(
-                graft.ingest.BarPipeline.ingestSummaries(canonical))
-              .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-              .write.mode("append").json(dir)
-          }
+        Canonicalize.canonicalize(batch, timeframe) match {
+          case Some(canonical) =>
+            quarantineDir.foreach { qd =>
+              val dropped = batch.filter(col("t").isNull)
+              if (!dropped.isEmpty)
+                dropped.withColumn("reject_reason", lit("null_bucket"))
+                  .write.mode("append").parquet(s"$qd/bars")
+            }
+            if (!canonical.isEmpty) {
+              BarStore.merge(canonical, storeDir)
+              eventsDir.foreach { dir =>
+                graft.ingest.BarPipeline
+                  .summaryEventJson(
+                    graft.ingest.BarPipeline.ingestSummaries(canonical))
+                  .withColumn("batch_id", lit(batchId))
+                  .write.mode("append").json(dir)
+              }
+            }
+          case None => // structural reject: isolate, never throw (T7)
+            quarantineDir.foreach { qd =>
+              batch.withColumn("reject_reason", lit("missing_timestamp"))
+                .write.mode("append").parquet(s"$qd/bars")
+            }
         }
       }
       .start()

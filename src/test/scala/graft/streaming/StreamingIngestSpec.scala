@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 import graft.{SparkSuite, Tables}
 import graft.ingest.{BarPipeline, BarStore, Canonicalize}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Streaming ≡ batch: the Structured Streaming ingest must land exactly
   * the rows the batch pipeline produces, and a checkpointed restart
@@ -114,6 +115,61 @@ class StreamingIngestSpec extends SparkSuite {
       q.processAllAvailable()
       assert(spark.table("dedup_bars").count() == 2) // A and B once each
     } finally q.stop()
+  }
+
+  test("malformed events land in quarantine without failing the batch (T7)") {
+    val src = tmp("qsrc")
+    val store = tmp("qstore") + "/bars"
+    val qd = tmp("quarantine")
+    def nanos(s: String): java.lang.Long =
+      java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    // raw feed: 2 valid ticks, one value-range violation (aggregates
+    // into bars like batch — the quarantine is the monitoring copy),
+    // one null-ts and one null-symbol tick (both absent from bars)
+    val rows = Seq(
+      (1L, nanos("2024-01-01 10:00:00"), 7L, "AAA", 10.0, "{}"),
+      (2L, nanos("2024-01-01 11:00:00"), 7L, "AAA", 999.0, "{}"),
+      (3L, null.asInstanceOf[java.lang.Long], 7L, "AAA", 20.0, "{}"),
+      (4L, nanos("2024-01-01 12:00:00"), 7L, null.asInstanceOf[String], 30.0, "{}"),
+      (5L, nanos("2024-01-02 09:00:00"), 7L, "BBB", 50.0, "{}"))
+    val staged = tmp("qstage")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    val part = Files.list(java.nio.file.Paths.get(staged)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    Files.copy(java.nio.file.Paths.get(part),
+      java.nio.file.Paths.get(src, "events_custom.parquet"))
+
+    val q = StreamingIngest.start(spark, src, store, tmp("qckpt"),
+      quarantineDir = Some(qd))
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty) // the malformed rows failed nothing
+    // the quarantine query shares the trigger; drain it too
+    spark.streams.active.foreach(_.awaitTermination(120000))
+
+    val rejected = spark.read.parquet(s"$qd/events")
+    val byId = rejected.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        r.getAs[scala.collection.Seq[String]]("reject_reasons").toSet).toMap
+    assert(byId.keySet == Set(2L, 3L, 4L))
+    assert(byId(2L) == Set("value_range"))
+    assert(byId(3L) == Set("null_ts"))
+    assert(byId(4L) == Set("null_symbol"))
+
+    // bars match the batch pipeline over the same raw feed: null-ts and
+    // null-symbol ticks absent, the value outlier aggregated as batch does
+    val rawBatch = spark.read.schema(StreamingIngest.eventSchema)
+      .parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val expected = Canonicalize
+      .canonicalize(BarPipeline.barsFromTicks(rawBatch), "Day").get
+      .collect().toSet
+    val streamed = BarStore.read(spark, store)
+      .select("bar_key", "symbol", "timestamp", "timeframe",
+        "open", "high", "low", "close", "volume")
+      .collect().toSet
+    assert(streamed === expected)
+    assert(streamed.exists(_.getAs[Double]("high") == 999.0))
   }
 
   test("merge preserves untouched keys in a touched partition") {
