@@ -98,6 +98,7 @@ object SparkEntry {
     "text_tfidf" -> (TextAnalysis.tfidf _),
     "text_pack_sequences" -> (TextAnalysis.packSequences _),
     "text_contamination" -> (TextAnalysis.contamination _),
+    "text_contamination_risk" -> (TextAnalysis.contaminationRisk _),
     "text_weighted_sample" -> (TextAnalysis.weightedSample _),
     "q_ts_correlation" -> (Temporal.tsCorrelation _),
     // Deduplication family
@@ -392,6 +393,7 @@ object SparkEntry {
     "text_tfidf" -> TextAnalysis.tfidfSql(DuckDialect),
     "text_pack_sequences" -> TextAnalysis.packSequencesSql(DuckDialect),
     "text_contamination" -> TextAnalysis.contaminationSql(DuckDialect),
+    "text_contamination_risk" -> TextAnalysis.contaminationRiskSql(DuckDialect),
     "text_weighted_sample" -> TextAnalysis.weightedSampleSql(DuckDialect),
     "q_ts_correlation" -> Temporal.tsCorrelationOracleSql,
     "dedup_exact" -> Dedup.exactSql(DuckDialect),

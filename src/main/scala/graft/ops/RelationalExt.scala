@@ -444,17 +444,32 @@ object RelationalExt {
     * the shuffle carries only matching rows. */
   def qBloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // Bloom sizing must be a plan-time literal (BloomFilterAggregate
+    // folds NDV/bits during analysis), so derive it from a cheap count
+    // of the build side: a pushed-down filtered scan of the SMALL side
+    // — the same side the bloom exists to compress — so the extra job
+    // costs one predicate-pruned scan, never a pass over the probe
+    // side.  8 bits/key ≈ 3% false-positive rate with Spark's optimal-k
+    // formula; the floor keeps tiny builds from degenerate all-collide
+    // filters, and false positives only cost exact-join work, never
+    // correctness.
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    val buildRows = spark.sql(
+      "SELECT count(*) FROM orders WHERE o_orderpriority = '1-URGENT'")
+      .head.getLong(0)
+    val ndv = math.max(4096L, buildRows)
+    val bits = ndv * 8L
     // might_contain requires the bloom filter as a scalar subquery (or
-    // constant): the subquery executes once, its ~100 KB result is
+    // constant): the subquery executes once, its ~ndv-byte result is
     // broadcast inside the filter expression, and the probe runs at
     // scan speed before the shuffle.
     runSql(spark, dir,
-      """WITH urgent AS (
+      s"""WITH urgent AS (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
         |pre AS (
         |  SELECT l_orderkey, l_returnflag, l_extendedprice FROM lineitem
         |  WHERE graft_might_contain(
-        |    (SELECT graft_bloom_agg(xxhash64(o_orderkey), 100000L, 800000L)
+        |    (SELECT graft_bloom_agg(xxhash64(o_orderkey), ${ndv}L, ${bits}L)
         |     FROM urgent),
         |    xxhash64(l_orderkey)))
         |SELECT l_returnflag, count(*) AS n_lines,

@@ -379,8 +379,11 @@ object TextAnalysis {
     * disguise).  Callers screening high-value eval sets should raise
     * `maxDf` (the fixture default of 64 is generous; results here are
     * proven bit-identical with and without the cap) or pre-strip known
-    * boilerplate before the check.  The oracle applies the identical
-    * cap, so correctness runs verify the capped spec. */
+    * boilerplate before the check.  The companion `contaminationRisk`
+    * query lists exactly the eval docs for which this blind spot is
+    * live (hot-gram mass alone ≥ 3), so the limitation is observable,
+    * not silent.  The oracle applies the identical cap, so correctness
+    * runs verify the capped spec. */
   def contaminationSql(d: SqlDialect, maxDf: Int = TextOps.MaxGramDf): String = {
     s"""WITH ${contaminationGramCtes(d)},
        |ew AS (
@@ -445,6 +448,56 @@ object TextAnalysis {
     run(spark, dir, packSequencesSql(SparkDialect))
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, weightedSampleSql(SparkDialect))
+
+  /** Surfaces the contamination cap's documented blind spot (see
+    * `contaminationSql`): eval-split docs whose HOT-gram count alone
+    * reaches the ≥ 3 shared-gram bar — for exactly these docs a
+    * contaminated train pair could hide entirely inside hot grams and
+    * never be generated by the cold join.  No pair generation happens
+    * here: one semi-join of eval postings against the (tiny,
+    * broadcast-guarded) hot set and a per-doc count, so the check
+    * costs one pass over the cached posting relation regardless of how
+    * viral the hot grams are.  An empty result proves the blind spot
+    * is not live for this corpus/cap; a non-empty one tells the user
+    * which eval docs need a raised `maxDf` or boilerplate stripping
+    * before trusting `text_contamination`. */
+  def contaminationRisk(spark: SparkSession, dir: String): DataFrame = {
+    val e = RelationCache.cached(spark, s"contamination_grams:$dir") {
+      run(spark, dir,
+        s"""WITH ${contaminationGramCtes(SparkDialect)}
+           |SELECT doc_id, split, gram FROM e""".stripMargin)
+    }
+    contaminationRiskCapped(e, TextOps.MaxGramDf)
+  }
+
+  /** The risk projection over an exploded posting relation — split out
+    * so specs can drive it with a synthetic boilerplate corpus and a
+    * tiny cap.  `hgrams` arrays are per-doc distinct (shingles are
+    * distinct per doc), so `size(hgrams)` is the doc's hot-gram df
+    * mass toward the ≥ 3 threshold. */
+  private[ops] def contaminationRiskCapped(posts: DataFrame, maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (_, hotPerDoc) = TextOps.capPostings(posts, maxDf)
+    posts.filter(col("split") =!= "train").select("doc_id").distinct()
+      .join(hotPerDoc, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(col("hgrams")).cast("long").as("n_hot_grams"))
+      .filter(col("n_hot_grams") >= 3)
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for `contaminationRisk` — same gram CTEs, df via window
+    * (fine for the oracle's single-node engine), hot-only eval docs
+    * with ≥ 3 hot grams. */
+  def contaminationRiskSql(d: SqlDialect, maxDf: Int = TextOps.MaxGramDf): String =
+    s"""WITH ${contaminationGramCtes(d)},
+       |ew AS (
+       |  SELECT doc_id, split, gram,
+       |    count(*) OVER (PARTITION BY gram) AS df FROM e)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hot_grams
+       |FROM ew WHERE df > $maxDf AND split != 'train'
+       |GROUP BY doc_id HAVING count(*) >= 3
+       |ORDER BY doc_id""".stripMargin
 
   /** Engine-side contamination: the exploded (doc, split, gram)
     * relation feeds BOTH sides of the inverted-index join; the

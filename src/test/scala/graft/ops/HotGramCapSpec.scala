@@ -103,6 +103,25 @@ class HotGramCapSpec extends SparkSuite {
     assert(rows.keySet == Set(100L))
   }
 
+  test("contamination risk surfaces the eval docs where the blind spot is live") {
+    import org.apache.spark.sql.functions._
+    val e = docs.selectExpr("doc_id", "graft_shingles3(graft_tokens(text)) AS grams")
+      .selectExpr("doc_id", "explode(grams) AS gram")
+      .withColumn("split",
+        when(col("doc_id").isin(100L, 5L), "val").otherwise("train"))
+      .select("doc_id", "split", "gram")
+    val risk = TextAnalysis.contaminationRiskCapped(e, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both eval docs carry the 8 hot boilerplate shingles — ≥ 3, so a
+    // train pair COULD hide entirely inside hot grams for either; doc 5
+    // is exactly the case contaminationCapped drops, and the risk
+    // relation is what tells the user that drop happened
+    assert(risk == Map(100L -> 8L, 5L -> 8L))
+    // raising maxDf above the boilerplate df (22) leaves no hot grams:
+    // the risk relation empties — blind spot provably dead at that cap
+    assert(TextAnalysis.contaminationRiskCapped(e, 30).isEmpty)
+  }
+
   test("capped engine paths match the dialect-shared SQL forms on the fixtures") {
     graft.Tables.documents(spark, sf()).createOrReplaceTempView("documents")
     val ngEngine = Dedup.ngramJaccard(spark, sf()).collect()
@@ -116,5 +135,11 @@ class HotGramCapSpec extends SparkSuite {
     val ctSql = spark.sql(TextAnalysis.contaminationSql(SparkDialect)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(ctEngine == ctSql)
+    val rkEngine = TextAnalysis.contaminationRisk(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Tables.documents(spark, sf()).createOrReplaceTempView("documents")
+    val rkSql = spark.sql(TextAnalysis.contaminationRiskSql(SparkDialect)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rkEngine == rkSql)
   }
 }
