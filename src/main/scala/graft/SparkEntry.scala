@@ -100,6 +100,8 @@ object SparkEntry {
     "text_contamination" -> (TextAnalysis.contamination _),
     "text_contamination_risk" -> (TextAnalysis.contaminationRisk _),
     "text_weighted_sample" -> (TextAnalysis.weightedSample _),
+    "text_repetition" -> (TextAnalysis.repetition _),
+    "text_mixture_plan" -> (TextAnalysis.mixturePlan _),
     "q_ts_correlation" -> (Temporal.tsCorrelation _),
     // Deduplication family
     "dedup_exact" -> (Dedup.exact _),
@@ -109,12 +111,14 @@ object SparkEntry {
     "dedup_clusters" -> (Dedup.simhashClusters _),
     "dedup_embedding" -> (Dedup.embeddingCosine _),
     "dedup_embedding_lsh" -> (Dedup.embeddingLsh _),
+    "dedup_semantic" -> (Dedup.semantic _),
     // Similarity search over embeddings
     "sim_topk_bruteforce" -> (Similarity.topK _),
     "sim_ann_lsh" -> (Similarity.annLsh _),
     "sim_ann_ivf" -> (Similarity.ivf _),
     "sim_ivf_kmeans" -> (Similarity.ivfKmeans _),
     "sim_recall" -> (Similarity.recall _),
+    "sim_quantize" -> (Similarity.quantize _),
     // HLL sketch — engine-specific, driver records rows-only check
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     // KMV sketch — portable-hash estimator, fully oracle-checked
@@ -395,6 +399,8 @@ object SparkEntry {
     "text_contamination" -> TextAnalysis.contaminationSql(DuckDialect),
     "text_contamination_risk" -> TextAnalysis.contaminationRiskSql(DuckDialect),
     "text_weighted_sample" -> TextAnalysis.weightedSampleSql(DuckDialect),
+    "text_repetition" -> TextAnalysis.repetitionSql(DuckDialect),
+    "text_mixture_plan" -> TextAnalysis.mixturePlanSql(DuckDialect),
     "q_ts_correlation" -> Temporal.tsCorrelationOracleSql,
     "dedup_exact" -> Dedup.exactSql(DuckDialect),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(DuckDialect),
@@ -408,11 +414,13 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.simhashClustersOracleSql(DuckDialect),
     "dedup_embedding" -> Dedup.embeddingCosineSql(DuckDialect),
     "dedup_embedding_lsh" -> Dedup.embeddingLshSql(DuckDialect),
+    "dedup_semantic" -> Dedup.semanticSql(DuckDialect),
     "sim_topk_bruteforce" -> Similarity.topKSql(DuckDialect),
     "sim_ann_lsh" -> Similarity.annLshSql(DuckDialect),
     "sim_ann_ivf" -> Similarity.ivfSql(DuckDialect),
     "sim_ivf_kmeans" -> Similarity.ivfKmeansSql(DuckDialect),
     "sim_recall" -> Similarity.recallSql(DuckDialect),
+    "sim_quantize" -> Similarity.quantizeSql(DuckDialect),
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,
     "q_salted_agg" -> ScalePatterns.qSaltedAggOracleSql,
     "mm_inventory" -> Multimodal.inventoryOracleSql,

@@ -641,4 +641,102 @@ object Dedup {
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
     spark.sql(embeddingCosineSql(SparkDialect))
   }
+
+  // ------------------------------------------------- semantic dedup
+
+  /** Cluster count for the semantic-dedup blocking step.  At fixture
+    * size the seeds are the first k vectors; a production run sizes k
+    * ~ N / desired-cluster-size and trains the codebook (the
+    * `sim_ivf_kmeans` Lloyd loop drops in unchanged — seed assignment
+    * here keeps the oracle expressible as one SQL statement). */
+  val SemanticClusters = 8
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every embedding to its nearest centroid
+    * by cosine, then search near-duplicates only WITHIN each cluster —
+    * the pairwise work drops from O(N²) to O(Σ cᵢ²), bounded by the
+    * largest cluster instead of the corpus.  A vector is dropped when
+    * a lower-id cluster-mate sits within cosine ≥ 0.4 (same threshold
+    * as `dedup_embedding`, whose exact all-pairs result remains the
+    * verify gate for the blocking loss).  Output is the per-cluster
+    * dedup summary.
+    *
+    * Centroids are the k lowest-id vectors — deterministic so the
+    * oracle reproduces the assignment exactly; ties on assignment
+    * cosine break to the smallest centroid id on both sides. */
+  def semanticSql(d: SqlDialect): String = {
+    s"""WITH e AS (
+       |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(${d.dot("v", "v")}) AS nrm FROM e),
+       |c AS (
+       |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |  WHERE vec_id < $SemanticClusters),
+       |sc AS (
+       |  SELECT n.vec_id, c.cid,
+       |    ${d.dot("n.v", "c.cv")} / (n.nrm * c.cnrm) AS cs
+       |  FROM n CROSS JOIN c),
+       |asg AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |  FROM sc),
+       |m AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+       |p AS (
+       |  SELECT y.vec_id AS ib
+       |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  JOIN n a ON a.vec_id = x.vec_id
+       |  JOIN n b ON b.vec_id = y.vec_id
+       |  WHERE ${d.dot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4),
+       |dr AS (SELECT DISTINCT ib FROM p)
+       |SELECT m.cid AS cluster_id,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(count(dr.ib) AS BIGINT) AS n_dropped,
+       |  CAST(count(*) - count(dr.ib) AS BIGINT) AS n_kept
+       |FROM m LEFT JOIN dr ON dr.ib = m.vec_id
+       |GROUP BY m.cid
+       |ORDER BY cluster_id""".stripMargin
+  }
+
+  /** Engine path: the norm relation feeds four consumers (assignment,
+    * both pair sides, the summary), so it is a session-cached
+    * DataFrame fanned out with aliases — the single-statement SQL
+    * (kept as the oracle) would recompute it per reference.  The
+    * centroid side is broadcast (k rows); assignment is one map-side
+    * pass + a max_by aggregate (struct ordering ≡ the oracle's
+    * ORDER BY cs DESC, cid), so no N×k window state; the pair join
+    * shuffles on cid — the per-cluster blocking this operator exists
+    * for. */
+  def semantic(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val n = RelationCache.cached(spark, s"semantic_norms:$dir") {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          expr(SparkDialect.toDoubleArr("embedding")).as("v"))
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    }
+    val c = broadcast(n.filter(col("vec_id") < SemanticClusters)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm")))
+    val m = RelationCache.cached(spark, s"semantic_assign:$dir") {
+      n.crossJoin(c)
+        .withColumn("cs", expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"))
+    }
+    val dropped = m.as("x")
+      .join(m.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .join(n.as("a"), col("a.vec_id") === col("x.vec_id"))
+      .join(n.as("b"), col("b.vec_id") === col("y.vec_id"))
+      .filter(expr("graft_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm"))
+        >= 0.4)
+      .select(col("y.vec_id").as("ib"))
+      .distinct()
+    m.join(dropped, col("vec_id") === col("ib"), "left")
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"), count(col("ib")).as("n_dropped"))
+      .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
+      .orderBy("cluster_id")
+  }
 }

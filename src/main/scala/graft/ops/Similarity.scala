@@ -50,6 +50,39 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * compression step an ANN index runs before sharding vectors at
+    * scale (4× smaller than float32, 8× smaller than the double work
+    * form).  Per vector: scale = 127 / max|v_i|, code_i = ⌊v_i·scale +
+    * 0.5⌋ (explicit floor(+0.5) instead of round() so the tie rule is
+    * the same expression in both dialects), and the reported per-vector
+    * reconstruction RMSE comes from the single-transform error array
+    * v_i − code_i/scale.  max|code_i| = 127 by construction — no
+    * clipping branch.
+    *
+    * Scale shape: a pure narrow projection (no shuffle but the oracle
+    * ORDER BY); the lambda transforms are interpreted HOFs, so a fused
+    * native Expression (GraftQuantize) is the optimization path if
+    * this ever dominates a profile — at dim 64 the cost is dwarfed by
+    * the scan. */
+  def quantizeSql(d: SqlDialect): String = {
+    val absMax = d.arrMax(d.arrTransform("v", "x", "abs(x)"))
+    val err = d.arrTransform("v", "x",
+      "x - floor(x * scale + 0.5) / scale")
+    s"""WITH e AS (
+       |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, v, ${d.dlit(127.0)} / $absMax AS scale FROM e),
+       |q AS (
+       |  SELECT vec_id, scale, ${d.arrSize("v")} AS dim, $err AS err FROM s),
+       |r AS (
+       |  SELECT vec_id, scale, ${d.dot("err", "err")} / dim AS mse FROM q)
+       |SELECT vec_id, round(scale, 6) AS scale,
+       |  round(sqrt(mse), 6) AS rmse
+       |FROM r
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Signed projection onto deterministic hyperplane p: a dot product
     * against the literal weight array (codegen'd graft_dot on the
     * engine side; same left-to-right fold as the HOF form it replaced). */
@@ -298,6 +331,8 @@ object Similarity {
 
   def topK(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, topKSql(SparkDialect))
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, quantizeSql(SparkDialect))
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, annLshSql(SparkDialect))
   def ivf(spark: SparkSession, dir: String): DataFrame =

@@ -338,6 +338,83 @@ object TextAnalysis {
        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Repetition signals in the style of the Gopher quality filters
+    * (Rae et al. 2021, "Scaling Language Models", §A1.1), adapted to
+    * word level because the fixture corpus is single-line: per doc,
+    * the fraction of tokens taken by the single most frequent token
+    * (`top_word_frac`) and the fraction of word-3-gram positions whose
+    * gram repeats inside the doc (`dup_3gram_frac` = 1 − distinct/
+    * total positions; `shingles3` is the distinct set, so no second
+    * gram pass).  `repetitive` flags docs past the Gopher-ish bars
+    * (top word > 20% or duplicate 3-gram positions > 30%) as an
+    * INT 0/1 for engine-portable hashing.
+    *
+    * Scale shape: token stats are a narrow projection; the top-word
+    * count is explode → two map-side-combining aggregates keyed by
+    * doc_id — partial aggregation collapses each doc's token counts
+    * before the shuffle, so the shuffled volume is distinct
+    * (doc, token) pairs, bounded by corpus vocabulary incidence, and
+    * skew is bounded by document length, not corpus frequency. */
+  def repetitionSql(d: SqlDialect): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, ${d.arrSize("toks")} AS n_words,
+       |    ${d.arrSize(d.shingles3("toks"))} AS n_distinct_3g
+       |  FROM t),
+       |w AS (
+       |  SELECT doc_id, ${d.explode("toks")} AS w FROM t),
+       |wc AS (
+       |  SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+       |tw AS (
+       |  SELECT doc_id, max(c) AS top_c FROM wc GROUP BY doc_id),
+       |j AS (
+       |  SELECT s.doc_id, s.n_words,
+       |    CAST(tw.top_c AS DOUBLE) / s.n_words AS twf,
+       |    CASE WHEN s.n_words >= 3
+       |      THEN ${d.dlit(1.0)}
+       |        - CAST(s.n_distinct_3g AS DOUBLE) / (s.n_words - 2)
+       |      ELSE ${d.dlit(0.0)} END AS dgf
+       |  FROM s JOIN tw ON tw.doc_id = s.doc_id)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  round(twf, 6) AS top_word_frac,
+       |  round(dgf, 6) AS dup_3gram_frac,
+       |  CAST(CASE WHEN twf > 0.2 OR dgf > 0.3 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS repetitive
+       |FROM j
+       |ORDER BY doc_id""".stripMargin
+
+  /** Data-mixture sampling plan (the fixed-weight mixture step of a
+    * training-data pipeline, cf. the hand-set mixture weights in The
+    * Pile / C4): given the observed per-language token mass, compute
+    * the sampling rate that hits an equal-share language mixture
+    * within a total budget of half the corpus tokens.  Rates cap at
+    * 1.0 (a language short of its share is taken whole — the
+    * remainder is reported, not silently re-allocated).  Pure
+    * aggregate arithmetic: two map-side-combining aggs and a 1-row
+    * broadcast cross join (the `q_above_avg` global-aggregate
+    * pattern), so the plan is scan-bound at any scale. */
+  def mixturePlanSql(d: SqlDialect): String = {
+    val rate = s"""least(${d.dlit(1.0)},
+       |    CAST(g.total_tokens AS DOUBLE) / 2 / g.n_langs / l.lang_tokens)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT lang, CAST(${d.arrSize(d.tokens("text"))} AS BIGINT) AS ntok
+       |  FROM documents),
+       |l AS (
+       |  SELECT lang, CAST(sum(ntok) AS BIGINT) AS lang_tokens
+       |  FROM t GROUP BY lang),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_langs,
+       |    CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM l)
+       |SELECT l.lang, l.lang_tokens,
+       |  round(CAST(l.lang_tokens AS DOUBLE) / g.total_tokens, 6)
+       |    AS natural_share,
+       |  round($rate, 6) AS sample_rate,
+       |  CAST(round($rate * l.lang_tokens, 0) AS BIGINT) AS expected_tokens
+       |FROM l CROSS JOIN g
+       |ORDER BY lang""".stripMargin
+  }
+
   /** Shared CTE chain ending in relation e(doc_id, split, gram) — one
     * definition for the oracle SQL and the engine's cached build. */
   private def contaminationGramCtes(d: SqlDialect): String =
@@ -448,6 +525,10 @@ object TextAnalysis {
     run(spark, dir, packSequencesSql(SparkDialect))
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, weightedSampleSql(SparkDialect))
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, repetitionSql(SparkDialect))
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, mixturePlanSql(SparkDialect))
 
   /** Surfaces the contamination cap's documented blind spot (see
     * `contaminationSql`): eval-split docs whose HOT-gram count alone

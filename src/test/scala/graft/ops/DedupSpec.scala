@@ -80,4 +80,51 @@ class DedupSpec extends SparkSuite {
       val c = r.getAs[Double]("cosine"); c >= 0.4 - 1e-9 && c <= 1.0 + 1e-9
     })
   }
+
+  test("semantic dedup clusters and drops as hand-computed on one-hot seeds") {
+    import spark.implicits._
+    // 8 one-hot centroids (pairwise cos 0 < 0.4 → never drop each
+    // other) + two vectors leaning hard on axis 0: both assign to
+    // cluster 0 and both have lower-id near-dup mates there
+    val dim = 8
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val lean = Array.tabulate(dim)(j =>
+      if (j == 0) 0.9f else if (j == 1) 0.1f else 0f)
+    val lean2 = Array.tabulate(dim)(j =>
+      if (j == 0) 0.95f else if (j == 2) 0.05f else 0f)
+    ((0 until 8).map(i => i.toLong -> oneHot(i)) ++
+      Seq(8L -> lean, 9L -> lean2))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    val got = spark.sql(Dedup.semanticSql(SparkDialect)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val expected = (1L to 7L).map(_ -> ((1L, 0L, 1L))).toMap +
+      (0L -> ((3L, 2L, 1L)))
+    assert(got == expected)
+  }
+
+  test("semantic dedup engine path equals the dialect-shared SQL form") {
+    val engine = Dedup.semantic(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    graft.Tables.embeddings(spark, sf()).createOrReplaceTempView("embeddings")
+    val sql = spark.sql(Dedup.semanticSql(SparkDialect)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(engine == sql)
+  }
+
+  test("semantic dedup is consistent with the exact all-pairs baseline") {
+    val summary = Dedup.semantic(spark, sf()).collect()
+    val total = summary.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == graft.Tables.embeddings(spark, sf()).count())
+    assert(summary.forall(r =>
+      r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_vecs")))
+    // blocking can only LOSE pairs vs the exact baseline: the count of
+    // dropped vectors is bounded by the distinct higher-id members of
+    // exact near-dup pairs
+    val exactDroppable = Dedup.embeddingCosine(spark, sf()).collect()
+      .map(_.getAs[Long]("vec_id_b")).toSet
+    assert(summary.map(_.getAs[Long]("n_dropped")).sum <= exactDroppable.size)
+  }
 }

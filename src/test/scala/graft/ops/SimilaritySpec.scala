@@ -85,4 +85,40 @@ class SimilaritySpec extends SparkSuite {
       assert(ann(k) == brute(k)) // identical scoring arithmetic
     }
   }
+
+  test("int8 quantization reports the exact scale and reconstruction RMSE") {
+    import spark.implicits._
+    // independent Scala re-derivation of the quantizer arithmetic
+    def expected(v: Seq[Double]): (Double, Double) = {
+      val scale = 127.0 / v.map(math.abs).max
+      val err = v.map(x => x - math.floor(x * scale + 0.5) / scale)
+      val mse = err.map(e => e * e).sum / v.length
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6(scale), r6(math.sqrt(mse)))
+    }
+    val vecs = Seq(
+      1L -> Array(1.0f, -0.5f, 0.25f, 0.125f),
+      2L -> Array(-0.031f, 0.017f, 0.009f, -0.026f),
+      3L -> Array(2.5f, 2.5f, 2.5f, 2.5f)) // exact codes → rmse 0
+    vecs.toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    val got = spark.sql(Similarity.quantizeSql(SparkDialect)).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == expected(v.map(_.toDouble).toSeq), s"vec $id")
+    }
+    assert(got(3L)._2 == 0.0) // uniform vector quantizes losslessly
+  }
+
+  test("quantization on the fixture: error bounded by half a code step") {
+    val rows = Similarity.quantize(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val rmse = r.getAs[Double]("rmse")
+      assert(scale > 0)
+      // per-element |err| ≤ 0.5/scale ⇒ rmse ≤ 0.5/scale (+ rounding slop)
+      assert(rmse >= 0 && rmse <= 0.5 / scale + 1e-6, s"vec ${r.getLong(0)}")
+    }
+  }
 }

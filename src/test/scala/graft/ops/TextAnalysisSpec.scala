@@ -39,6 +39,64 @@ class TextAnalysisSpec extends SparkSuite {
     })
   }
 
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("repetition signals match hand-computed values") {
+    import spark.implicits._
+    Seq((1L, "a a a a b"), (2L, "w x y z q r"), (3L, "p q"))
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val m = spark.sql(TextAnalysis.repetitionSql(SparkDialect)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // doc 1: top word 4/5, 3-gram positions {aaa, aaa, aab} → dup 1/3,
+    // both past the bars
+    assert(m(1L) == ((5L, 0.8, round6(1.0 / 3), 1L)))
+    // doc 2: all-distinct — no repetition signal fires
+    assert(m(2L) == ((6L, round6(1.0 / 6), 0.0, 0L)))
+    // doc 3: under 3 words → no 3-gram positions, but top word 1/2
+    assert(m(3L) == ((2L, 0.5, 0.0, 1L)))
+  }
+
+  test("repetition fractions are bounded on the fixture corpus") {
+    val rows = TextAnalysis.repetition(spark, sf()).collect()
+    assert(rows.length == 500)
+    assert(rows.forall { r =>
+      val tw = r.getAs[Double]("top_word_frac")
+      val dg = r.getAs[Double]("dup_3gram_frac")
+      val rep = r.getAs[Long]("repetitive")
+      tw > 0 && tw <= 1 && dg >= 0 && dg < 1 &&
+        (rep == 1L) == (tw > 0.2 || dg > 0.3)
+    })
+  }
+
+  test("mixture plan matches hand-computed rates and caps at 1") {
+    import spark.implicits._
+    // en: 8 tokens, de: 2 tokens → total 10, budget 5, share 2.5 each:
+    // en rate 2.5/8, de capped at 1.0 (short of its share, taken whole)
+    Seq((1L, "a b c d", "en"), (2L, "e f g h", "en"), (3L, "i j", "de"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val m = spark.sql(TextAnalysis.mixturePlanSql(SparkDialect)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(m("en") == ((8L, 0.8, 0.3125, 3L))) // round(2.5, 0) → 3
+    assert(m("de") == ((2L, 0.2, 1.0, 2L)))
+  }
+
+  test("mixture plan on the fixture: rates bounded, budget respected") {
+    val rows = TextAnalysis.mixturePlan(spark, sf()).collect()
+    val total = rows.map(_.getAs[Long]("lang_tokens")).sum
+    assert(rows.forall { r =>
+      val rate = r.getAs[Double]("sample_rate")
+      rate > 0 && rate <= 1 &&
+        r.getAs[Long]("expected_tokens") <= r.getAs[Long]("lang_tokens")
+    })
+    // expected take stays within the half-corpus budget (+1/lang rounding)
+    assert(rows.map(_.getAs[Long]("expected_tokens")).sum
+      <= total / 2 + rows.length)
+    assert(math.abs(rows.map(_.getAs[Double]("natural_share")).sum - 1.0) < 1e-4)
+  }
+
   test("fingerprints are stable, in-range, and order-sensitive") {
     val a = TextAnalysis.fingerprint(spark, sf()).collect()
     val b = TextAnalysis.fingerprint(spark, sf()).collect()
