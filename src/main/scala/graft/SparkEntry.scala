@@ -119,6 +119,7 @@ object SparkEntry {
     "sim_ivf_kmeans" -> (Similarity.ivfKmeans _),
     "sim_recall" -> (Similarity.recall _),
     "sim_quantize" -> (Similarity.quantize _),
+    "sim_ann_ivf_persisted" -> (Similarity.ivfPersisted _),
     // HLL sketch — engine-specific, driver records rows-only check
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     // KMV sketch — portable-hash estimator, fully oracle-checked
@@ -421,6 +422,9 @@ object SparkEntry {
     "sim_ivf_kmeans" -> Similarity.ivfKmeansSql(DuckDialect),
     "sim_recall" -> Similarity.recallSql(DuckDialect),
     "sim_quantize" -> Similarity.quantizeSql(DuckDialect),
+    // identical semantics to sim_ann_ivf by construction — the same
+    // oracle verifies the persisted-index path
+    "sim_ann_ivf_persisted" -> Similarity.ivfSql(DuckDialect),
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,
     "q_salted_agg" -> ScalePatterns.qSaltedAggOracleSql,
     "mm_inventory" -> Multimodal.inventoryOracleSql,

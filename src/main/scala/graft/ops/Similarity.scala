@@ -323,6 +323,79 @@ object Similarity {
        |ORDER BY tc.query_id""".stripMargin
   }
 
+  /** IVF with a PERSISTED index — the 100 TB deployment shape of
+    * `sim_ann_ivf`: the inverted lists are written ONCE as a parquet
+    * table partitioned by centroid id (`cid=<id>/` directories), and
+    * each probe then reads only the probed list partitions.  Pruning
+    * is static: the probed cid set (≤ nprobe per query — tiny ints,
+    * the same driver-side scalar shape as the k-means codebook
+    * collect) lands in the scan's `PartitionFilters`, so the files of
+    * unprobed lists are never opened — at scale a query touches
+    * nprobe/k of the index bytes regardless of corpus size.
+    *
+    * Same centroids (vec_id ≡ 50 mod 100), assignment tie-break, and
+    * scoring arithmetic as `ivfSql`; the float parquet round-trip is
+    * exact, so results are identical to `sim_ann_ivf` and the same
+    * oracle SQL verifies this path.  The index build is write-if-
+    * absent keyed on the dataset dir (one shuffle-by-list write). */
+  def ivfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val n = RelationCache.cached(spark, s"ivf_base:$dir") {
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding",
+          expr(SparkDialect.toDoubleArr("embedding")).as("v"))
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    }
+    val c = broadcast(n.filter($"vec_id" % 100 === 50)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm")))
+    val scored = n.crossJoin(c)
+      .withColumn("cs", expr("graft_dot(v, cv)") / ($"nrm" * $"cnrm"))
+    val store = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (!new java.io.File(store, "_SUCCESS").exists()) {
+      val asgn = scored.groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"cs", -$"cid")).as("cid"))
+      n.select($"vec_id", $"embedding").join(asgn, "vec_id")
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(store.toString)
+    }
+    // top-nprobe centroids per query — the window runs over the tiny
+    // query subset only (k rows per query), never the full corpus
+    val probe = scored.filter($"vec_id" % 100 === 0)
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cid")))
+      .filter($"crn" <= 2)
+      .select($"vec_id".as("qid"), $"cid")
+    val probedCids = probe.select($"cid").distinct().as[Long].collect().sorted
+    // pin the partition column type (inference would read cid=150 as
+    // INT and the long comparison's cast could fall out of
+    // PartitionFilters)
+    val lists = spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, cid BIGINT")
+      .parquet(store.toString)
+      .filter($"cid".isin(probedCids: _*))
+      .select($"vec_id", $"cid",
+        expr(SparkDialect.toDoubleArr("embedding")).as("nv"))
+      .withColumn("nn", expr("sqrt(graft_dot(nv, nv))"))
+    val cand = lists.join(broadcast(probe), "cid")
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"), $"nv", $"nn")
+    cand
+      .join(broadcast(n.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))), "qid")
+      .select($"qid", $"nid",
+        expr("graft_dot(qv, nv)").divide($"qn" * $"nn").as("cs"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cs".desc, $"nid")))
+      .filter($"rn" <= 5)
+      .select($"qid".as("query_id"), $"nid".as("neighbor_id"),
+        round($"cs", 6).as("cosine"), $"rn".cast("long").as("rank"))
+      .orderBy($"query_id", $"rank")
+  }
+
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")

@@ -196,6 +196,34 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("sim_quantize is a narrow projection: no join, no aggregate") {
+    val p = plan("sim_quantize")
+    assert(!p.contains("Join"), p.take(1200))
+    assert(!p.contains("HashAggregate"), p.take(1200))
+    // the only exchange is the oracle-determinism ORDER BY
+    assert("Exchange".r.findAllIn(p).length <= 1, p.take(1200))
+  }
+
+  test("text_repetition aggregates map-side, no per-doc window") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Window"), p.take(1200))
+    // partial → final aggregate pairs for the (doc, word) and top-word
+    // counts: partial aggregation must survive (map-side combine)
+    assert(p.contains("HashAggregate"), p.take(1200))
+  }
+
+  test("dedup_semantic broadcasts the centroid side, never a window") {
+    val q = SparkEntry.queries("dedup_semantic")(spark, sf())
+    q.count() // materialize AQE final plan
+    val nodes = planSubtree(q.queryExecution.executedPlan).map(_.nodeName)
+    assert(nodes.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"expected broadcast centroid cross join in: ${nodes.distinct}")
+    assert(!nodes.exists(_.contains("Window")),
+      "assignment must be an aggregate, not an N-partition window")
+    assert(!nodes.exists(_.contains("CartesianProduct")),
+      "the only cross join must be the broadcast k-row centroid side")
+  }
+
   test("mm frame sampling filters inside the generator, pre-explosion") {
     val p = plan("mm_video_frames")
     // the sample predicate is applied to the sequence before explode:

@@ -110,6 +110,28 @@ class SimilaritySpec extends SparkSuite {
     assert(got(3L)._2 == 0.0) // uniform vector quantizes losslessly
   }
 
+  test("persisted IVF index reproduces sim_ann_ivf exactly") {
+    val mem = Similarity.ivf(spark, sf()).collect().map(_.toSeq).toSeq
+    val persisted = Similarity.ivfPersisted(spark, sf()).collect()
+      .map(_.toSeq).toSeq
+    assert(persisted == mem)
+    // the index landed as one directory per inverted list
+    val store = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_" + sf().replaceAll("[^A-Za-z0-9.]", "_"))
+    val listDirs = store.listFiles().filter(_.getName.startsWith("cid="))
+    assert(listDirs.nonEmpty)
+  }
+
+  test("persisted IVF probe prunes to the probed list partitions") {
+    val q = Similarity.ivfPersisted(spark, sf())
+    val p = q.queryExecution.executedPlan.toString
+    // the probed-cid IN-list must land in PartitionFilters (static
+    // pruning), not a post-scan Filter
+    assert(p.contains("PartitionFilters: [cid#"), p.take(2000))
+    assert("""PartitionFilters: \[cid#\d+L IN \(""".r.findFirstIn(p).isDefined,
+      p.take(2000))
+  }
+
   test("quantization on the fixture: error bounded by half a code step") {
     val rows = Similarity.quantize(spark, sf()).collect()
     assert(rows.nonEmpty)
