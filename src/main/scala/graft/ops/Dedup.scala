@@ -697,8 +697,9 @@ object Dedup {
        |ORDER BY cluster_id""".stripMargin
   }
 
-  /** Engine path: the norm relation feeds four consumers (assignment,
-    * both pair sides, the summary), so it is a session-cached
+  /** Engine path: the norm relation feeds four consumers (the
+    * centroid side, the assignment cross join, and both sides of the
+    * pair join), so it is a session-cached
     * DataFrame fanned out with aliases — the single-statement SQL
     * (kept as the oracle) would recompute it per reference.  The
     * centroid side is broadcast (k rows); assignment is one map-side

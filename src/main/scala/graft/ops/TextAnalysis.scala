@@ -389,8 +389,9 @@ object TextAnalysis {
     * Pile / C4): given the observed per-language token mass, compute
     * the sampling rate that hits an equal-share language mixture
     * within a total budget of half the corpus tokens.  Rates cap at
-    * 1.0 (a language short of its share is taken whole — the
-    * remainder is reported, not silently re-allocated).  Pure
+    * 1.0 — a language short of its share is taken whole, and the
+    * shortfall is visible as expected_tokens < budget/n_langs (no
+    * re-allocation pass is attempted).  Pure
     * aggregate arithmetic: two map-side-combining aggs and a 1-row
     * broadcast cross join (the `q_above_avg` global-aggregate
     * pattern), so the plan is scan-bound at any scale. */

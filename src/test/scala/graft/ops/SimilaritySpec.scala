@@ -132,6 +132,28 @@ class SimilaritySpec extends SparkSuite {
       p.take(2000))
   }
 
+  test("quantization matches the Scala reference on 200 seeded random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val vecs = (0 until 200).map { i =>
+      i.toLong -> Array.fill(16)((rnd.nextFloat() - 0.5f) * 4f)
+    }
+    vecs.toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    val got = spark.sql(Similarity.quantizeSql(SparkDialect)).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    vecs.foreach { case (id, v) =>
+      val d = v.map(_.toDouble)
+      val scale = 127.0 / d.map(math.abs).max
+      val err = d.map(x => x - math.floor(x * scale + 0.5) / scale)
+      assert(got(id) == ((r6(scale), r6(math.sqrt(err.map(e => e * e).sum / d.length)))),
+        s"vec $id")
+      // codes stay inside int8 (no clipping branch needed)
+      assert(d.forall(x => math.abs(math.floor(x * scale + 0.5)) <= 127))
+    }
+  }
+
   test("quantization on the fixture: error bounded by half a code step") {
     val rows = Similarity.quantize(spark, sf()).collect()
     assert(rows.nonEmpty)

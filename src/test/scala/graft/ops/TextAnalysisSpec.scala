@@ -58,6 +58,30 @@ class TextAnalysisSpec extends SparkSuite {
     assert(m(3L) == ((2L, 0.5, 0.0, 1L)))
   }
 
+  test("repetition matches the Scala reference on seeded random token streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4321)
+    // small vocab forces real repetition; varying length hits the n<3 edge
+    val docs = (0 until 100).map { i =>
+      val len = 1 + rnd.nextInt(12)
+      i.toLong -> Seq.fill(len)(s"w${rnd.nextInt(4)}").mkString(" ")
+    }
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(TextAnalysis.repetitionSql(SparkDialect)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val twf = toks.groupBy(identity).values.map(_.size).max.toDouble / toks.size
+      val grams = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val dgf = if (toks.size >= 3)
+        1.0 - grams.distinct.size.toDouble / (toks.size - 2) else 0.0
+      val rep = if (twf > 0.2 || dgf > 0.3) 1L else 0L
+      assert(got(id) == ((toks.size.toLong, round6(twf), round6(dgf), rep)),
+        s"doc $id: '$text'")
+    }
+  }
+
   test("repetition fractions are bounded on the fixture corpus") {
     val rows = TextAnalysis.repetition(spark, sf()).collect()
     assert(rows.length == 500)
