@@ -102,6 +102,7 @@ object SparkEntry {
     "text_weighted_sample" -> (TextAnalysis.weightedSample _),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_mixture_plan" -> (TextAnalysis.mixturePlan _),
+    "text_dup_spans" -> (TextAnalysis.dupSpans _),
     "q_ts_correlation" -> (Temporal.tsCorrelation _),
     // Deduplication family
     "dedup_exact" -> (Dedup.exact _),
@@ -402,6 +403,7 @@ object SparkEntry {
     "text_weighted_sample" -> TextAnalysis.weightedSampleSql(DuckDialect),
     "text_repetition" -> TextAnalysis.repetitionSql(DuckDialect),
     "text_mixture_plan" -> TextAnalysis.mixturePlanSql(DuckDialect),
+    "text_dup_spans" -> TextAnalysis.dupSpansSql(DuckDialect),
     "q_ts_correlation" -> Temporal.tsCorrelationOracleSql,
     "dedup_exact" -> Dedup.exactSql(DuckDialect),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(DuckDialect),

@@ -416,6 +416,58 @@ object TextAnalysis {
        |ORDER BY lang""".stripMargin
   }
 
+  /** Corpus-wide duplicated-span measurement in the style of Lee et
+    * al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499): per document, the fraction of token
+    * 8-gram positions whose span occurs at least twice ANYWHERE in the
+    * corpus (other docs or a repeat within the same doc).  This is the
+    * corpus-level complement of `text_repetition` (within-doc only)
+    * and `dedup_ngram_jaccard` (pairwise): it localizes duplication to
+    * span positions without ever forming doc×doc pairs.  Spans are
+    * compared by their 60-bit md5 hash (engine-portable; collisions
+    * ~2⁻⁶⁰ per pair).
+    *
+    * Scale shape: explode → map-side-combining `groupBy(gh)` for the
+    * occurrence table → one shuffle join back on gh → per-doc
+    * aggregate.  A viral span skews its join key LINEARLY (all its
+    * positions meet one df row — AQE skew-split territory), never
+    * quadratically: there is no candidate pair generation here, which
+    * is why this needs no hot-gram cap.  The windowed alternative
+    * (`count(*) OVER (PARTITION BY gh)`) would ship every posting of a
+    * hot span into one window task — same reasoning as
+    * `TextOps.capPostings`, so the groupBy+join form is the one that
+    * survives 100×. */
+  def dupSpansSql(d: SqlDialect, n: Int = 8): String = {
+    val concatN = (0 until n).map(j =>
+      if (j == 0) d.arrAt("toks", "i") else d.arrAt("toks", s"i + $j"))
+      .mkString(" || ' ' || ")
+    val grams = d.arrTransform(
+      d.sequence1(s"${d.arrSize("toks")} - ${n - 1}"), "i", d.h60(concatN))
+    s"""WITH t AS (
+       |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, $grams AS ghs FROM t),
+       |e AS (
+       |  SELECT doc_id, ${d.explode("ghs")} AS gh FROM s),
+       |df AS (
+       |  SELECT gh, count(*) AS occ FROM e GROUP BY gh),
+       |j AS (
+       |  SELECT e.doc_id,
+       |    CASE WHEN df.occ >= 2 THEN 1 ELSE 0 END AS dup
+       |  FROM e JOIN df ON df.gh = e.gh),
+       |a AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |    CAST(sum(dup) AS BIGINT) AS n_dup FROM j GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  coalesce(CAST(a.n_spans AS BIGINT), CAST(0 AS BIGINT)) AS n_spans,
+       |  coalesce(a.n_dup, CAST(0 AS BIGINT)) AS n_dup_spans,
+       |  round(CASE WHEN coalesce(a.n_spans, 0) > 0
+       |    THEN CAST(a.n_dup AS DOUBLE) / a.n_spans
+       |    ELSE ${d.dlit(0.0)} END, 6) AS dup_span_frac
+       |FROM t LEFT JOIN a ON a.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** Shared CTE chain ending in relation e(doc_id, split, gram) — one
     * definition for the oracle SQL and the engine's cached build. */
   private def contaminationGramCtes(d: SqlDialect): String =
@@ -530,6 +582,8 @@ object TextAnalysis {
     run(spark, dir, repetitionSql(SparkDialect))
   def mixturePlan(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, mixturePlanSql(SparkDialect))
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, dupSpansSql(SparkDialect))
 
   /** Surfaces the contamination cap's documented blind spot (see
     * `contaminationSql`): eval-split docs whose HOT-gram count alone

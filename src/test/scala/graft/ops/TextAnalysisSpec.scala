@@ -82,6 +82,28 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("dup spans match hand-computed values: cross-doc, within-doc, short") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    Seq(
+      1L -> s"$shared a b c",      // 4 spans; position 1 duplicated in doc 2
+      2L -> s"x y $shared",        // 3 spans; position 3 duplicated in doc 1
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9", // all spans unique
+      4L -> "too short",           // < 8 tokens → 0 spans, frac 0
+      5L -> s"$shared $shared")    // 9 spans; within-doc repeat dups 2 of them
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(TextAnalysis.dupSpansSql(SparkDialect)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 1L, 0.25)))
+    assert(got(2L) == ((3L, 1L, round6(1.0 / 3))))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    // doc 5: of its 9 spans only positions 1 and 9 are the shared
+    // 8-gram (occ 4 corpus-wide: docs 1, 2, and twice here)
+    assert(got(5L) == ((9L, 2L, round6(2.0 / 9))))
+  }
+
   test("repetition fractions are bounded on the fixture corpus") {
     val rows = TextAnalysis.repetition(spark, sf()).collect()
     assert(rows.length == 500)
