@@ -121,6 +121,7 @@ object SparkEntry {
     "sim_recall" -> (Similarity.recall _),
     "sim_quantize" -> (Similarity.quantize _),
     "sim_ann_ivf_persisted" -> (Similarity.ivfPersisted _),
+    "sim_quantized_topk" -> (Similarity.quantizedTopK _),
     // HLL sketch — engine-specific, driver records rows-only check
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     // KMV sketch — portable-hash estimator, fully oracle-checked
@@ -427,6 +428,7 @@ object SparkEntry {
     // identical semantics to sim_ann_ivf by construction — the same
     // oracle verifies the persisted-index path
     "sim_ann_ivf_persisted" -> Similarity.ivfSql(DuckDialect),
+    "sim_quantized_topk" -> Similarity.quantizedTopKSql(DuckDialect),
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,
     "q_salted_agg" -> ScalePatterns.qSaltedAggOracleSql,
     "mm_inventory" -> Multimodal.inventoryOracleSql,

@@ -83,6 +83,46 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Top-k search served FROM the int8 codes (the `quantizeSql`
+    * quantizer): scores are integer-valued dot products of the code
+    * arrays, de-scaled by the two quantization scales and the true
+    * norms — the memory-bandwidth-lean serving mode of a quantized
+    * index (4× fewer bytes than float32 through the scan; the integer
+    * dot is exact in doubles since |code| ≤ 127).  Ranking may differ
+    * from `sim_topk_bruteforce` near ties (quantization noise ~1e-3
+    * cosine at dim 64) — that approximation is itself deterministic
+    * and oracle-checked, and `SimilaritySpec` pins the agreement with
+    * the exact operator.  Ties in the quantized score break on
+    * neighbor id exactly like the exact operator. */
+  def quantizedTopKSql(d: SqlDialect): String = {
+    val absMax = d.arrMax(d.arrTransform("v", "x", "abs(x)"))
+    val code = d.arrTransform("v", "x",
+      "CAST(floor(x * scale + 0.5) AS DOUBLE)")
+    s"""WITH e AS (
+       |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(${d.dot("v", "v")}) AS nrm FROM e),
+       |s AS (
+       |  SELECT vec_id, v, nrm, ${d.dlit(127.0)} / $absMax AS scale FROM n),
+       |qz AS (
+       |  SELECT vec_id, nrm, scale, $code AS code FROM s),
+       |q AS (
+       |  SELECT vec_id, nrm, scale, code FROM qz WHERE vec_id % 100 = 0),
+       |p AS (
+       |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+       |    ${d.dot("q.code", "x.code")} / (q.scale * x.scale)
+       |      / (q.nrm * x.nrm) AS cs
+       |  FROM q JOIN qz x ON q.vec_id != x.vec_id),
+       |r AS (
+       |  SELECT qid, nid, cs,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+       |  FROM p)
+       |SELECT qid AS query_id, nid AS neighbor_id,
+       |  round(cs, 6) AS approx_cosine, CAST(rn AS BIGINT) AS rank
+       |FROM r WHERE rn <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Signed projection onto deterministic hyperplane p: a dot product
     * against the literal weight array (codegen'd graft_dot on the
     * engine side; same left-to-right fold as the HOF form it replaced). */
@@ -406,6 +446,8 @@ object Similarity {
     run(spark, dir, topKSql(SparkDialect))
   def quantize(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, quantizeSql(SparkDialect))
+  def quantizedTopK(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, quantizedTopKSql(SparkDialect))
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, annLshSql(SparkDialect))
   def ivf(spark: SparkSession, dir: String): DataFrame =

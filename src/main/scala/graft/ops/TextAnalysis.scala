@@ -347,7 +347,10 @@ object TextAnalysis {
     * total positions; `shingles3` is the distinct set, so no second
     * gram pass).  `repetitive` flags docs past the Gopher-ish bars
     * (top word > 20% or duplicate 3-gram positions > 30%) as an
-    * INT 0/1 for engine-portable hashing.
+    * INT 0/1 for engine-portable hashing.  Docs with zero normalized
+    * tokens have no word rows to aggregate and fall out of the output
+    * (inner-join semantics, identical on both engines) — there is
+    * nothing to score and no division by zero.
     *
     * Scale shape: token stats are a narrow projection; the top-word
     * count is explode → two map-side-combining aggregates keyed by

@@ -154,6 +154,27 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("quantized top-k serves near-exact rankings from int8 codes") {
+    val exact = Similarity.topK(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    val quant = Similarity.quantizedTopK(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("approx_cosine")).toMap
+    assert(quant.nonEmpty && quant.size == exact.size)
+    // per query, at least 9 of the exact top-10 survive quantization
+    val byQ = exact.keySet.groupBy(_._1)
+    byQ.foreach { case (q, keys) =>
+      val kept = keys.count(quant.contains)
+      assert(kept >= keys.size - 1, s"query $q kept only $kept")
+    }
+    // shared pairs: the de-scaled integer score sits within the
+    // half-code-step error budget of the true cosine
+    quant.keys.filter(exact.contains).foreach { k =>
+      assert(math.abs(quant(k) - exact(k)) < 5e-3, s"pair $k")
+    }
+  }
+
   test("quantization on the fixture: error bounded by half a code step") {
     val rows = Similarity.quantize(spark, sf()).collect()
     assert(rows.nonEmpty)

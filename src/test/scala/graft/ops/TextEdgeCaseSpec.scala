@@ -89,6 +89,26 @@ class TextEdgeCaseSpec extends SparkSuite {
     }
   }
 
+  test("repetition drops token-less docs; dup spans keeps them at zero") {
+    withDocs(edgeDocs) {
+      val rep = spark.sql(TextAnalysis.repetitionSql(SparkDialect)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // docs with no normalized tokens (0, 1, 2) have no word rows to
+      // aggregate — they fall out of the output on BOTH engines (the
+      // inner join is the shared semantics), never divide by zero
+      assert(rep.keySet == Set(3L, 4L, 5L))
+      assert(rep(3L) == 1L && rep(4L) == 2L && rep(5L) == 9L)
+      val spans = spark.sql(TextAnalysis.dupSpansSql(SparkDialect)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+      // dup spans LEFT JOINs from the full doc list: every doc appears,
+      // sub-8-token docs at (0 spans, 0.0)
+      assert(spans.keySet == edgeDocs.map(_._1).toSet)
+      assert(edgeDocs.map(_._1).filter(_ != 5L)
+        .forall(id => spans(id) == ((0L, 0.0))))
+      assert(spans(5L)._1 == 2L) // 9 tokens → 2 span positions
+    }
+  }
+
   test("langid marks hit-less docs as undetermined") {
     withDocs(edgeDocs) {
       val rows = spark.sql(TextAnalysis.langIdSql(SparkDialect))
