@@ -104,6 +104,7 @@ object SparkEntry {
     "text_mixture_plan" -> (TextAnalysis.mixturePlan _),
     "text_dup_spans" -> (TextAnalysis.dupSpans _),
     "q_ts_correlation" -> (Temporal.tsCorrelation _),
+    "q_anomaly" -> (Temporal.anomaly _),
     // Deduplication family
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -406,6 +407,7 @@ object SparkEntry {
     "text_mixture_plan" -> TextAnalysis.mixturePlanSql(DuckDialect),
     "text_dup_spans" -> TextAnalysis.dupSpansSql(DuckDialect),
     "q_ts_correlation" -> Temporal.tsCorrelationOracleSql,
+    "q_anomaly" -> Temporal.anomalySql,
     "dedup_exact" -> Dedup.exactSql(DuckDialect),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(DuckDialect),
     "dedup_minhash_lsh" -> Dedup.minhashLshSql(DuckDialect),

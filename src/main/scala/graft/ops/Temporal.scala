@@ -220,6 +220,52 @@ object Temporal {
        |FROM b a JOIN b bb ON a.t = bb.t AND a.symbol < bb.symbol
        |GROUP BY 1, 2 ORDER BY symbol_a, symbol_b""".stripMargin
 
+  /** Trailing z-score anomaly detection over per-(event_type, day)
+    * arrival counts — the monitoring query an ingest pipeline runs on
+    * its own event volumes: a day whose count sits more than 2σ from
+    * its trailing-14-observation mean is flagged (at least 7 prior
+    * observations required before scoring).  Variance comes from
+    * explicit window sums (Σn, Σn²) instead of `stddev_samp`, so the
+    * engine and the oracle accumulate in the identical order: the
+    * integer window sums are exact, and the double arithmetic is the
+    * same expression on both sides — no dependence on either engine's
+    * internal variance algorithm (Welford vs two-pass).
+    *
+    * Scale: one map-side-combining aggregate collapses raw events to
+    * the (type, day) series before the window; the window partitions
+    * by event_type over ~days rows — per-key state is the day series,
+    * never raw events.  The same SQL string runs on both engines. */
+  val anomalySql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |w AS (
+      |  SELECT event_type, day, n,
+      |    CAST(sum(n) OVER tw AS BIGINT) AS s1,
+      |    CAST(sum(n * n) OVER tw AS BIGINT) AS s2,
+      |    count(*) OVER tw AS c
+      |  FROM d
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+      |                ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT event_type, day, n, c,
+      |    CAST(s1 AS DOUBLE) / c AS mu,
+      |    (CAST(s2 AS DOUBLE)
+      |      - c * (CAST(s1 AS DOUBLE) / c) * (CAST(s1 AS DOUBLE) / c))
+      |      / (c - 1) AS var
+      |  FROM w WHERE c >= 7)
+      |SELECT event_type, day, n, round(mu, 6) AS expected_n,
+      |  round((n - mu) / sqrt(var), 6) AS z_score
+      |FROM z
+      |WHERE var > 0 AND abs((n - mu) / sqrt(var)) > 2
+      |ORDER BY event_type, day""".stripMargin
+
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(anomalySql)
+  }
+
   def sessionOracleSql: String =
     s"""WITH e AS (
        |  SELECT event_type AS symbol, CAST(ts AS TIMESTAMP) AS ts, value

@@ -66,6 +66,31 @@ class TemporalSpec extends SparkSuite {
     assert(total == events)
   }
 
+  test("anomaly flags a spike over noisy history, never over flat history") {
+    import spark.implicits._
+    def rows(tpe: String, day: Int, k: Int) = (0 until k).map { i =>
+      (tpe, Timestamp.valueOf(f"2024-01-$day%02d 00:${i / 60}%02d:${i % 60}%02d"))
+    }
+    // type a: 14 noisy days (9/11 alternating), then a 30-count spike;
+    // type b: perfectly flat history before the same spike — var = 0,
+    // so by the documented semantics it is never scored
+    val data = (1 to 14).flatMap(d => rows("a", d, if (d % 2 == 0) 11 else 9)) ++
+      rows("a", 15, 30) ++
+      (1 to 15).flatMap(d => rows("b", d, if (d == 15) 30 else 10))
+    data.toDF("event_type", "ts").createOrReplaceTempView("events")
+    val out = spark.sql(Temporal.anomalySql).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // hand-derived: mu = 10, var = (7·81 + 7·121 − 14·10²)/13 = 14/13
+    val mu = 140.0 / 14
+    val vr = (1414.0 - 14 * mu * mu) / 13
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set("a" -> "2024-01-15"))
+    assert(out("a" -> "2024-01-15") ==
+      ((30L, r6(mu), r6((30 - mu) / math.sqrt(vr)))))
+  }
+
   test("session windows partition events without loss and respect the gap") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
