@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming anomaly detection ≡ the batch q_anomaly query for every
+  * day the stream has closed, across micro-batches. */
+class StreamingAnomalySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streamed anomaly rows equal the batch query on closed days") {
+    implicit val sqlCtx = spark.sqlContext
+    // fixture events, fed in three day-ordered micro-batches
+    val evts = graft.Tables.events(spark, sf())
+      .selectExpr("event_type", "ts")
+      .as[(String, Timestamp)].collect().sortBy(_._2.getTime)
+    val days = evts.map(e => e._2.toInstant
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate).distinct.sorted
+    val cut1 = days(days.length / 3).atStartOfDay(java.time.ZoneOffset.UTC)
+    val cut2 = days(2 * days.length / 3).atStartOfDay(java.time.ZoneOffset.UTC)
+    val input = MemoryStream[(String, Timestamp)]
+    val q = StreamingAnomaly.anomalies(
+      input.toDS().map(e => StreamingAnomaly.Evt(e._1, e._2)))
+      .writeStream.format("memory").queryName("stream_anomaly")
+      .outputMode("append").start()
+    try {
+      def before(t: java.time.ZonedDateTime)(e: (String, Timestamp)) =
+        e._2.toInstant.isBefore(t.toInstant)
+      input.addData(evts.filter(before(cut1)).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(evts.filter(e =>
+        !before(cut1)(e) && before(cut2)(e)).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(evts.filterNot(before(cut2)).toIndexedSeq: _*)
+      q.processAllAvailable()
+
+      val streamed = spark.table("stream_anomaly").collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      // the final day of each type never closes (no later event
+      // arrives) — the stream must equal the batch query minus it
+      val lastDay = days.last.toString
+      val batch = graft.ops.Temporal.anomaly(spark, sf()).collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+        .filter(_._2 < lastDay)
+      assert(batch.nonEmpty, "fixture produced no closed-day anomalies")
+      assert(streamed == batch, s"stream $streamed\nbatch $batch")
+    } finally q.stop()
+  }
+}
