@@ -114,6 +114,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embeddingCosine _),
     "dedup_embedding_lsh" -> (Dedup.embeddingLsh _),
     "dedup_semantic" -> (Dedup.semantic _),
+    "dedup_report" -> (Dedup.report _),
     // Similarity search over embeddings
     "sim_topk_bruteforce" -> (Similarity.topK _),
     "sim_ann_lsh" -> (Similarity.annLsh _),
@@ -421,6 +422,7 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.embeddingCosineSql(DuckDialect),
     "dedup_embedding_lsh" -> Dedup.embeddingLshSql(DuckDialect),
     "dedup_semantic" -> Dedup.semanticSql(DuckDialect),
+    "dedup_report" -> Dedup.reportSql(DuckDialect),
     "sim_topk_bruteforce" -> Similarity.topKSql(DuckDialect),
     "sim_ann_lsh" -> Similarity.annLshSql(DuckDialect),
     "sim_ann_ivf" -> Similarity.ivfSql(DuckDialect),

@@ -47,6 +47,30 @@ object Dedup {
        |ORDER BY n.doc_id""".stripMargin
   }
 
+  /** Per-source dedup impact report: how much of each ingest source's
+    * volume exact dedup removes (keeper = min doc_id per normalized
+    * digest — the identical normalization and keeper rule as
+    * `exactSql`, built from the same fragments so they cannot
+    * diverge).  This is the roll-up a curation pipeline publishes per
+    * feed to spot sources that mostly re-send content.  Two map-side-
+    * combining hash aggregates + one join keyed on the digest — the
+    * same scale shapes as `dedup_exact` itself. */
+  def reportSql(d: SqlDialect): String = {
+    val norm = d.reReplace("trim(lower(text))", "\\s+", " ")
+    s"""WITH n AS (
+       |  SELECT doc_id, source, md5($norm) AS text_md5 FROM documents),
+       |g AS (
+       |  SELECT text_md5, min(doc_id) AS rep_doc_id FROM n GROUP BY text_md5)
+       |SELECT n.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n.doc_id != g.rep_doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dup_docs,
+       |  round(CAST(sum(CASE WHEN n.doc_id != g.rep_doc_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS dup_frac
+       |FROM n JOIN g ON n.text_md5 = g.text_md5
+       |GROUP BY n.source
+       |ORDER BY n.source""".stripMargin
+  }
+
   /** Word-3-gram Jaccard near-dup pairs (J ≥ 0.5).  Candidates are
     * blocked on shared shingles, and postings for hot grams
     * (document frequency > maxDf) are dropped from candidate
@@ -366,6 +390,9 @@ object Dedup {
 
   def exact(spark: SparkSession, dir: String): DataFrame =
     runDocs(spark, dir, exactSql(SparkDialect))
+
+  def report(spark: SparkSession, dir: String): DataFrame =
+    runDocs(spark, dir, reportSql(SparkDialect))
 
   /** Cached gram-set relation (doc_id, grams, ng), shared by the
     * ngram and minhash engine paths.  Re-invocations hit Spark's

@@ -81,6 +81,19 @@ class DedupSpec extends SparkSuite {
     })
   }
 
+  test("dedup report agrees with the exact dedup it summarizes") {
+    val report = Dedup.report(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = Dedup.exact(spark, sf()).collect()
+    assert(report.values.map(_._1).sum == exact.length)
+    assert(report.values.map(_._2).sum ==
+      exact.count(_.getAs[Boolean]("is_duplicate")))
+    // per-source totals match the raw table
+    val docs = graft.Tables.documents(spark, sf()).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report.view.mapValues(_._1).toMap == docs)
+  }
+
   test("semantic dedup clusters and drops as hand-computed on one-hot seeds") {
     import spark.implicits._
     // 8 one-hot centroids (pairwise cos 0 < 0.4 → never drop each
