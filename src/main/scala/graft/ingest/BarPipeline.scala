@@ -47,15 +47,20 @@ object BarPipeline {
     * open/close are min_by/max_by on the event timestamp — true
     * time-ordered first/last, not positional (SURVEY §2.4 A1 note).
     * Deterministic because (symbol, ts) is unique in the fixtures. */
+  /** `date_trunc` unit of a timeframe label — shared by bar bucketing
+    * and the incremental cutoff so the two can never disagree on
+    * where a bucket starts. */
+  private[ingest] def truncUnit(timeframe: String): String = timeframe match {
+    case "Day"    => "day"
+    case "Hour"   => "hour"
+    case "Minute" => "minute"
+    case "Week"   => "week"
+    case "Month"  => "month"
+    case other    => throw new IllegalArgumentException(s"timeframe $other")
+  }
+
   def barsFromTicks(events: DataFrame, timeframe: String = "Day"): DataFrame = {
-    val bucket = timeframe match {
-      case "Day"    => date_trunc("day", col("ts"))
-      case "Hour"   => date_trunc("hour", col("ts"))
-      case "Minute" => date_trunc("minute", col("ts"))
-      case "Week"   => date_trunc("week", col("ts"))
-      case "Month"  => date_trunc("month", col("ts"))
-      case other    => throw new IllegalArgumentException(s"timeframe $other")
-    }
+    val bucket = date_trunc(truncUnit(timeframe), col("ts"))
     events
       .filter(col("event_type").isNotNull) // P5
       .groupBy(col("event_type").as("symbol"), bucket.as("t"))
@@ -169,14 +174,22 @@ object BarPipeline {
       overlapDays: Int, timeframe: String,
       newSymbolBootstrap: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, min => fmin}
+    // Snap the cutoff to a BUCKET boundary of the configured
+    // timeframe: `max(timestamp) - overlapDays` lands mid-bucket for
+    // Week/Month (Monday − 1 day is Sunday of the previous week), and
+    // a bar recomputed from a partial tick suffix would silently
+    // overwrite the correct stored bar via the newer-wins merge.
+    // Truncating to the bucket start makes every recomputed bucket
+    // complete; for Day/Hour/Minute the truncation is a no-op.
     val hwm = store
       .groupBy(col("symbol"))
-      .agg(date_sub(max(col("timestamp")), overlapDays).as("cutoff"))
-    val globalCutoff = hwm.agg(fmin(col("cutoff"))).head.getDate(0)
+      .agg(date_trunc(truncUnit(timeframe),
+        date_sub(max(col("timestamp")), overlapDays)).as("cutoff"))
+    val globalCutoff = hwm.agg(fmin(col("cutoff"))).head.getTimestamp(0)
     val known = events
-      .filter(col("ts") >= lit(globalCutoff).cast("timestamp"))
+      .filter(col("ts") >= lit(globalCutoff))
       .join(broadcast(hwm), events("event_type") === hwm("symbol"))
-      .filter(col("ts") >= col("cutoff").cast("timestamp"))
+      .filter(col("ts") >= col("cutoff"))
       .drop("symbol", "cutoff")
     val tail =
       if (!newSymbolBootstrap) known

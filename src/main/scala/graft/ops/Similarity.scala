@@ -393,9 +393,20 @@ object Similarity {
       .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm")))
     val scored = n.crossJoin(c)
       .withColumn("cs", expr("graft_dot(v, cv)") / ($"nrm" * $"cnrm"))
-    val store = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    if (!new java.io.File(store, "_SUCCESS").exists()) {
+    // The index is keyed by the dataset path: the readable sanitized
+    // name plus the full path's hash so two paths that sanitize alike
+    // cannot collide.  Contract: the index is immutable once written —
+    // callers that regenerate the dataset IN PLACE must delete the
+    // store dir to force a rebuild (the same refresh rule as any
+    // external index).  Existence goes through Hadoop's FileSystem so
+    // the check is correct on non-local storage too (java.io.File is
+    // always false for hdfs:// / s3a:// — see BarStore.merge).
+    val store = new org.apache.hadoop.fs.Path(
+      sys.props("java.io.tmpdir"),
+      "graft_ivf_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + java.lang.Integer.toHexString(dir.hashCode))
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(store, "_SUCCESS"))) {
       val asgn = scored.groupBy($"vec_id")
         .agg(max_by($"cid", struct($"cs", -$"cid")).as("cid"))
       n.select($"vec_id", $"embedding").join(asgn, "vec_id")

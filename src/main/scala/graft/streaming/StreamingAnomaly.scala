@@ -27,7 +27,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingAnomaly {
 
   case class Evt(event_type: String, ts: Timestamp)
-  case class TypeState(open: Map[String, Long], closed: Vector[(String, Long)])
+  /** `lastClosed` is the closure high-water mark (ISO day, "" = none):
+    * the trimmed `closed` vector only remembers the trailing 14 days,
+    * so lateness must be judged against this mark, not membership in
+    * the vector — otherwise an event for a long-closed day would
+    * reopen it, score it against a future-relative history, and
+    * corrupt the chronological order of the trailing window. */
+  case class TypeState(open: Map[String, Long],
+                       closed: Vector[(String, Long)],
+                       lastClosed: String)
   case class Anomaly(event_type: String, day: Date, n: Long,
                      expected_n: Double, z_score: Double)
 
@@ -63,14 +71,16 @@ object StreamingAnomaly {
 
   def detect(tpe: String, evts: Iterator[Evt],
              state: GroupState[TypeState]): Iterator[Anomaly] = {
-    val prev = state.getOption.getOrElse(TypeState(Map.empty, Vector.empty))
+    val prev = state.getOption
+      .getOrElse(TypeState(Map.empty, Vector.empty, ""))
     var open = prev.open
     var closed = prev.closed
-    val closedDays = closed.map(_._1).toSet
+    var lastClosed = prev.lastClosed
     evts.foreach { e =>
       val d = dayOf(e.ts)
-      // a day that already closed cannot reopen (late beyond horizon)
-      if (!closedDays.contains(d))
+      // a day at or before the closure high-water mark cannot reopen
+      // (late beyond the horizon — dropped); "" < every ISO day
+      if (d > lastClosed)
         open = open.updated(d, open.getOrElse(d, 0L) + 1L)
     }
     val out = Vector.newBuilder[Anomaly]
@@ -83,10 +93,11 @@ object StreamingAnomaly {
         score(tpe, d, n, closed.takeRight(Trailing).map(_._2))
           .foreach(out += _)
         closed = (closed :+ (d, n)).takeRight(Trailing)
+        lastClosed = d
         open = open - d
       }
     }
-    state.update(TypeState(open, closed))
+    state.update(TypeState(open, closed, lastClosed))
     out.result().iterator
   }
 

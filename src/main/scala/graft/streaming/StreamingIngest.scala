@@ -136,16 +136,27 @@ object StreamingIngest {
     * under the same trigger (for `AvailableNow` the spec awaits both).
     * Inside foreachBatch, aggregated rows that `Canonicalize` would
     * silently drop (null bucket) are likewise quarantined to
-    * `quarantineDir`/bars instead of vanishing — and a canonicalize
-    * reject of the WHOLE batch (missing timestamp column) quarantines
-    * the batch rather than throwing, so one malformed batch can never
-    * kill the query. */
+    * `quarantineDir`/bars instead of vanishing — these are per-micro-
+    * batch SNAPSHOTS of the (update-mode) aggregate row, stamped with
+    * `batch_id` so a retried batch is distinguishable and a consumer
+    * tallies one row per key at the max batch_id (the raw-event
+    * capture in `quarantineDir`/events remains the authoritative
+    * malformed-event record).  A canonicalize reject of the WHOLE
+    * batch (missing timestamp column — a structurally different
+    * schema) goes to `quarantineDir`/bars_structural rather than
+    * throwing, so one malformed batch can never kill the query.
+    *
+    * Returns the main query AND the quarantine query (when
+    * `quarantineDir` is set) so callers can await/stop/observe both —
+    * a dropped handle would leak a running stream whose failure
+    * nobody can see. */
   def start(spark: SparkSession, srcDir: String, storeDir: String,
       checkpointDir: String, timeframe: String = "Day",
       trigger: Trigger = Trigger.AvailableNow(),
       eventsDir: Option[String] = None,
-      quarantineDir: Option[String] = None): StreamingQuery = {
-    quarantineDir.foreach { qd =>
+      quarantineDir: Option[String] = None)
+      : (StreamingQuery, Option[StreamingQuery]) = {
+    val quarantineQuery = quarantineDir.map { qd =>
       val (_, rejects) =
         Quarantine.split(readEvents(spark, srcDir), Quarantine.eventRules())
       rejects.writeStream
@@ -167,6 +178,7 @@ object StreamingIngest {
               val dropped = batch.filter(col("t").isNull)
               if (!dropped.isEmpty)
                 dropped.withColumn("reject_reason", lit("null_bucket"))
+                  .withColumn("batch_id", lit(batchId))
                   .write.mode("append").parquet(s"$qd/bars")
             }
             if (!canonical.isEmpty) {
@@ -182,10 +194,11 @@ object StreamingIngest {
           case None => // structural reject: isolate, never throw (T7)
             quarantineDir.foreach { qd =>
               batch.withColumn("reject_reason", lit("missing_timestamp"))
-                .write.mode("append").parquet(s"$qd/bars")
+                .withColumn("batch_id", lit(batchId))
+                .write.mode("append").parquet(s"$qd/bars_structural")
             }
         }
       }
-      .start()
+      .start() -> quarantineQuery
   }
 }

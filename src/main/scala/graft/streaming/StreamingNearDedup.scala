@@ -79,7 +79,20 @@ object StreamingNearDedup {
     * it to the feed's duplicate-lag envelope, or finish with the
     * batch operator for an absolute guarantee, exactly as
     * `StreamingDedup`).  `windowDur` only batches result emission; it
-    * does not affect which documents are kept. */
+    * does not affect which documents are kept.
+    *
+    * Keep-choice under OUT-OF-ORDER arrival: the stream keeps the
+    * first-PROCESSED member of a colliding pair
+    * (`dropDuplicatesWithinWatermark` semantics), while `batchKept`
+    * keeps the smallest (ingest_ts, doc_id) — first by EVENT time.
+    * On an in-order feed (what the spec pins) the two agree; when a
+    * late doc with an earlier event time arrives inside the
+    * watermark, the stream has already emitted its partner and keeps
+    * it, so the kept SETS still deduplicate identically (exactly one
+    * member of each collision survives) but may differ in WHICH
+    * member.  Pipelines that require the event-time-canonical keeper
+    * run `batchKept` over the settled window — the same
+    * stream-then-batch finishing rule as the watermark note above. */
   def dedupDocs(docs: DataFrame, watermark: String = "30 days",
                 windowDur: String = "1 hour"): DataFrame =
     bandRows(docs)

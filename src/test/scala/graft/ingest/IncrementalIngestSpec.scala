@@ -84,6 +84,23 @@ class IncrementalIngestSpec extends SparkSuite {
     assert(storeRows(store) == snapshot)
   }
 
+  test("weekly incremental re-ingest recomputes full buckets, not partial tails") {
+    val store = Files.createTempDirectory("incr_week").toString
+    val oneShot = Files.createTempDirectory("full_week").toString
+    val ev = spark.read.parquet(eventsSrc)
+    // split mid-week: the naive cutoff (max stored ts − 1 day) lands
+    // INSIDE the previous week's bucket and would rebuild that week's
+    // bar from a one-day tick suffix, clobbering the correct bar via
+    // the newer-wins merge — the snapped cutoff recomputes the whole
+    // bucket instead
+    val split = to_timestamp(lit("2024-01-16 00:00:00"))
+    BarPipeline.incrementalIngest(ev.filter($"ts" < split), store,
+      timeframe = "Week")
+    BarPipeline.incrementalIngest(ev, store, timeframe = "Week")
+    BarPipeline.incrementalIngest(ev, oneShot, timeframe = "Week")
+    assert(storeRows(store) == storeRows(oneShot))
+  }
+
   test("a symbol absent from the store keeps its full history") {
     val store = Files.createTempDirectory("incr_store_new").toString
     val ev = spark.read.parquet(eventsSrc)

@@ -117,7 +117,8 @@ class SimilaritySpec extends SparkSuite {
     assert(persisted == mem)
     // the index landed as one directory per inverted list
     val store = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_" + sf().replaceAll("[^A-Za-z0-9.]", "_"))
+      "graft_ivf_" + sf().replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + java.lang.Integer.toHexString(sf().hashCode))
     val listDirs = store.listFiles().filter(_.getName.startsWith("cid="))
     assert(listDirs.nonEmpty)
   }

@@ -49,4 +49,29 @@ class StreamingAnomalySpec extends SparkSuite {
       assert(streamed == batch, s"stream $streamed\nbatch $batch")
     } finally q.stop()
   }
+
+  test("late events for long-closed days are dropped, never re-scored") {
+    implicit val sqlCtx = spark.sqlContext
+    def evts(day: Int, k: Int) = (0 until k).map(i =>
+      ("a", Timestamp.valueOf(f"2024-01-$day%02d 00:00:${i % 60}%02d")))
+    val input = MemoryStream[(String, Timestamp)]
+    val q = StreamingAnomaly.anomalies(
+      input.toDS().map(e => StreamingAnomaly.Evt(e._1, e._2)))
+      .writeStream.format("memory").queryName("stream_anomaly_late")
+      .outputMode("append").start()
+    try {
+      // 14 noisy days + a 30-count spike day; day 15 stays open
+      input.addData((1 to 14).flatMap(d =>
+        evts(d, if (d % 2 == 0) 11 else 9)) ++ evts(15, 30): _*)
+      q.processAllAvailable()
+      // a long-closed day-2 straggler arrives with day 16: the
+      // straggler must be dropped (day 2 closed an epoch ago), while
+      // day 16 closes day 15 and flags the spike against days 1-14
+      input.addData(evts(2, 1) ++ evts(16, 10): _*)
+      q.processAllAvailable()
+      val got = spark.table("stream_anomaly_late").collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2))).toSet
+      assert(got == Set(("a", "2024-01-15", 30L)), s"got $got")
+    } finally q.stop()
+  }
 }

@@ -21,7 +21,7 @@ class StreamingIngestSpec extends SparkSuite {
     val listener = new RunStatusListener
     spark.streams.addListener(listener)
     try {
-      val q = StreamingIngest.start(spark, sf(), store, ckpt,
+      val (q, _) = StreamingIngest.start(spark, sf(), store, ckpt,
         eventsDir = Some(events))
       q.awaitTermination(120000)
       // S5: one summary event per asset per successful batch,
@@ -48,16 +48,16 @@ class StreamingIngestSpec extends SparkSuite {
   test("checkpointed restart is a no-op (exactly-once via keyed sink)") {
     val store = tmp("store") + "/bars"
     val ckpt = tmp("ckpt")
-    val q1 = StreamingIngest.start(spark, sf(), store, ckpt)
+    val (q1, _) = StreamingIngest.start(spark, sf(), store, ckpt)
     q1.awaitTermination(120000)
     val once = BarStore.read(spark, store).collect().toSet
     // same checkpoint: no new files → AvailableNow drains nothing
-    val q2 = StreamingIngest.start(spark, sf(), store, ckpt)
+    val (q2, _) = StreamingIngest.start(spark, sf(), store, ckpt)
     q2.awaitTermination(120000)
     val twice = BarStore.read(spark, store).collect().toSet
     assert(once === twice)
     // fresh checkpoint (full re-fetch, T3): still identical content
-    val q3 = StreamingIngest.start(spark, sf(), store, tmp("ckpt2"))
+    val (q3, _) = StreamingIngest.start(spark, sf(), store, tmp("ckpt2"))
     q3.awaitTermination(120000)
     val refetch = BarStore.read(spark, store).collect().toSet
     assert(once === refetch)
@@ -69,7 +69,7 @@ class StreamingIngestSpec extends SparkSuite {
     // produce the batch path's bar timestamps or the shared BarStore
     // keys diverge.
     val store = tmp("store") + "/bars"
-    val q = StreamingIngest.start(spark, sf(), store, tmp("ckpt"),
+    val (q, _) = StreamingIngest.start(spark, sf(), store, tmp("ckpt"),
       timeframe = "Week")
     q.awaitTermination(120000)
     val streamed = BarStore.read(spark, store)
@@ -86,7 +86,7 @@ class StreamingIngestSpec extends SparkSuite {
     // moment a new month starts, dropping late events the 30-day
     // ts-horizon would accept.
     val store = tmp("store") + "/bars"
-    val q = StreamingIngest.start(spark, sf(), store, tmp("ckpt"),
+    val (q, _) = StreamingIngest.start(spark, sf(), store, tmp("ckpt"),
       timeframe = "Month")
     q.awaitTermination(120000)
     val streamed = BarStore.read(spark, store)
@@ -140,12 +140,13 @@ class StreamingIngestSpec extends SparkSuite {
     Files.copy(java.nio.file.Paths.get(part),
       java.nio.file.Paths.get(src, "events_custom.parquet"))
 
-    val q = StreamingIngest.start(spark, src, store, tmp("qckpt"),
+    val (q, qq) = StreamingIngest.start(spark, src, store, tmp("qckpt"),
       quarantineDir = Some(qd))
     q.awaitTermination(120000)
     assert(q.exception.isEmpty) // the malformed rows failed nothing
-    // the quarantine query shares the trigger; drain it too
-    spark.streams.active.foreach(_.awaitTermination(120000))
+    // the quarantine query shares the trigger; drain it via its own
+    // returned handle (no fishing in spark.streams.active)
+    qq.foreach { s => s.awaitTermination(120000); assert(s.exception.isEmpty) }
 
     val rejected = spark.read.parquet(s"$qd/events")
     val byId = rejected.collect()
