@@ -115,6 +115,8 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (Dedup.embeddingLsh _),
     "dedup_semantic" -> (Dedup.semantic _),
     "dedup_report" -> (Dedup.report _),
+    // Finishing-pass keeper election (stream-then-batch compaction)
+    "dedup_compact" -> (Dedup.compactKept _),
     // Similarity search over embeddings
     "sim_topk_bruteforce" -> (Similarity.topK _),
     "sim_ann_lsh" -> (Similarity.annLsh _),
@@ -423,6 +425,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> Dedup.embeddingLshSql(DuckDialect),
     "dedup_semantic" -> Dedup.semanticSql(DuckDialect),
     "dedup_report" -> Dedup.reportSql(DuckDialect),
+    "dedup_compact" -> Dedup.compactKeptOracleSql(DuckDialect),
     "sim_topk_bruteforce" -> Similarity.topKSql(DuckDialect),
     "sim_ann_lsh" -> Similarity.annLshSql(DuckDialect),
     "sim_ann_ivf" -> Similarity.ivfSql(DuckDialect),

@@ -463,9 +463,6 @@ object Dedup {
     * checkpointable cluster-wide.  Scalar logic comes from the same
     * generated fragments as the single-statement oracle. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val d = SparkDialect
     val grams = gramsDF(spark, dir)
     // Native per-row signature (graft_minhash): one md5 per gram + 32
     // min-updates in a narrow projection, replacing the explode →
@@ -473,12 +470,32 @@ object Dedup {
     // stays as the oracle's independent formulation; empty gram sets
     // yield NULL and are filtered to match its emits-no-row relation.
     val sig = RelationCache.cached(spark, s"mh_sig:$dir") {
-      grams
-        .selectExpr("doc_id", "graft_minhash(grams) AS mh")
-        .where("mh IS NOT NULL")
-        .selectExpr("doc_id" +:
-          (0 until NumPerms).map(i => s"element_at(mh, ${i + 1}) AS h$i"): _*)
+      minhashSigFrom(grams)
     }
+    import spark.implicits._
+    minhashPairsFrom(grams, sig).orderBy($"doc_id_a", $"doc_id_b")
+  }
+
+  /** Wide signature relation (doc_id, h0..h31) from a gram relation —
+    * the engine-side native form shared by the dir-cached path above
+    * and the arbitrary-relation path below. */
+  private def minhashSigFrom(grams: DataFrame): DataFrame =
+    grams
+      .selectExpr("doc_id", "graft_minhash(grams) AS mh")
+      .where("mh IS NOT NULL")
+      .selectExpr("doc_id" +:
+        (0 until NumPerms).map(i => s"element_at(mh, ${i + 1}) AS h$i"): _*)
+
+  /** Banding + candidate generation + exact-Jaccard verification over
+    * prepared gram/signature relations — the pair stage of
+    * `minhashLsh`, factored so callers with their own relations (the
+    * streaming finishing pass) reuse it.  Unordered: the oracle-facing
+    * entry point adds the ORDER BY. */
+  private def minhashPairsFrom(grams: DataFrame, sig: DataFrame): DataFrame = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = SparkDialect
     val bands = (0 until Bands).map { b =>
       sig.select($"doc_id", lit(b).as("band"),
         expr(bandKey(d, b)).as("bkey"))
@@ -504,8 +521,91 @@ object Dedup {
       .filter($"jaccard" >= 0.5)
       .select($"ia".as("doc_id_a"), $"ib".as("doc_id_b"),
         round($"est_sim", 6).as("est_sim"), round($"jaccard", 6).as("jaccard"))
-      .orderBy($"doc_id_a", $"doc_id_b")
   }
+
+  /** Verified MinHash-LSH near-dup pairs over an arbitrary
+    * (doc_id, text) relation — the same banding + J ≥ 0.5 verification
+    * as `minhashLsh`, for callers that bring their own corpus slice
+    * (the streaming finishing pass `StreamingNearDedup.compact` runs
+    * this over a settled window).  The gram/signature relations are
+    * deliberately NOT session-cached: a compaction window is a
+    * one-shot slice, and identical shuffle subplans across the verify
+    * joins fall into ReusedExchange. */
+  def verifiedPairsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    TextOps.excludeRule(spark,
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    graft.functions.GraftFunctions.register(spark)
+    val grams = docs
+      .selectExpr("doc_id", "graft_shingles3(graft_tokens(text)) AS grams")
+      .selectExpr("doc_id", "grams", "size(grams) AS ng")
+    minhashPairsFrom(grams, minhashSigFrom(grams))
+  }
+
+  /** Cluster-canonical keeper set over an arbitrary
+    * (doc_id, ingest_ts, text) relation: verified pairs
+    * (`verifiedPairsOf`) → connected components → keep the
+    * min-(ingest_ts, doc_id) member per cluster; documents in no
+    * verified pair keep themselves.  Returns (doc_id, ingest_ts) of
+    * the keepers — the absolute dedup result the streaming
+    * candidate-level operator approximates, packaged for the
+    * finishing pass (`StreamingNearDedup.compact`).
+    *
+    * Scale: only paired docs (≪ corpus) enter the component graph;
+    * the keeper election is one hash shuffle on cluster_rep with
+    * map-side-combining min_by. */
+  def canonicalKeepers(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val clusters = connectedComponents(
+        verifiedPairsOf(docs.select("doc_id", "text"))
+          .select("doc_id_a", "doc_id_b"))
+      .select(col("doc_id"), col("cluster_rep"))
+    docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .groupBy(col("rep"))
+      .agg(min_by(struct(col("doc_id"), col("ingest_ts")),
+        struct(col("ingest_ts"), col("doc_id"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"),
+        col("w.ingest_ts").as("ingest_ts"))
+  }
+
+  /** The finishing-pass keeper election as an oracle-checked batch
+    * query: `canonicalKeepers` over `documents` with a deterministic
+    * synthetic arrival order (ingest_ts = doc_id seconds since epoch),
+    * so the keeper of each verified near-dup cluster is its minimum
+    * doc_id and the whole result is reproducible in any engine. */
+  def compactKept(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", timestamp_seconds($"doc_id").as("ingest_ts"))
+    canonicalKeepers(docs).select($"doc_id").orderBy($"doc_id")
+  }
+
+  /** Oracle for `compactKept`: verified pairs from the single-statement
+    * MinHash-LSH chain, a recursive-CTE reachability closure (the same
+    * independent third algorithm as the clusters oracle), and keeper =
+    * the min reachable id; unpaired documents keep themselves. */
+  def compactKeptOracleSql(d: SqlDialect): String =
+    s"""WITH RECURSIVE ${gramCtes(d)},
+       |${sigCtes(d)},
+       |vp AS (
+       |  SELECT doc_id_a AS ia, doc_id_b AS ib FROM (
+       |    ${minhashPairSql(d)}) z),
+       |edges AS (
+       |  SELECT ia AS src, ib AS dst FROM vp
+       |  UNION ALL SELECT ib, ia FROM vp),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT edges.src, r.dst FROM edges JOIN reach r ON edges.dst = r.src),
+       |lab AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_rep
+       |  FROM reach GROUP BY src)
+       |SELECT d.doc_id FROM documents d
+       |LEFT JOIN lab ON lab.doc_id = d.doc_id
+       |WHERE lab.doc_id IS NULL OR lab.cluster_rep = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashBanded(spark, dir)

@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.TextOps
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import graft.ops.{Dedup, TextOps}
 
 /** Streaming near-duplicate deduplication of a document feed — the
   * online counterpart of `ops.Dedup.minhashLsh` for a training-data
@@ -23,24 +25,72 @@ import graft.ops.TextOps
   * 8 bands × 4 rows, a pair at true Jaccard j collides with
   * probability 1−(1−j⁴)⁸ ≈ 1 for j ≥ 0.8 but ~6% at j = 0.3, so a
   * small fraction of merely-similar documents is dropped; pipelines
-  * needing exactness run the batch `Dedup.minhashLsh` + clusters pass
-  * over the kept corpus, where candidates ARE verified.  Within a
-  * single micro-batch, which member of a colliding set survives is
-  * unspecified (state keeps the first row processed); across
-  * micro-batches, earlier always wins — the same contract as
-  * `dropDuplicatesWithinWatermark` itself.
+  * needing exactness run `compact` below — the packaged finishing
+  * pass that reconciles the streamed result against the absolute
+  * batch operator over a settled window.
+  *
+  * Keeper choice is DETERMINISTIC: band-key registration runs in a
+  * `transformWithState` processor that elects the minimum
+  * (ingest_ts, doc_id) holder among a micro-batch's rows for a key
+  * (the whole batch's rows for one key arrive as one iterator), so
+  * re-running the same feed always keeps the same members — the
+  * first-PROCESSED batch still wins across micro-batches (immediate
+  * registration, exactly like `dropDuplicatesWithinWatermark`), and
+  * within a batch the winner is event-time canonical instead of
+  * processing-order luck.  A late doc with an earlier event time
+  * arriving in a LATER micro-batch (inside the watermark) loses to
+  * the already-registered key; the kept sets still deduplicate
+  * correctly (exactly one member of each collision survives) and
+  * `compact` restores the event-time-canonical choice over the
+  * settled window.
   *
   * Scale notes: the stateful exchange ships (band, bkey, doc_id, ts)
   * rows — 8 narrow rows per document, never the payload — and state
-  * holds one entry per distinct (band, bkey) inside the watermark
-  * horizon, evicted as the watermark passes.  The kept set is emitted
-  * as (window, doc_id) once the event-time window finalizes; callers
-  * join doc_ids back to payloads instead of dragging document text
-  * through two stateful shuffles.  Both stateful operators run in
-  * append mode — the dedup → windowed-count chain is a supported
-  * multiple-stateful-operator shape.
+  * holds ONE long (the registered key's event time) per distinct
+  * (band, bkey) inside the watermark horizon, evicted by an
+  * event-time timer when the watermark passes ts + horizon (the same
+  * eviction rule as `dropDuplicatesWithinWatermark`).  The kept set
+  * is emitted as (window, doc_id) once the event-time window
+  * finalizes; callers join doc_ids back to payloads instead of
+  * dragging document text through two stateful shuffles.  Both
+  * stateful operators run in append mode — transformWithState with a
+  * re-declared event-time output column chained into a windowed
+  * aggregation is a supported multiple-stateful-operator shape (it
+  * requires the RocksDB state store provider; `dedupDocs` installs it
+  * on the session when the default HDFS provider is still active).
   */
 object StreamingNearDedup {
+
+  /** One banded signature row of a document. */
+  case class BandRow(doc_id: Long, ingest_ts: Timestamp, band: Int, bkey: String)
+
+  /** Keyed band-key registry: first batch to present a key registers
+    * it and emits the batch's event-time-minimal holder; later
+    * batches within the horizon emit nothing for it.  State is one
+    * long per live key; an event-time timer at ts + horizon clears it
+    * when the watermark passes — `dropDuplicatesWithinWatermark`
+    * semantics with a deterministic within-batch winner. */
+  private class BandKeyDedupProcessor(horizonMs: Long)
+      extends StatefulProcessor[(Int, String), BandRow, BandRow] {
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(key: (Int, String),
+        rows: Iterator[BandRow], tv: TimerValues): Iterator[BandRow] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        val w = rows.minBy(r => (r.ingest_ts.getTime, r.doc_id))
+        seen.update(w.ingest_ts.getTime)
+        getHandle.registerTimer(w.ingest_ts.getTime + horizonMs)
+        Iterator.single(w)
+      }
+    }
+    override def handleExpiredTimer(key: (Int, String), tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[BandRow] = {
+      seen.clear(); Iterator.empty
+    }
+  }
 
   /** Band key for band `b` over a `graft_minhash` signature array
     * (1-based `element_at`), components '_'-joined — the same banding
@@ -70,40 +120,68 @@ object StreamingNearDedup {
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
+  /** Watermark delay string → milliseconds, via Spark's own interval
+    * parser so the timer horizon can never drift from the watermark
+    * the plan actually applies.  Month-based delays are rejected (no
+    * fixed millisecond width). */
+  private def delayMs(watermark: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(watermark))
+    require(iv.months == 0,
+      s"month-based watermark '$watermark' has no fixed ms width")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** transformWithState requires the RocksDB state store.  Install it
+    * when the session still runs the default HDFS provider; an
+    * explicitly configured third-party provider is respected (and the
+    * query start will fail with Spark's own error if incompatible). */
+  private def ensureRocksDb(spark: SparkSession): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val cur = spark.conf.get(key, "")
+    if (cur.isEmpty || cur.endsWith("HDFSBackedStateStoreProvider"))
+      spark.conf.set(key, RocksDbProvider)
+  }
+
   /** Streaming plan: docs must carry event-time `ingest_ts` and
     * `text`.  Emits one (window_start, doc_id) row per KEPT document
     * once the watermark passes its window — append mode throughout.
     *
     * `watermark` bounds both the dedup guarantee and the state size
     * (a near-duplicate arriving after the horizon passes again — size
-    * it to the feed's duplicate-lag envelope, or finish with the
-    * batch operator for an absolute guarantee, exactly as
-    * `StreamingDedup`).  `windowDur` only batches result emission; it
-    * does not affect which documents are kept.
+    * it to the feed's duplicate-lag envelope, or finish with `compact`
+    * for an absolute guarantee, exactly as `StreamingDedup`).
+    * `windowDur` only batches result emission; it does not affect
+    * which documents are kept.
     *
-    * Keep-choice under OUT-OF-ORDER arrival: the stream keeps the
-    * first-PROCESSED member of a colliding pair
-    * (`dropDuplicatesWithinWatermark` semantics), while `batchKept`
-    * keeps the smallest (ingest_ts, doc_id) — first by EVENT time.
-    * On an in-order feed (what the spec pins) the two agree; when a
-    * late doc with an earlier event time arrives inside the
-    * watermark, the stream has already emitted its partner and keeps
-    * it, so the kept SETS still deduplicate identically (exactly one
-    * member of each collision survives) but may differ in WHICH
-    * member.  Pipelines that require the event-time-canonical keeper
-    * run `batchKept` over the settled window — the same
-    * stream-then-batch finishing rule as the watermark note above. */
+    * Keep-choice: within a micro-batch, event-time canonical
+    * (deterministic — see header); across micro-batches, the first
+    * PROCESSED batch wins, so a late doc with an earlier event time
+    * keeps its already-emitted partner.  Pipelines that require the
+    * event-time-canonical keeper across out-of-order batches run
+    * `compact` over the settled window. */
   def dedupDocs(docs: DataFrame, watermark: String = "30 days",
-                windowDur: String = "1 hour"): DataFrame =
+                windowDur: String = "1 hour"): DataFrame = {
+    val spark = docs.sparkSession
+    ensureRocksDb(spark)
+    import spark.implicits._
     bandRows(docs)
       .withWatermark("ingest_ts", watermark)
-      .dropDuplicatesWithinWatermark("band", "bkey")
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.bkey))
+      .transformWithState(new BandKeyDedupProcessor(delayMs(watermark)),
+        "ingest_ts", OutputMode.Append())
       .groupBy(window(col("ingest_ts"), windowDur), col("doc_id"))
       .agg(count(lit(1)).as("n_fresh_bands"))
       // kept ⟺ all bands were first-seen: a dropped doc's surviving
       // (fresh) bands still flow here but count < Bands
       .filter(col("n_fresh_bands") === TextOps.Bands)
       .select(col("window.start").as("window_start"), col("doc_id"))
+  }
 
   /** Batch mirror of the streaming semantics over a bounded set of
     * arrivals: a document is dropped iff some strictly-earlier
@@ -123,5 +201,130 @@ object StreamingNearDedup {
               col("e.doc_id") < col("d.doc_id"))))
       .select(col("d.doc_id")).distinct()
     docs.join(dropped, Seq("doc_id"), "left_anti").select("doc_id")
+  }
+
+  // ------------------------------------- batch finishing pass (compact)
+
+  /** Event-time window start of `ts` under Spark's own epoch-aligned
+    * bucketing — `window()` in a plain projection, so the compaction
+    * boundaries can never disagree with the streaming plan's windows. */
+  private def windowStart(ts: Column, windowDur: String): Column =
+    window(ts, windowDur).getField("start")
+
+  /** The ABSOLUTE batch dedup result over a bounded feed
+    * (doc_id, ingest_ts, text): `Dedup.canonicalKeepers` — verified
+    * MinHash-LSH pairs (exact Jaccard ≥ 0.5) → connected components →
+    * keep the min-(ingest_ts, doc_id) member per cluster; documents
+    * in no verified pair keep themselves.  Output
+    * (window_start, doc_id) mirrors `dedupDocs` so the two results
+    * are directly comparable / storable in the same table.
+    *
+    * This is the ground truth the streaming operator's candidate-level
+    * semantics approximate: it re-admits band collisions that fail
+    * Jaccard verification, and its keeper is event-time canonical per
+    * CLUSTER rather than per arrival-order greedy chain (so
+    * out-of-order stream keepers get replaced).  Candidate recall is
+    * NOT extended — verified pairs come from the same banding, so a
+    * pair whose bands never collide is invisible to both passes. */
+  def canonicalKept(docs: DataFrame, windowDur: String = "1 hour"): DataFrame =
+    Dedup.canonicalKeepers(docs)
+      .select(windowStart(col("ingest_ts"), windowDur).as("window_start"),
+        col("doc_id"))
+
+  /** Reconciliation decisions for a settled feed: full-outer the
+    * stream-kept set against `canonicalKept` and label every involved
+    * document —
+    *  - `keep`: kept by both (nothing to do);
+    *  - `readmit`: canonical but not stream-kept (a false drop — band
+    *    collision that failed Jaccard verification, or a non-canonical
+    *    chain resolution);
+    *  - `evict`: stream-kept but not canonical (a keeper the
+    *    event-time-canonical cluster-level resolution replaced — e.g.
+    *    the stream kept the first-processed member of an out-of-order
+    *    pair).
+    * `streamKept` is the (window_start, doc_id) output of `dedupDocs`
+    * restricted to the same settled feed. */
+  def compactActions(docs: DataFrame, streamKept: DataFrame,
+                     windowDur: String = "1 hour"): DataFrame = {
+    val canon = canonicalKept(docs, windowDur)
+      .select(col("doc_id"), col("window_start").as("canon_ws"))
+    canon
+      .join(streamKept.select(col("doc_id"),
+        col("window_start").as("stream_ws")), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("canon_ws"), col("stream_ws")).as("window_start"),
+        when(col("canon_ws").isNotNull && col("stream_ws").isNotNull, "keep")
+          .when(col("canon_ws").isNotNull, "readmit")
+          .otherwise("evict").as("action"))
+  }
+
+  /** Store-level compaction job — the packaged stream-then-batch
+    * finishing rule (the reference's sink-side re-reconciliation,
+    * `app/alpaca_service.py:194,207`, generalized to near-dup
+    * semantics).  Store layout (all parquet under `store`):
+    *  - `feed/`  — the raw archived feed (doc_id, ingest_ts, text),
+    *    written by the caller's archive sink alongside the dedup
+    *    stream (the standard stream+batch dual-sink shape);
+    *  - `kept/`  — the streaming `dedupDocs` output
+    *    (window_start, doc_id);
+    *  - `kept_compacted/` — this job's output: the canonical kept set
+    *    for every settled window (overwritten per run);
+    *  - `compact_cutoff`  — one-line marker file holding the settle
+    *    boundary of the last run (ISO instant), so `keptView` knows
+    *    where compacted truth ends and live stream output begins.
+    *
+    * `settledBefore` is aligned DOWN to a window boundary (via the
+    * same `window()` bucketing as the stream) and must trail the
+    * stream's watermark: windows at or beyond the boundary may still
+    * be open.  The job recomputes the canonical result over the whole
+    * settled range — the absolute guarantee has no incremental form
+    * without cluster-boundary bookkeeping; callers with append-only
+    * feeds bound the cost by archiving `feed/` in settled partitions
+    * and compacting on a cadence ≫ trigger interval.  Runs are
+    * idempotent (same inputs → same overwrite).
+    *
+    * Returns the reconciliation actions (doc_id, window_start,
+    * action) so callers can propagate evictions/readmissions to
+    * downstream consumers of the kept set. */
+  def compact(spark: SparkSession, store: String,
+              settledBefore: Timestamp,
+              windowDur: String = "1 hour"): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val aligned = spark.range(1)
+      .select(windowStart(lit(settledBefore), windowDur))
+      .head().getTimestamp(0)
+    val feed = spark.read.parquet(s"$store/feed")
+      .filter(col("ingest_ts") < lit(aligned))
+    val streamKept = spark.read.parquet(s"$store/kept")
+      .filter(col("window_start") < lit(aligned))
+    val actions = compactActions(feed, streamKept, windowDur)
+    canonicalKept(feed, windowDur)
+      .write.mode("overwrite").parquet(s"$store/kept_compacted")
+    val fs = new Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(store, "compact_cutoff"), true)
+    try out.write(aligned.toInstant.toString.getBytes("UTF-8"))
+    finally out.close()
+    actions
+  }
+
+  /** The reconciled kept set: compacted canonical truth below the
+    * last compaction cutoff, live stream output at and above it.
+    * Before any compaction runs, this is just the stream output. */
+  def keptView(spark: SparkSession, store: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(store, "compact_cutoff")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = spark.read.parquet(s"$store/kept")
+    if (!fs.exists(p)) live
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      val cutoff = Timestamp.from(
+        java.time.Instant.parse(new String(buf, "UTF-8")))
+      spark.read.parquet(s"$store/kept_compacted")
+        .unionByName(live.filter(col("window_start") >= lit(cutoff)))
+    }
   }
 }

@@ -7,9 +7,11 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 /** Streaming near-dup dedup ≡ the batch greedy mirror: a doc is kept
   * iff no earlier arrival shares a MinHash LSH band key, dropped docs
   * still register their fresh keys (chaining), and state survives a
-  * checkpointed restart.  Arrival-order ties inside one micro-batch
-  * are unspecified, so every stream-vs-batch equality here feeds
-  * colliding docs in distinct micro-batches. */
+  * checkpointed restart.  Within one micro-batch the keeper is
+  * event-time canonical and deterministic (min (ingest_ts, doc_id) —
+  * pinned by the repeated-run test); the stream-vs-batch equalities
+  * additionally feed colliding docs in distinct micro-batches so the
+  * cross-batch first-processed contract lines up with event order. */
 class StreamingNearDedupSpec extends SparkSuite {
   import spark.implicits._
 
@@ -66,11 +68,17 @@ class StreamingNearDedupSpec extends SparkSuite {
     assert(!kept.contains(3L)) // exact dup of an earlier arrival
   }
 
-  test("same-batch collision keeps exactly one of the pair") {
-    val kept = runStream("near_dedup_tie", Seq(
-      Seq((10L, t(0), textA), (11L, t(0), textA), (12L, t(0), textB))))
-    assert(kept.contains(12L))
-    assert((kept & Set(10L, 11L)).size == 1)
+  test("same-batch collision keeps the event-time-canonical member, deterministically") {
+    // 11 and 10 collide on every band; 10 has the smaller (ts, doc_id)
+    // so it must win regardless of processing order — repeated runs of
+    // the same multi-collision micro-batch pin the determinism
+    val batches = Seq(
+      Seq((11L, t(0), textA), (10L, t(0), textA), (12L, t(0), textB),
+        (14L, t(1), textC), (13L, t(0), textC)))
+    val kept1 = runStream("near_dedup_tie1", batches)
+    val kept2 = runStream("near_dedup_tie2", batches)
+    assert(kept1 == Set(10L, 12L, 13L))
+    assert(kept2 == kept1)
   }
 
   test("documents with empty gram sets never collide and are all kept") {
