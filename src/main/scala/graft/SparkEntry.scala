@@ -124,7 +124,10 @@ object SparkEntry {
     "sim_ivf_kmeans" -> (Similarity.ivfKmeans _),
     "sim_recall" -> (Similarity.recall _),
     "sim_quantize" -> (Similarity.quantize _),
-    "sim_ann_ivf_persisted" -> (Similarity.ivfPersisted _),
+    "sim_ann_ivf_persisted" ->
+      ((s: SparkSession, d: String) => Similarity.ivfPersisted(s, d)),
+    "sim_ivf_kmeans_persisted" ->
+      ((s: SparkSession, d: String) => Similarity.ivfKmeansPersisted(s, d)),
     "sim_quantized_topk" -> (Similarity.quantizedTopK _),
     // HLL sketch — engine-specific, driver records rows-only check
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
@@ -432,9 +435,10 @@ object SparkEntry {
     "sim_ivf_kmeans" -> Similarity.ivfKmeansSql(DuckDialect),
     "sim_recall" -> Similarity.recallSql(DuckDialect),
     "sim_quantize" -> Similarity.quantizeSql(DuckDialect),
-    // identical semantics to sim_ann_ivf by construction — the same
-    // oracle verifies the persisted-index path
+    // identical semantics to sim_ann_ivf / sim_ivf_kmeans by
+    // construction — the same oracles verify the persisted-index paths
     "sim_ann_ivf_persisted" -> Similarity.ivfSql(DuckDialect),
+    "sim_ivf_kmeans_persisted" -> Similarity.ivfKmeansSql(DuckDialect),
     "sim_quantized_topk" -> Similarity.quantizedTopKSql(DuckDialect),
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,
     "q_salted_agg" -> ScalePatterns.qSaltedAggOracleSql,

@@ -69,14 +69,24 @@ object Similarity {
     val absMax = d.arrMax(d.arrTransform("v", "x", "abs(x)"))
     val err = d.arrTransform("v", "x",
       "x - floor(x * scale + 0.5) / scale")
+    // All-zero vectors have no scale (127 / 0): emit NULL scale/rmse
+    // explicitly — Spark's non-ANSI division yields NULL while DuckDB
+    // doubles yield inf, so the guard is the portable form (pinned by
+    // SimilaritySpec's zero-vector edge case).
     s"""WITH e AS (
        |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
        |s AS (
-       |  SELECT vec_id, v, ${d.dlit(127.0)} / $absMax AS scale FROM e),
+       |  SELECT vec_id, v,
+       |    CASE WHEN $absMax = ${d.dlit(0.0)} THEN NULL
+       |         ELSE ${d.dlit(127.0)} / $absMax END AS scale
+       |  FROM e),
        |q AS (
        |  SELECT vec_id, scale, ${d.arrSize("v")} AS dim, $err AS err FROM s),
        |r AS (
-       |  SELECT vec_id, scale, ${d.dot("err", "err")} / dim AS mse FROM q)
+       |  SELECT vec_id, scale,
+       |    CASE WHEN scale IS NULL THEN NULL
+       |         ELSE ${d.dot("err", "err")} / dim END AS mse
+       |  FROM q)
        |SELECT vec_id, round(scale, 6) AS scale,
        |  round(sqrt(mse), 6) AS rmse
        |FROM r
@@ -98,14 +108,22 @@ object Similarity {
     val absMax = d.arrMax(d.arrTransform("v", "x", "abs(x)"))
     val code = d.arrTransform("v", "x",
       "CAST(floor(x * scale + 0.5) AS DOUBLE)")
+    // All-zero vectors are excluded from the quantized serving set
+    // (same NULL-scale guard as quantizeSql): they have no codes and no
+    // cosine direction, and leaving a NULL score in the ranking would
+    // hit the engines' opposing NULL-ordering defaults.
     s"""WITH e AS (
        |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
        |n AS (
        |  SELECT vec_id, v, sqrt(${d.dot("v", "v")}) AS nrm FROM e),
        |s AS (
-       |  SELECT vec_id, v, nrm, ${d.dlit(127.0)} / $absMax AS scale FROM n),
+       |  SELECT vec_id, v, nrm,
+       |    CASE WHEN $absMax = ${d.dlit(0.0)} THEN NULL
+       |         ELSE ${d.dlit(127.0)} / $absMax END AS scale
+       |  FROM n),
        |qz AS (
-       |  SELECT vec_id, nrm, scale, $code AS code FROM s),
+       |  SELECT vec_id, nrm, scale, $code AS code FROM s
+       |  WHERE scale IS NOT NULL),
        |q AS (
        |  SELECT vec_id, nrm, scale, code FROM qz WHERE vec_id % 100 = 0),
        |p AS (
@@ -299,16 +317,18 @@ object Similarity {
 
   /** ANN recall measurement: per query vector, the fraction of the
     * TRUE cosine top-5 (`topK` restricted to rank ≤ 5 — the exact
-    * brute-force baseline) that each approximate variant recovers.
-    * Deterministic inputs make approximation quality itself an
-    * oracle-checked result instead of a prose claim: the DuckDB oracle
-    * recomputes all four pipelines independently and must land on the
-    * same per-query fractions.
+    * brute-force baseline) that each approximate variant recovers —
+    * LSH, fixed-centroid IVF, k-means IVF, and the int8 quantized
+    * serving path (its ranking deviation near ties is exactly what the
+    * recall column quantifies).  Deterministic inputs make
+    * approximation quality itself an oracle-checked result instead of
+    * a prose claim: the DuckDB oracle recomputes all five pipelines
+    * independently and must land on the same per-query fractions.
     *
     * This is a measurement harness, so it deliberately pays the cost
-    * of all four pipelines (truth + 3 ANN variants); production runs
-    * it on a sampled query set, not the full corpus.  The joins are
-    * tiny (k rows per query) — cost is dominated by the four
+    * of all five pipelines (truth + 4 approximate variants);
+    * production runs it on a sampled query set, not the full corpus.
+    * The joins are tiny (k rows per query) — cost is dominated by the
     * pipelines themselves. */
   def recall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -324,13 +344,19 @@ object Similarity {
       .join(matched(annLsh(spark, dir), "m_lsh"), Seq("query_id"), "left")
       .join(matched(ivf(spark, dir), "m_ivf"), Seq("query_id"), "left")
       .join(matched(ivfKmeans(spark, dir), "m_km"), Seq("query_id"), "left")
+      // quantized serving emits top-10; its recall column measures the
+      // top-5 cut so every variant is scored on the same k
+      .join(matched(quantizedTopK(spark, dir).filter($"rank" <= 5), "m_q"),
+        Seq("query_id"), "left")
       .select($"query_id", $"n_true",
         round(coalesce($"m_lsh", lit(0L)).cast("double") / $"n_true", 6)
           .as("recall_lsh"),
         round(coalesce($"m_ivf", lit(0L)).cast("double") / $"n_true", 6)
           .as("recall_ivf"),
         round(coalesce($"m_km", lit(0L)).cast("double") / $"n_true", 6)
-          .as("recall_kmeans"))
+          .as("recall_kmeans"),
+        round(coalesce($"m_q", lit(0L)).cast("double") / $"n_true", 6)
+          .as("recall_quantized"))
       .orderBy($"query_id")
   }
 
@@ -351,75 +377,91 @@ object Similarity {
        |  SELECT query_id, count(*) AS n_true FROM truth GROUP BY query_id),
        |${m("ml", annLshSql(d))},
        |${m("mi", ivfSql(d))},
-       |${m("mk", ivfKmeansSql(d))}
+       |${m("mk", ivfKmeansSql(d))},
+       |${m("mq", s"SELECT query_id, neighbor_id FROM (${quantizedTopKSql(d)}) qt WHERE rank <= 5")}
        |SELECT tc.query_id, CAST(tc.n_true AS BIGINT) AS n_true,
        |  round(CAST(COALESCE(ml.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_lsh,
        |  round(CAST(COALESCE(mi.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_ivf,
-       |  round(CAST(COALESCE(mk.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_kmeans
+       |  round(CAST(COALESCE(mk.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_kmeans,
+       |  round(CAST(COALESCE(mq.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_quantized
        |FROM tc
        |LEFT JOIN ml ON ml.query_id = tc.query_id
        |LEFT JOIN mi ON mi.query_id = tc.query_id
        |LEFT JOIN mk ON mk.query_id = tc.query_id
+       |LEFT JOIN mq ON mq.query_id = tc.query_id
        |ORDER BY tc.query_id""".stripMargin
   }
 
-  /** IVF with a PERSISTED index — the 100 TB deployment shape of
-    * `sim_ann_ivf`: the inverted lists are written ONCE as a parquet
-    * table partitioned by centroid id (`cid=<id>/` directories), and
-    * each probe then reads only the probed list partitions.  Pruning
-    * is static: the probed cid set (≤ nprobe per query — tiny ints,
-    * the same driver-side scalar shape as the k-means codebook
-    * collect) lands in the scan's `PartitionFilters`, so the files of
-    * unprobed lists are never opened — at scale a query touches
-    * nprobe/k of the index bytes regardless of corpus size.
-    *
-    * Same centroids (vec_id ≡ 50 mod 100), assignment tie-break, and
-    * scoring arithmetic as `ivfSql`; the float parquet round-trip is
-    * exact, so results are identical to `sim_ann_ivf` and the same
-    * oracle SQL verifies this path.  The index build is write-if-
-    * absent keyed on the dataset dir (one shuffle-by-list write). */
-  def ivfPersisted(spark: SparkSession, dir: String): DataFrame = {
+  /** The cached base relation for the persisted-index paths:
+    * (vec_id, embedding, v, nrm) — raw floats for the index write,
+    * double work form + norm for training/scoring. */
+  private def ivfBase(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
-    val n = RelationCache.cached(spark, s"ivf_base:$dir") {
+    RelationCache.cached(spark, s"ivf_base:$dir") {
       Tables.embeddings(spark, dir)
         .select($"vec_id", $"embedding",
           expr(SparkDialect.toDoubleArr("embedding")).as("v"))
         .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
     }
-    val c = broadcast(n.filter($"vec_id" % 100 === 50)
-      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm")))
-    val scored = n.crossJoin(c)
-      .withColumn("cs", expr("graft_dot(v, cv)") / ($"nrm" * $"cnrm"))
-    // The index is keyed by the dataset path: the readable sanitized
-    // name plus the full path's hash so two paths that sanitize alike
-    // cannot collide.  Contract: the index is immutable once written —
-    // callers that regenerate the dataset IN PLACE must delete the
-    // store dir to force a rebuild (the same refresh rule as any
-    // external index).  Existence goes through Hadoop's FileSystem so
-    // the check is correct on non-local storage too (java.io.File is
-    // always false for hdfs:// / s3a:// — see BarStore.merge).
-    val store = new org.apache.hadoop.fs.Path(
-      sys.props("java.io.tmpdir"),
-      "graft_ivf_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
-        "_" + java.lang.Integer.toHexString(dir.hashCode))
+  }
+
+  /** Index store path for the dataset at `dir`: the readable sanitized
+    * name, the full path's hash (two paths that sanitize alike cannot
+    * collide), and a cheap CONTENT fingerprint — row count + max
+    * vec_id — so a dataset regenerated in place lands on a different
+    * store and can never be served stale inverted lists.  (A
+    * same-count same-max rewrite still aliases; callers mutating data
+    * under a fixed id space should version the dataset path itself.)
+    * `storeBase` overrides the default `java.io.tmpdir` root — the
+    * embedding-a-library case where the index must live next to the
+    * data (any Hadoop-visible URI works). */
+  private[ops] def indexStorePath(spark: SparkSession, dir: String,
+      tag: String, storeBase: Option[String],
+      n: DataFrame): org.apache.hadoop.fs.Path = {
+    import org.apache.spark.sql.functions._
+    val fp = n.agg(count(lit(1)), max(col("vec_id"))).head()
+    new org.apache.hadoop.fs.Path(
+      storeBase.getOrElse(sys.props("java.io.tmpdir")),
+      s"graft_ivf_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + java.lang.Integer.toHexString(dir.hashCode) +
+        s"_${fp.getLong(0)}_${fp.getLong(1)}")
+  }
+
+  /** Build-if-absent with an atomic publish: `build` writes into a
+    * temp sibling, which is renamed onto the final path in one FS
+    * operation — a concurrent builder that loses the race (the final
+    * path appeared meanwhile, or the rename failed) discards its temp
+    * dir, so readers only ever see a complete index.  Existence goes
+    * through Hadoop's FileSystem so the check is correct on non-local
+    * storage too (java.io.File is always false for hdfs:// / s3a://). */
+  private def publishIndex(spark: SparkSession,
+      store: org.apache.hadoop.fs.Path)(build: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(store, "_SUCCESS"))) {
-      val asgn = scored.groupBy($"vec_id")
-        .agg(max_by($"cid", struct($"cs", -$"cid")).as("cid"))
-      n.select($"vec_id", $"embedding").join(asgn, "vec_id")
-        .write.mode("overwrite").partitionBy("cid")
-        .parquet(store.toString)
+    if (!fs.exists(new Path(store, "_SUCCESS"))) {
+      val tmp = new Path(store.getParent,
+        store.getName + "_tmp_" + java.util.UUID.randomUUID().toString)
+      build(tmp.toString)
+      if (fs.exists(store) || !fs.rename(tmp, store))
+        fs.delete(tmp, true)
     }
-    // top-nprobe centroids per query — the window runs over the tiny
-    // query subset only (k rows per query), never the full corpus
-    val probe = scored.filter($"vec_id" % 100 === 0)
-      .withColumn("crn", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cid")))
-      .filter($"crn" <= 2)
-      .select($"vec_id".as("qid"), $"cid")
+  }
+
+  /** Probe-side serving over a persisted inverted-list store: read
+    * ONLY the probed cid partitions (the probed set — ≤ nprobe tiny
+    * longs per query, a scalar-plan value — lands in the scan's
+    * `PartitionFilters`, so unprobed list files are never opened),
+    * then rank candidates with the exact cosine arithmetic.  At scale
+    * a query touches nprobe/k of the index bytes regardless of corpus
+    * size. */
+  private def servePersisted(spark: SparkSession,
+      store: org.apache.hadoop.fs.Path, probe: DataFrame,
+      queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     val probedCids = probe.select($"cid").distinct().as[Long].collect().sorted
     // pin the partition column type (inference would read cid=150 as
     // INT and the long comparison's cast could fall out of
@@ -435,8 +477,7 @@ object Similarity {
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("nid"), $"nv", $"nn")
     cand
-      .join(broadcast(n.filter($"vec_id" % 100 === 0)
-        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))), "qid")
+      .join(broadcast(queries), "qid")
       .select($"qid", $"nid",
         expr("graft_dot(qv, nv)").divide($"qn" * $"nn").as("cs"))
       .withColumn("rn", row_number().over(
@@ -445,6 +486,84 @@ object Similarity {
       .select($"qid".as("query_id"), $"nid".as("neighbor_id"),
         round($"cs", 6).as("cosine"), $"rn".cast("long").as("rank"))
       .orderBy($"query_id", $"rank")
+  }
+
+  /** IVF with a PERSISTED index — the 100 TB deployment shape of
+    * `sim_ann_ivf`: the inverted lists are written ONCE as a parquet
+    * table partitioned by centroid id (`cid=<id>/` directories), and
+    * each probe then reads only the probed list partitions
+    * (`servePersisted`).  Same centroids (vec_id ≡ 50 mod 100),
+    * assignment tie-break, and scoring arithmetic as `ivfSql`; the
+    * float parquet round-trip is exact, so results are identical to
+    * `sim_ann_ivf` and the same oracle SQL verifies this path.
+    *
+    * The store location is a parameter (default: tmpdir), the store
+    * name carries a content fingerprint, the build is
+    * publish-by-rename (`indexStorePath` / `publishIndex`), and a
+    * deleted store is rebuilt on the next call — the rebuild-on-absent
+    * contract. */
+  def ivfPersisted(spark: SparkSession, dir: String): DataFrame =
+    ivfPersisted(spark, dir, None)
+
+  def ivfPersisted(spark: SparkSession, dir: String,
+                   storeBase: Option[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val n = ivfBase(spark, dir)
+    val c = broadcast(n.filter($"vec_id" % 100 === 50)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm")))
+    val scored = n.crossJoin(c)
+      .withColumn("cs", expr("graft_dot(v, cv)") / ($"nrm" * $"cnrm"))
+    val store = indexStorePath(spark, dir, "fix", storeBase, n)
+    publishIndex(spark, store) { tmp =>
+      val asgn = scored.groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"cs", -$"cid")).as("cid"))
+      n.select($"vec_id", $"embedding").join(asgn, "vec_id")
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    }
+    // top-nprobe centroids per query — the window runs over the tiny
+    // query subset only (k rows per query), never the full corpus
+    val probe = scored.filter($"vec_id" % 100 === 0)
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cid")))
+      .filter($"crn" <= 2)
+      .select($"vec_id".as("qid"), $"cid")
+    servePersisted(spark, store, probe,
+      n.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
+  }
+
+  /** Persisted IVF over the TRAINED k-means codebook — `ivfKmeans`'s
+    * centroids with `ivfPersisted`'s storage shape: the production
+    * combination (train once, persist the lists, serve by partition
+    * pruning).  Assignment, probing and scoring reuse the exact
+    * arithmetic of `ivfKmeans`, so the results are identical to the
+    * in-memory operator and the same `ivfKmeansSql` oracle verifies
+    * this path.  The store is fingerprint-keyed and publish-by-rename
+    * like the fixed variant; the trained codebook is deterministic
+    * (quantized sums, no RNG), so a rebuilt index is bit-identical. */
+  def ivfKmeansPersisted(spark: SparkSession, dir: String): DataFrame =
+    ivfKmeansPersisted(spark, dir, None)
+
+  def ivfKmeansPersisted(spark: SparkSession, dir: String,
+                         storeBase: Option[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = ivfBase(spark, dir)
+    val cents = trainCodebook(n)
+    val store = indexStorePath(spark, dir, "km", storeBase, n)
+    publishIndex(spark, store) { tmp =>
+      n.withColumn("cid", centroidOrder(cents)(0).getField("cid"))
+        .select($"vec_id", $"embedding", $"cid")
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    }
+    val probe = n.filter($"vec_id" % 100 === 0)
+      .withColumn("p", explode(slice(centroidOrder(cents), 1, 2)))
+      .select($"vec_id".as("qid"), $"p.cid".as("cid"))
+    servePersisted(spark, store, probe,
+      n.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
   }
 
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
@@ -474,50 +593,52 @@ object Similarity {
     * DataFrame equivalent of broadcasting the codebook.  All arithmetic
     * (quantized sums, µ/10⁶/n division, left-to-right dot folds, tie on
     * cid) is identical to the oracle SQL, so results stay bit-equal. */
-  def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
+  private def lit64(a: Array[Double]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.array(
+      a.map(org.apache.spark.sql.functions.lit(_)): _*)
+
+  private def dotSelf(a: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }; s
+  }
+
+  /** Per-row centroid ranking against a literal codebook: ascending
+    * (-cs, cid) struct sort ≡ the oracle's ORDER BY cs DESC, cid
+    * (exact for non-NaN doubles).  The cosine against each literal
+    * centroid uses the same codegen'd fold as the oracle. */
+  private def centroidOrder(
+      cents: Seq[(Long, Array[Double], Double)]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    array_sort(array(cents.map { case (cid, cv, cnrm) =>
+      struct((-call_function("graft_dot", col("v"), lit64(cv))
+        .divide(col("nrm") * lit(cnrm))).as("ncs"), lit(cid).as("cid"))
+    }: _*))
+  }
+
+  /** Driver-coordinated spherical k-means over a relation carrying
+    * (vec_id, v, nrm): deterministic init (vec_id ≡ 50 picks), then
+    * `KmeansIters` Lloyd rounds — each ONE aggregation job whose
+    * map-side partial sums are µ-quantized longs, so the collected
+    * codebook (k·D numbers) is bit-identical to the oracle's unrolled
+    * CTE chain regardless of partial-aggregation order. */
+  private def trainCodebook(
+      n0: DataFrame): Seq[(Long, Array[Double], Double)] = {
+    val spark = n0.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.Column
-    graft.functions.GraftFunctions.register(spark)
+    val n = n0.select($"vec_id", $"v", $"nrm")
     val quant = KmeansQuant.toDouble
-    // session-scoped cached relation (RelationCache): repeated bench /
-    // verify invocations reuse one cache entry instead of pinning a new
-    // one per call
-    val n = RelationCache.cached(spark, s"kmeans_base:$dir") {
-      Tables.embeddings(spark, dir)
-        .select($"vec_id", expr(
-          SparkDialect.toDoubleArr("embedding")).as("v"))
-        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-    }
-
-    def lit64(a: Array[Double]): Column =
-      array(a.map(lit(_)): _*)
-    // cosine of v against a literal centroid (same fold as the oracle)
-    def cosTo(cv: Array[Double], cnrm: Double): Column =
-      call_function("graft_dot", $"v", lit64(cv)).divide($"nrm" * lit(cnrm))
-    def dotSelf(a: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * a(i); i += 1 }; s
-    }
-
     // init: deterministic picks, ordered by cid
     var cents: Seq[(Long, Array[Double], Double)] =
       n.filter($"vec_id" % 100 === 50).orderBy($"vec_id").collect().map { r =>
         val v = r.getSeq[Double](1).toArray
         (r.getLong(0), v, math.sqrt(dotSelf(v)))
       }.toSeq
-
-    // per-row centroid ranking: ascending (-cs, cid) struct sort ≡ the
-    // oracle's ORDER BY cs DESC, cid (exact for non-NaN doubles)
-    def ordCol(): Column = array_sort(array(cents.map {
-      case (cid, cv, cnrm) =>
-        struct((-cosTo(cv, cnrm)).as("ncs"), lit(cid).as("cid"))
-    }: _*))
-
     for (_ <- 0 until KmeansIters) {
       val sums = (0 until KmeansDim).map(j =>
         sum(round(element_at($"v", j + 1) * quant).cast("long")).as(s"s$j"))
-      val updated = n.withColumn("cid", ordCol()(0).getField("cid"))
+      val updated = n
+        .withColumn("cid", centroidOrder(cents)(0).getField("cid"))
         .groupBy($"cid")
         .agg(count(lit(1)).as("cnt"), sums: _*)
         .collect()
@@ -528,8 +649,18 @@ object Similarity {
         (r.getLong(0), cv, math.sqrt(dotSelf(cv)))
       }.sortBy(_._1).toSeq
     }
+    cents
+  }
 
-    val ranked = n.withColumn("ord", ordCol())
+  def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // session-scoped cached relation (RelationCache): repeated bench /
+    // verify invocations — and the persisted variant — share one
+    // cache entry instead of pinning a new one per call
+    val n = ivfBase(spark, dir)
+    val cents = trainCodebook(n)
+    val ranked = n.withColumn("ord", centroidOrder(cents))
     val asgn = ranked.select($"vec_id", $"ord"(0).getField("cid").as("cid"))
     val probe = ranked.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("qid"), explode(slice($"ord", 1, 2)).as("p"))

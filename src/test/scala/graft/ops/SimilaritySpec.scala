@@ -59,7 +59,9 @@ class SimilaritySpec extends SparkSuite {
     val byMethod = Map(
       "recall_lsh" -> pairs(Similarity.annLsh(spark, sf())),
       "recall_ivf" -> pairs(Similarity.ivf(spark, sf())),
-      "recall_kmeans" -> pairs(Similarity.ivfKmeans(spark, sf())))
+      "recall_kmeans" -> pairs(Similarity.ivfKmeans(spark, sf())),
+      "recall_quantized" ->
+        pairs(Similarity.quantizedTopK(spark, sf()).filter("rank <= 5")))
     rec.foreach { r =>
       val q = r.getAs[Long]("query_id")
       assert(r.getAs[Long]("n_true") == truth(q).size)
@@ -110,17 +112,92 @@ class SimilaritySpec extends SparkSuite {
     assert(got(3L)._2 == 0.0) // uniform vector quantizes losslessly
   }
 
+  private def storeDir(tag: String, dir: String,
+                       base: Option[String] = None): java.io.File =
+    new java.io.File(Similarity.indexStorePath(spark, dir, tag, base,
+      graft.Tables.embeddings(spark, dir)).toUri.getPath)
+
   test("persisted IVF index reproduces sim_ann_ivf exactly") {
     val mem = Similarity.ivf(spark, sf()).collect().map(_.toSeq).toSeq
     val persisted = Similarity.ivfPersisted(spark, sf()).collect()
       .map(_.toSeq).toSeq
     assert(persisted == mem)
-    // the index landed as one directory per inverted list
-    val store = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_" + sf().replaceAll("[^A-Za-z0-9.]", "_") +
-        "_" + java.lang.Integer.toHexString(sf().hashCode))
+    // the index landed as one directory per inverted list, under a
+    // fingerprint-keyed store name
+    val store = storeDir("fix", sf())
     val listDirs = store.listFiles().filter(_.getName.startsWith("cid="))
     assert(listDirs.nonEmpty)
+  }
+
+  test("persisted k-means IVF reproduces sim_ivf_kmeans exactly") {
+    val mem = Similarity.ivfKmeans(spark, sf()).collect().map(_.toSeq).toSeq
+    val persisted = Similarity.ivfKmeansPersisted(spark, sf()).collect()
+      .map(_.toSeq).toSeq
+    assert(persisted == mem)
+    assert(storeDir("km", sf()).listFiles()
+      .exists(_.getName.startsWith("cid=")))
+    // its probe path prunes partitions exactly like the fixed variant
+    val p = Similarity.ivfKmeansPersisted(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[cid#\d+L IN \(""".r.findFirstIn(p).isDefined,
+      p.take(2000))
+  }
+
+  test("persisted IVF honors a custom store location and rebuilds after deletion") {
+    val base = java.nio.file.Files.createTempDirectory("ivf_custom").toString
+    val first = Similarity.ivfPersisted(spark, sf(), Some(base)).collect()
+      .map(_.toSeq).toSeq
+    val store = storeDir("fix", sf(), Some(base))
+    assert(store.getParentFile.getPath == base && store.exists())
+    // rebuild-on-absent: a deleted store is rebuilt with identical
+    // results on the next call
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+    }
+    rmrf(store)
+    assert(!store.exists())
+    val rebuilt = Similarity.ivfPersisted(spark, sf(), Some(base)).collect()
+      .map(_.toSeq).toSeq
+    assert(store.exists() && rebuilt == first)
+  }
+
+  test("a regenerated dataset gets a fresh index via the content fingerprint") {
+    import spark.implicits._
+    val ds = java.nio.file.Files.createTempDirectory("ivf_fp").toString
+    val full = graft.Tables.embeddings(spark, sf())
+    full.write.parquet(s"$ds/embeddings.parquet")
+    val r1 = Similarity.ivfPersisted(spark, ds).collect().map(_.toSeq).toSeq
+    assert(r1.nonEmpty)
+    // regenerate the dataset IN PLACE with a strict subset, then clear
+    // the session relation cache (a fresh session's view of the files)
+    full.filter($"vec_id" < 300).write.mode("overwrite")
+      .parquet(s"$ds/embeddings.parquet")
+    RelationCache.clear(spark)
+    val r2 = Similarity.ivfPersisted(spark, ds).collect()
+    assert(r2.nonEmpty && r2.forall(_.getAs[Long]("neighbor_id") < 300),
+      "results must come from the regenerated dataset, not a stale index")
+    assert(r2.map(_.toSeq).toSeq != r1)
+  }
+
+  test("zero vectors quantize to NULL scale and are excluded from quantized serving") {
+    import spark.implicits._
+    val vecs = Seq(
+      0L -> Array(0.0f, 0.0f, 0.0f, 0.0f), // an all-zero QUERY vector
+      1L -> Array(1.0f, -0.5f, 0.25f, 0.125f),
+      2L -> Array(0.5f, 0.25f, -0.125f, 1.0f),
+      100L -> Array(0.25f, 1.0f, 0.5f, -0.25f))
+    vecs.toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    val q = spark.sql(Similarity.quantizeSql(SparkDialect)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(0L).isNullAt(1) && q(0L).isNullAt(2),
+      "zero vector reports NULL scale and rmse")
+    assert(!q(1L).isNullAt(1) && q(1L).getDouble(1) > 0)
+    val served = spark.sql(Similarity.quantizedTopKSql(SparkDialect)).collect()
+    assert(served.nonEmpty)
+    assert(!served.exists(_.getAs[Long]("query_id") == 0L),
+      "zero vector cannot be a quantized query")
+    assert(!served.exists(_.getAs[Long]("neighbor_id") == 0L),
+      "zero vector cannot be a quantized neighbor")
   }
 
   test("persisted IVF probe prunes to the probed list partitions") {
