@@ -129,7 +129,8 @@ object SparkEntry {
     "sim_ivf_kmeans_persisted" ->
       ((s: SparkSession, d: String) => Similarity.ivfKmeansPersisted(s, d)),
     "sim_quantized_topk" -> (Similarity.quantizedTopK _),
-    // HLL sketch — engine-specific, driver records rows-only check
+    // HLL sketch — the estimate is engine-internal, so the oracle
+    // checks the exact count + the sketch's verified tolerance bound
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     // KMV sketch — portable-hash estimator, fully oracle-checked
     "q_kmv_distinct" -> (Relational.qKmvDistinct _),
@@ -440,6 +441,7 @@ object SparkEntry {
     "sim_ann_ivf_persisted" -> Similarity.ivfSql(DuckDialect),
     "sim_ivf_kmeans_persisted" -> Similarity.ivfKmeansSql(DuckDialect),
     "sim_quantized_topk" -> Similarity.quantizedTopKSql(DuckDialect),
+    "q_approx_distinct" -> Relational.qApproxDistinctOracleSql,
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,
     "q_salted_agg" -> ScalePatterns.qSaltedAggOracleSql,
     "mm_inventory" -> Multimodal.inventoryOracleSql,

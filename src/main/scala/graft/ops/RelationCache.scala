@@ -1,6 +1,7 @@
 package graft.ops
 
 import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped memo for cached derived relations (SimHash pair
@@ -16,13 +17,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * instance, and `clear` gives tests/benchmarks a deterministic
   * unpersist point.
   *
-  * The map holds strong references to the sessions it has seen; this
-  * process creates O(1) sessions (one per bench/verify/test JVM), so
-  * that is bounded by design.
-  */
+  * Lifecycle: the map holds strong references to the sessions it has
+  * seen, bounded by the O(1) sessions a bench/verify/test JVM creates;
+  * a shutdown listener (registered once per session) releases every
+  * entry — this memo's and `TextOps`'s hot-gram memo — when the
+  * session's SparkContext stops, so an embedding process that starts
+  * and stops engines repeatedly does not accumulate dead entries.
+  * Weak-keyed maps cannot do this job: the cached DataFrames reference
+  * their session, so a value→key strong cycle would keep every entry
+  * alive anyway. */
 object RelationCache {
 
   private val memo = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Register (once per session) a context listener that releases the
+    * session's memoized relations when the context shuts down. */
+  private[ops] def hookShutdown(spark: SparkSession): Unit =
+    if (hooked.add(spark))
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+          // unpersist during shutdown is best-effort: the block manager
+          // may already be gone; the map entries must drop regardless
+          try clear(spark) catch { case _: Throwable => forget(spark) }
+          try TextOps.clearHotMemo(spark) catch { case _: Throwable => () }
+          hooked.remove(spark)
+        }
+      })
 
   /** Return the memoized cached relation for `key`, building and
     * `.cache()`-ing it on first use in this session.
@@ -35,6 +56,7 @@ object RelationCache {
     * cache() call (the CacheManager dedupes storage by plan — do not
     * unpersist the loser, that would evict the shared entry). */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    hookShutdown(spark)
     val k = (spark, key)
     val existing = memo.get(k)
     if (existing != null) existing
@@ -51,5 +73,11 @@ object RelationCache {
     memo.keySet.asScala.filter(_._1 eq spark).toSeq.foreach { k =>
       Option(memo.remove(k)).foreach(_.unpersist())
     }
+  }
+
+  /** Drop the entries without touching storage (shutdown fallback). */
+  private def forget(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    memo.keySet.asScala.filter(_._1 eq spark).toSeq.foreach(memo.remove)
   }
 }

@@ -338,15 +338,34 @@ object Relational {
     * exact count for error inspection.  No DuckDB oracle — sketch
     * implementations differ across engines — so the driver records the
     * weaker rows-only check. */
+  /** HLL++ approx-distinct with its accuracy contract as the checkable
+    * result: the raw estimate is engine-internal (HLL sketches cannot
+    * hash-match another engine), so the query emits the exact count
+    * (fully hash-checked) plus a boolean asserting the estimate lands
+    * within 5× the configured rsd of it.  The oracle claims TRUE from
+    * exact arithmetic — a drifting sketch turns the cell red, so the
+    * sketch's tolerance is verified rather than trusted, without
+    * pretending cross-engine bit-equality of the estimate itself. */
+  val ApproxRsd = 0.01
+
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+        approx_count_distinct($"l_orderkey", ApproxRsd).as("approx_orders"),
         countDistinct($"l_orderkey").as("exact_orders"))
+      .select($"l_returnflag", $"exact_orders",
+        (abs($"approx_orders" - $"exact_orders").cast("double")
+          / $"exact_orders" <= 5 * ApproxRsd).as("within_rsd"))
       .orderBy($"l_returnflag")
   }
+
+  def qApproxDistinctOracleSql: String =
+    """SELECT l_returnflag,
+      | count(DISTINCT l_orderkey) AS exact_orders,
+      | TRUE AS within_rsd
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Grouping sets via CUBE: all four aggregation levels over
     * (status, priority) in one pass — Spark expands the grouping sets

@@ -17,12 +17,24 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * where `bars_count` is always 0 (SURVEY.md §0).
   */
 object RunStatusListener {
+  /** One stateful operator's footprint in the latest progress: the
+    * observability a pipeline needs to size watermarks from data —
+    * e.g. the near-dup dedup's live band-key count or the anomaly
+    * detector's keyed-state rows, plus eviction flow and memory. */
+  final case class StateMetric(
+      operatorName: String,
+      stateRows: Long,
+      rowsUpdated: Long,
+      rowsRemoved: Long,
+      memoryUsedBytes: Long)
+
   final case class Snapshot(
       lastAttemptTimestampUtc: Option[String],
       lastSuccessTimestampUtc: Option[String],
       batchesCompleted: Long,
       barsInLastBatch: Long,
-      errorMessage: Option[String])
+      errorMessage: Option[String],
+      stateOperators: Seq[StateMetric] = Seq.empty)
 }
 
 final class RunStatusListener extends StreamingQueryListener {
@@ -41,7 +53,10 @@ final class RunStatusListener extends StreamingQueryListener {
       lastAttemptTimestampUtc = Some(e.progress.timestamp),
       lastSuccessTimestampUtc = Some(e.progress.timestamp),
       batchesCompleted = s.batchesCompleted + 1,
-      barsInLastBatch = e.progress.numInputRows))
+      barsInLastBatch = e.progress.numInputRows,
+      stateOperators = e.progress.stateOperators.toSeq.map(so =>
+        RunStatusListener.StateMetric(so.operatorName, so.numRowsTotal,
+          so.numRowsUpdated, so.numRowsRemoved, so.memoryUsedBytes))))
 
   override def onQueryTerminated(
       e: StreamingQueryListener.QueryTerminatedEvent): Unit =
@@ -58,5 +73,21 @@ final class RunStatusListener extends StreamingQueryListener {
       s.batchesCompleted, s.barsInLastBatch, s.errorMessage))
       .toDF("last_attempt_timestamp_utc", "last_success_timestamp_utc",
         "batches_completed", "bars_in_last_batch", "error_message")
+  }
+
+  /** Per-stateful-operator metrics of the latest micro-batch as a
+    * queryable table — one row per operator (dedup registry, windowed
+    * aggregation, keyed detector …) with its live state row count,
+    * per-batch update/eviction flow and memory footprint.  This is the
+    * feedback loop for sizing watermarks: a band-key count that grows
+    * batch over batch means the horizon outlives the feed's actual
+    * duplicate lag. */
+  def stateMetricsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    snapshot.stateOperators
+      .map(m => (m.operatorName, m.stateRows, m.rowsUpdated,
+        m.rowsRemoved, m.memoryUsedBytes))
+      .toDF("operator_name", "state_rows", "rows_updated",
+        "rows_removed", "memory_used_bytes")
   }
 }

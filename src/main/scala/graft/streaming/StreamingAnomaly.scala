@@ -42,8 +42,12 @@ object StreamingAnomaly {
   val Trailing = 14
   val MinObs = 7
 
-  private def dayOf(ts: Timestamp): String =
-    ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+  /** Day bucket of an event under the given zone — `anomalies` passes
+    * the session's `spark.sql.session.timeZone`, so the stream buckets
+    * days exactly like the batch query's `CAST(ts AS DATE)` in ANY
+    * session zone, not only the UTC this repo pins. */
+  private def dayOf(ts: Timestamp, zone: java.time.ZoneId): String =
+    ts.toInstant.atZone(zone).toLocalDate.toString
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -69,7 +73,7 @@ object StreamingAnomaly {
     }
   }
 
-  def detect(tpe: String, evts: Iterator[Evt],
+  def detect(zone: java.time.ZoneId)(tpe: String, evts: Iterator[Evt],
              state: GroupState[TypeState]): Iterator[Anomaly] = {
     val prev = state.getOption
       .getOrElse(TypeState(Map.empty, Vector.empty, ""))
@@ -77,7 +81,7 @@ object StreamingAnomaly {
     var closed = prev.closed
     var lastClosed = prev.lastClosed
     evts.foreach { e =>
-      val d = dayOf(e.ts)
+      val d = dayOf(e.ts, zone)
       // a day at or before the closure high-water mark cannot reopen
       // (late beyond the horizon — dropped); "" < every ISO day
       if (d > lastClosed)
@@ -101,12 +105,16 @@ object StreamingAnomaly {
     out.result().iterator
   }
 
-  /** Wire the detector over a streaming Dataset of events. */
+  /** Wire the detector over a streaming Dataset of events.  The day
+    * zone comes from the session (`spark.sql.session.timeZone`) so
+    * stream ≡ batch holds whatever zone the session runs in. */
   def anomalies(evts: Dataset[Evt]): Dataset[Anomaly] = {
     import evts.sparkSession.implicits._
+    val zone = java.time.ZoneId.of(
+      evts.sparkSession.sessionState.conf.sessionLocalTimeZone)
     evts
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(detect)
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(detect(zone))
   }
 }

@@ -38,13 +38,18 @@ class StreamingAnomalySpec extends SparkSuite {
       val streamed = spark.table("stream_anomaly").collect()
         .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
           r.getDouble(3), r.getDouble(4))).toSet
-      // the final day of each type never closes (no later event
-      // arrives) — the stream must equal the batch query minus it
-      val lastDay = days.last.toString
+      // each type's OWN final day never closes (day closure is per
+      // event type — no later event of that type arrives), so the
+      // stream must equal the batch query minus every type's own max
+      // day, not the corpus-global last day
+      val lastDayByType = evts.groupBy(_._1).map { case (tpe, es) =>
+        tpe -> es.map(_._2.toInstant.atZone(java.time.ZoneOffset.UTC)
+          .toLocalDate).max.toString
+      }
       val batch = graft.ops.Temporal.anomaly(spark, sf()).collect()
         .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
           r.getDouble(3), r.getDouble(4))).toSet
-        .filter(_._2 < lastDay)
+        .filter(t => t._2 < lastDayByType(t._1))
       assert(batch.nonEmpty, "fixture produced no closed-day anomalies")
       assert(streamed == batch, s"stream $streamed\nbatch $batch")
     } finally q.stop()
