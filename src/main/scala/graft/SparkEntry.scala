@@ -103,6 +103,7 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_mixture_plan" -> (TextAnalysis.mixturePlan _),
     "text_dup_spans" -> (TextAnalysis.dupSpans _),
+    "text_pii" -> (TextAnalysis.pii _),
     "q_ts_correlation" -> (Temporal.tsCorrelation _),
     "q_anomaly" -> (Temporal.anomaly _),
     // Deduplication family
@@ -115,6 +116,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (Dedup.embeddingLsh _),
     "dedup_semantic" -> (Dedup.semantic _),
     "dedup_report" -> (Dedup.report _),
+    "dedup_report_tokens" -> (Dedup.reportTokens _),
     // Finishing-pass keeper election (stream-then-batch compaction)
     "dedup_compact" -> (Dedup.compactKept _),
     // Similarity search over embeddings
@@ -413,6 +415,7 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.repetitionSql(DuckDialect),
     "text_mixture_plan" -> TextAnalysis.mixturePlanSql(DuckDialect),
     "text_dup_spans" -> TextAnalysis.dupSpansSql(DuckDialect),
+    "text_pii" -> TextAnalysis.piiSql(DuckDialect),
     "q_ts_correlation" -> Temporal.tsCorrelationOracleSql,
     "q_anomaly" -> Temporal.anomalySql,
     "dedup_exact" -> Dedup.exactSql(DuckDialect),
@@ -429,6 +432,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> Dedup.embeddingLshSql(DuckDialect),
     "dedup_semantic" -> Dedup.semanticSql(DuckDialect),
     "dedup_report" -> Dedup.reportSql(DuckDialect),
+    "dedup_report_tokens" -> Dedup.reportTokensSql(DuckDialect),
     "dedup_compact" -> Dedup.compactKeptOracleSql(DuckDialect),
     "sim_topk_bruteforce" -> Similarity.topKSql(DuckDialect),
     "sim_ann_lsh" -> Similarity.annLshSql(DuckDialect),

@@ -71,6 +71,39 @@ object Dedup {
        |ORDER BY n.source""".stripMargin
   }
 
+  /** Token-weighted dedup impact per source: `reportSql` counts
+    * documents, but a training pipeline budgets TOKENS — a source
+    * whose few duplicates are its longest documents hides real
+    * redundancy behind a low doc-level `dup_frac`.  Same normalized
+    * digest and min-doc_id keeper fragments as `exactSql` (built from
+    * the identical expressions, so the two reports cannot diverge on
+    * what counts as a duplicate); token mass of a duplicate group is
+    * credited to its keeper's source, mirroring the doc-level
+    * convention.  Scale: two map-side-combining hash aggregates + one
+    * digest join — the same shapes as `reportSql`. */
+  def reportTokensSql(d: SqlDialect): String = {
+    val norm = d.reReplace("trim(lower(text))", "\\s+", " ")
+    s"""WITH n AS (
+       |  SELECT doc_id, source, md5($norm) AS text_md5,
+       |    CAST(${d.arrSize(d.wsTokens("text"))} AS BIGINT) AS n_tok
+       |  FROM documents),
+       |g AS (
+       |  SELECT text_md5, min(doc_id) AS rep_doc_id FROM n GROUP BY text_md5)
+       |SELECT n.source,
+       |  CAST(sum(n.n_tok) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN n.doc_id = g.rep_doc_id THEN n.n_tok ELSE 0 END)
+       |    AS BIGINT) AS kept_tokens,
+       |  round(1 - CAST(sum(CASE WHEN n.doc_id = g.rep_doc_id
+       |      THEN n.n_tok ELSE 0 END) AS DOUBLE) / sum(n.n_tok), 6)
+       |    AS dup_token_frac
+       |FROM n JOIN g ON n.text_md5 = g.text_md5
+       |GROUP BY n.source
+       |ORDER BY n.source""".stripMargin
+  }
+
+  def reportTokens(spark: SparkSession, dir: String): DataFrame =
+    runDocs(spark, dir, reportTokensSql(SparkDialect))
+
   /** Word-3-gram Jaccard near-dup pairs (J ≥ 0.5).  Candidates are
     * blocked on shared shingles, and postings for hot grams
     * (document frequency > maxDf) are dropped from candidate

@@ -557,6 +557,46 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** PII detection + redaction metrics — the safety-filter pass a
+    * training-data pipeline runs before anything else is allowed to
+    * see the text.  Four pattern families are counted per document
+    * with engine-portable regexes (no lookaround, so java.util.regex
+    * and RE2 read them identically): email addresses, IPv4 literals,
+    * SSN-style ids, and phone-like digit runs (the digit-run family
+    * deliberately also matches SSN shapes — families overlap rather
+    * than leave gaps, documented here).  `redacted_len` is the
+    * document length AFTER replacing every match with a fixed tag —
+    * the actual redaction transform, measured rather than promised.
+    *
+    * The fixture corpus is PII-free by construction, so every fixture
+    * row reports zeros (schema + per-row hash still checked end to
+    * end); TextAnalysisSpec feeds a synthetic corpus where each family
+    * fires and pins counts and redaction.  Scale: a shuffle-free
+    * narrow projection, exactly like `qualitySql`. */
+  def piiSql(d: SqlDialect): String = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    val phone = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+    val redacted = Seq(email, ip, ssn, phone).foldLeft("lt") {
+      (acc, pat) => d.reReplace(acc, pat, "<pii>")
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, lower(text) AS lt FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(${d.regexpExtractAllSize("lt", email)} AS BIGINT) AS n_emails,
+       |    CAST(${d.regexpExtractAllSize("lt", ip)} AS BIGINT) AS n_ips,
+       |    CAST(${d.regexpExtractAllSize("lt", ssn)} AS BIGINT) AS n_ids,
+       |    CAST(${d.regexpExtractAllSize("lt", phone)} AS BIGINT) AS n_phones,
+       |    CAST(length($redacted) AS BIGINT) AS redacted_len
+       |  FROM t)
+       |SELECT doc_id, n_emails, n_ips, n_ids, n_phones,
+       |  (n_emails + n_ips + n_ids + n_phones > 0) AS has_pii,
+       |  redacted_len
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
@@ -587,6 +627,8 @@ object TextAnalysis {
     run(spark, dir, mixturePlanSql(SparkDialect))
   def dupSpans(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, dupSpansSql(SparkDialect))
+  def pii(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, piiSql(SparkDialect))
 
   /** Surfaces the contamination cap's documented blind spot (see
     * `contaminationSql`): eval-split docs whose HOT-gram count alone

@@ -140,4 +140,35 @@ class DedupSpec extends SparkSuite {
       .map(_.getAs[Long]("vec_id_b")).toSet
     assert(summary.map(_.getAs[Long]("n_dropped")).sum <= exactDroppable.size)
   }
+
+  test("token-weighted dedup report matches an independent Scala recomputation") {
+    val docs = graft.Tables.documents(spark, sf())
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // same normalization/keeper rule, recomputed without SQL: group by
+    // the normalized text itself (equivalent to grouping by its md5)
+    val keeper = docs.groupBy(_._3.trim.toLowerCase.replaceAll("\\s+", " "))
+      .values.flatMap { g =>
+        val rep = g.map(_._1).min
+        g.map(d => d._1 -> (d._1 == rep))
+      }.toMap
+    def tok(t: String): Long = t.trim.split("\\s+").count(_.nonEmpty).toLong
+    val expected = docs.groupBy(_._2).map { case (src, g) =>
+      val total = g.map(d => tok(d._3)).sum
+      val kept = g.filter(d => keeper(d._1)).map(d => tok(d._3)).sum
+      (src, total, kept,
+        math.rint((1.0 - kept.toDouble / total) * 1e6) / 1e6)
+    }.toSet
+    val got = Dedup.reportTokens(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+    // consistency with the doc-level report: a source with duplicate
+    // DOCS must lose token mass, and a dup-free source must not
+    val docDups = Dedup.report(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_dup_docs")).toMap
+    got.foreach { case (src, _, _, frac) =>
+      assert((frac > 0) == (docDups(src) > 0), s"source $src")
+    }
+  }
 }

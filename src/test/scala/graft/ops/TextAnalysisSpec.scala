@@ -153,4 +153,42 @@ class TextAnalysisSpec extends SparkSuite {
     // distinct docs should (overwhelmingly) have distinct fingerprints
     assert(a.map(_.getAs[Long]("doc_fp")).distinct.length > 490)
   }
+
+  test("PII families fire on a synthetic corpus and redaction shortens the text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at Alice.Smith+work@example.COM or bob@sub.domain.org"),
+      (2L, "server at 192.168.1.10 and 10.0.0.255 responded"),
+      (3L, "ssn 123-45-6789 on file"),
+      (4L, "call +1 (415) 555-0199 today"),
+      (5L, "a perfectly clean document with no identifiers at all"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(TextAnalysis.piiSql(SparkDialect)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_emails") == 2)
+    assert(got(2L).getAs[Long]("n_ips") == 2)
+    assert(got(3L).getAs[Long]("n_ids") == 1)
+    // the digit-run family overlaps the SSN shape by design
+    assert(got(3L).getAs[Long]("n_phones") >= 1)
+    assert(got(4L).getAs[Long]("n_phones") >= 1)
+    assert(got(5L).getAs[Long]("n_emails") == 0 &&
+      got(5L).getAs[Long]("n_ips") == 0 && got(5L).getAs[Long]("n_ids") == 0 &&
+      got(5L).getAs[Long]("n_phones") == 0)
+    assert(!got(5L).getAs[Boolean]("has_pii"))
+    docs.foreach { case (id, text) =>
+      val r = got(id)
+      assert(r.getAs[Boolean]("has_pii") == (id != 5L))
+      if (id != 5L)
+        assert(r.getAs[Long]("redacted_len") < text.length,
+          s"doc $id must shrink under redaction")
+      else assert(r.getAs[Long]("redacted_len") == text.length)
+    }
+  }
+
+  test("the fixture corpus is PII-free and every row says so") {
+    val rows = TextAnalysis.pii(spark, sf()).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => !r.getAs[Boolean]("has_pii")))
+    assert(rows.forall(r => r.getAs[Long]("redacted_len") > 0))
+  }
 }
