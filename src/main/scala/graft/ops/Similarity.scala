@@ -333,8 +333,12 @@ object Similarity {
   def recall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val truth = topK(spark, dir).filter($"rank" <= 5)
-      .select($"query_id", $"neighbor_id")
+    // the truth relation feeds five joins; uncached, Spark would
+    // recompute the full brute-force top-k subplan inside each one
+    val truth = RelationCache.cached(spark, s"recall_truth:$dir") {
+      topK(spark, dir).filter($"rank" <= 5)
+        .select($"query_id", $"neighbor_id")
+    }
     val tc = truth.groupBy($"query_id").agg(count(lit(1)).as("n_true"))
     def matched(ann: DataFrame, name: String): DataFrame =
       truth.join(ann.select($"query_id", $"neighbor_id"),
@@ -551,7 +555,7 @@ object Similarity {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val n = ivfBase(spark, dir)
-    val cents = trainCodebook(n)
+    val cents = trainCodebookCached(spark, dir, n)
     val store = indexStorePath(spark, dir, "km", storeBase, n)
     publishIndex(spark, store) { tmp =>
       n.withColumn("cid", centroidOrder(cents)(0).getField("cid"))
@@ -615,6 +619,27 @@ object Similarity {
     }: _*))
   }
 
+  /** Session-scoped memo of trained codebooks: the Lloyd loop is
+    * deterministic (quantized sums, fixed init), so the three
+    * consumers (`ivfKmeans`, `ivfKmeansPersisted`, `recall`'s k-means
+    * pipeline) share one training run per (session, relation) instead
+    * of re-descending each call.  k·D doubles per entry — scalar-sized,
+    * the same footprint class as the collect it memoizes. */
+  private val codebookMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Long, Array[Double], Double)]]()
+
+  private def trainCodebookCached(spark: SparkSession, dir: String,
+      n: DataFrame): Seq[(Long, Array[Double], Double)] = {
+    val k = (spark, dir)
+    val existing = codebookMemo.get(k)
+    if (existing != null) existing
+    else {
+      val cents = trainCodebook(n)
+      val prev = codebookMemo.putIfAbsent(k, cents)
+      if (prev != null) prev else cents
+    }
+  }
+
   /** Driver-coordinated spherical k-means over a relation carrying
     * (vec_id, v, nrm): deterministic init (vec_id ≡ 50 picks), then
     * `KmeansIters` Lloyd rounds — each ONE aggregation job whose
@@ -659,7 +684,7 @@ object Similarity {
     // verify invocations — and the persisted variant — share one
     // cache entry instead of pinning a new one per call
     val n = ivfBase(spark, dir)
-    val cents = trainCodebook(n)
+    val cents = trainCodebookCached(spark, dir, n)
     val ranked = n.withColumn("ord", centroidOrder(cents))
     val asgn = ranked.select($"vec_id", $"ord"(0).getField("cid").as("cid"))
     val probe = ranked.filter($"vec_id" % 100 === 0)
