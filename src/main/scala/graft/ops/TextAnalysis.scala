@@ -573,23 +573,33 @@ object TextAnalysis {
     * end); TextAnalysisSpec feeds a synthetic corpus where each family
     * fires and pins counts and redaction.  Scale: a shuffle-free
     * narrow projection, exactly like `qualitySql`. */
-  def piiSql(d: SqlDialect): String = {
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
-    val phone = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
-    val redacted = Seq(email, ip, ssn, phone).foldLeft("lt") {
+  /** The PII pattern families, shared by the batch query, the
+    * streaming gate (`StreamingCuration.piiGate`) and the oracle —
+    * one definition, three consumers. */
+  val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PiiIp = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PiiSsn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val PiiPhone = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+  val PiiFamilies: Seq[(String, String)] = Seq(
+    "n_emails" -> PiiEmail, "n_ips" -> PiiIp,
+    "n_ids" -> PiiSsn, "n_phones" -> PiiPhone)
+
+  /** Chained redaction of every family in `expr` (lowercased text). */
+  def piiRedact(d: SqlDialect, expr: String): String =
+    PiiFamilies.map(_._2).foldLeft(expr) {
       (acc, pat) => d.reReplace(acc, pat, "<pii>")
     }
+
+  def piiSql(d: SqlDialect): String = {
+    val counts = PiiFamilies.map { case (name, pat) =>
+      s"CAST(${d.regexpExtractAllSize("lt", pat)} AS BIGINT) AS $name"
+    }.mkString(",\n    ")
     s"""WITH t AS (
        |  SELECT doc_id, lower(text) AS lt FROM documents),
        |c AS (
        |  SELECT doc_id,
-       |    CAST(${d.regexpExtractAllSize("lt", email)} AS BIGINT) AS n_emails,
-       |    CAST(${d.regexpExtractAllSize("lt", ip)} AS BIGINT) AS n_ips,
-       |    CAST(${d.regexpExtractAllSize("lt", ssn)} AS BIGINT) AS n_ids,
-       |    CAST(${d.regexpExtractAllSize("lt", phone)} AS BIGINT) AS n_phones,
-       |    CAST(length($redacted) AS BIGINT) AS redacted_len
+       |    $counts,
+       |    CAST(length(${piiRedact(d, "lt")}) AS BIGINT) AS redacted_len
        |  FROM t)
        |SELECT doc_id, n_emails, n_ips, n_ids, n_phones,
        |  (n_emails + n_ips + n_ids + n_phones > 0) AS has_pii,

@@ -36,4 +36,33 @@ object StreamingCuration {
       .selectExpr(("*" +: exprs): _*)
       .filter(s"quality_score >= $minScore")
   }
+
+  /** PII gate for the live ingest feed — the safety pass `text_pii`
+    * measures, applied as a transform.  Per-family counts land as
+    * metadata columns (same shared patterns as the batch query and
+    * its oracle: `TextAnalysis.PiiFamilies`), then either
+    *  - `redact = true`: `text` is rewritten with every match replaced
+    *    by a fixed tag (documents stay in the corpus, scrubbed), or
+    *  - `redact = false`: documents with any detection are DROPPED.
+    * Like `curate`, every expression is a narrow per-row projection —
+    * no watermark, no state, no shuffle — so the same definition
+    * serves the batch backfill and the stream, and a streamed corpus
+    * equals the batch-gated corpus row-for-row (spec-verified).
+    * Redaction lowercases the text (patterns are defined over
+    * lowercased input; a case-preserving redactor would need
+    * case-insensitive dialect regexes in both engines). */
+  def piiGate(docs: DataFrame, redact: Boolean = true): DataFrame = {
+    val d = SparkDialect
+    val counts = TextAnalysis.PiiFamilies.map { case (name, pat) =>
+      s"CAST(${d.regexpExtractAllSize("lower(text)", pat)} AS BIGINT) AS $name"
+    }
+    val flagged = docs.selectExpr("*" +: counts: _*)
+      .selectExpr("*",
+        "(n_emails + n_ips + n_ids + n_phones > 0) AS has_pii")
+    if (redact)
+      flagged.withColumn("text", org.apache.spark.sql.functions.expr(
+        s"CASE WHEN has_pii THEN ${TextAnalysis.piiRedact(d, "lower(text)")} " +
+          "ELSE text END"))
+    else flagged.filter("NOT has_pii")
+  }
 }

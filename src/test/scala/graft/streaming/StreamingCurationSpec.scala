@@ -50,4 +50,42 @@ class StreamingCurationSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan.take(800))
     assert(!plan.contains("StateStore"), plan.take(800))
   }
+
+  test("PII gate redacts or drops on a streamed feed exactly like batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "mail me at alice@example.com for the report"),
+      (2L, "a perfectly clean document with no identifiers"),
+      (3L, "server 10.0.0.7 and ssn 123-45-6789 leaked"))
+    // batch expectations from the same shared fragments
+    val batchRedacted = StreamingCuration.piiGate(
+        docs.toDF("doc_id", "text"), redact = true)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Boolean]("has_pii"))).toMap
+    assert(batchRedacted(1L)._2 && batchRedacted(3L)._2 && !batchRedacted(2L)._2)
+    assert(batchRedacted(1L)._1.contains("<pii>") &&
+      !batchRedacted(1L)._1.contains("alice@"))
+    assert(!batchRedacted(3L)._1.contains("123-45-6789"))
+    assert(batchRedacted(2L)._1 == docs(1)._2, "clean text passes untouched")
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCuration.piiGate(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_gated")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pii_gated")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("text"), r.getAs[Boolean]("has_pii"))).toMap
+      assert(streamed == batchRedacted, "stream == batch under redaction")
+    } finally q.stop()
+
+    // drop mode removes the flagged docs entirely
+    val dropped = StreamingCuration.piiGate(
+        docs.toDF("doc_id", "text"), redact = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(2L))
+  }
 }
