@@ -131,6 +131,7 @@ object SparkEntry {
     "sim_ivf_kmeans_persisted" ->
       ((s: SparkSession, d: String) => Similarity.ivfKmeansPersisted(s, d)),
     "sim_quantized_topk" -> (Similarity.quantizedTopK _),
+    "sim_source_coherence" -> (Similarity.sourceCoherence _),
     // HLL sketch — the estimate is engine-internal, so the oracle
     // checks the exact count + the sketch's verified tolerance bound
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
@@ -445,6 +446,7 @@ object SparkEntry {
     "sim_ann_ivf_persisted" -> Similarity.ivfSql(DuckDialect),
     "sim_ivf_kmeans_persisted" -> Similarity.ivfKmeansSql(DuckDialect),
     "sim_quantized_topk" -> Similarity.quantizedTopKSql(DuckDialect),
+    "sim_source_coherence" -> Similarity.sourceCoherenceSql(DuckDialect),
     "q_approx_distinct" -> Relational.qApproxDistinctOracleSql,
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,
     "q_salted_agg" -> ScalePatterns.qSaltedAggOracleSql,

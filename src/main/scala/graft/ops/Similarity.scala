@@ -570,6 +570,59 @@ object Similarity {
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
   }
 
+  /** Per-source embedding coherence — the curation monitor that flags
+    * noisy or mislabeled ingest feeds: each source's centroid (exact
+    * µ-quantized integer sums, the same associativity trick as the
+    * k-means oracle, so Spark's partial-aggregation order and DuckDB
+    * land on identical doubles) and the mean/min cosine of the
+    * source's members to it.  A low mean says the feed is semantically
+    * scattered; a low min pinpoints probable outliers/mislabels worth
+    * auditing before training.
+    *
+    * Scale shape: one doc↔embedding equi-join (bucket both tables on
+    * the id to make it co-located at 100 TB), one groupBy(source) with
+    * map-side partial sums of k·D quantized longs, then the tiny
+    * centroid relation joins back broadcast for the scoring pass. */
+  def sourceCoherenceSql(d: SqlDialect): String = {
+    val q = d.dlit(1000000.0)
+    val sums = (0 until EmbeddingDim).map(j =>
+      s"sum(CAST(round(${d.arrAt("v", (j + 1).toString)} * $q) AS BIGINT)) AS s$j")
+      .mkString(",\n    ")
+    val comps = (0 until EmbeddingDim).map(j =>
+      s"CAST(s$j AS DOUBLE) / ($q * cnt)")
+    s"""WITH e AS (
+       |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(${d.dot("v", "v")}) AS nrm FROM e),
+       |m AS (
+       |  SELECT doc.source, n.vec_id, n.v, n.nrm
+       |  FROM documents doc JOIN n ON n.vec_id = doc.doc_id),
+       |s AS (
+       |  SELECT source, count(*) AS cnt,
+       |    $sums
+       |  FROM m GROUP BY source),
+       |c AS (
+       |  SELECT source, cnt, ${d.arrOf(comps)} AS cv FROM s),
+       |cn AS (
+       |  SELECT source, cnt, cv, sqrt(${d.dot("cv", "cv")}) AS cnrm FROM c),
+       |sc AS (
+       |  SELECT m.source, cn.cnt,
+       |    ${d.dot("m.v", "cn.cv")} / (m.nrm * cn.cnrm) AS cs
+       |  FROM m JOIN cn ON cn.source = m.source)
+       |SELECT source, CAST(cnt AS BIGINT) AS n_docs,
+       |  round(avg(cs), 6) AS mean_coherence,
+       |  round(min(cs), 6) AS min_coherence
+       |FROM sc GROUP BY source, cnt
+       |ORDER BY source""".stripMargin
+  }
+
+  def sourceCoherence(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(sourceCoherenceSql(SparkDialect))
+  }
+
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")

@@ -49,7 +49,7 @@ class PlanShapeSpec extends SparkSuite {
 
   test("text analysis runs shuffle-free except the output ordering") {
     Seq("text_token_counts", "text_quality", "text_langid",
-      "text_fingerprint").foreach { q =>
+      "text_fingerprint", "text_pii").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       // exactly one range-partitioning exchange for the ORDER BY

@@ -179,6 +179,38 @@ class SimilaritySpec extends SparkSuite {
     assert(r2.map(_.toSeq).toSeq != r1)
   }
 
+  test("source coherence matches an independent Scala recomputation") {
+    val docs = graft.Tables.documents(spark, sf())
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = graft.Tables.embeddings(spark, sf())
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bySource = vecs.keys.filter(docs.contains).groupBy(docs)
+    val expected = bySource.map { case (src, ids) =>
+      val members = ids.toSeq.sorted.map(vecs)
+      val dim = members.head.length
+      // the same µ-quantized integer centroid as the SQL
+      val cv = Array.tabulate(dim)(j =>
+        members.map(v => math.rint(v(j) * 1e6).toLong).sum.toDouble /
+          (1e6 * members.size))
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      val cnrm = math.sqrt(dot(cv, cv))
+      val cs = members.map(v =>
+        dot(v, cv) / (math.sqrt(dot(v, v)) * cnrm))
+      (src, members.size.toLong, r6(cs.sum / cs.size), r6(cs.min))
+    }.toSet
+    val got = Similarity.sourceCoherence(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+    assert(got.forall(t => t._3 > t._4 && t._3 <= 1.0))
+  }
+
   test("zero vectors quantize to NULL scale and are excluded from quantized serving") {
     import spark.implicits._
     val vecs = Seq(
