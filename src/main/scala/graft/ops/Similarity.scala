@@ -538,6 +538,64 @@ object Similarity {
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
   }
 
+  /** Incremental maintenance of a CALLER-MANAGED fixed-centroid IVF
+    * store — the path a live index takes at 100 TB, where rebuilding
+    * rewrites the corpus but appending writes only the new vectors'
+    * list files.  `newVecs` (vec_id, embedding) are assigned to the
+    * store's codebook (the vec_id ≡ 50 picks of `dir`, exactly the
+    * codebook `ivfPersisted` builds with) and their rows land as NEW
+    * parquet files inside the existing `cid=` partitions: append-only,
+    * existing files untouched, so a concurrent probe sees a consistent
+    * (if momentarily stale) index and flips atomically per file.
+    *
+    * Calling this on an empty/absent path IS the bootstrap build, so
+    * one operator covers both lifecycle stages, and bootstrap + N
+    * appends ≡ one bootstrap over the union (spec-pinned).  Unlike the
+    * auto store of `ivfPersisted` (fingerprint-keyed, immutable), a
+    * caller-managed path is addressed directly — the caller owns
+    * versioning. */
+  def ivfAppend(spark: SparkSession, dir: String, indexPath: String,
+                newVecs: DataFrame): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = ivfBase(spark, dir)
+    val c = broadcast(n.filter($"vec_id" % 100 === 50)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm")))
+    val scored = newVecs
+      .select($"vec_id", $"embedding",
+        expr(SparkDialect.toDoubleArr("embedding")).as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .crossJoin(c)
+      .withColumn("cs", expr("graft_dot(v, cv)") / ($"nrm" * $"cnrm"))
+    val asgn = scored.groupBy($"vec_id")
+      .agg(max_by($"cid", struct($"cs", -$"cid")).as("cid"))
+    newVecs.select($"vec_id", $"embedding").join(asgn, "vec_id")
+      .write.mode("append").partitionBy("cid").parquet(indexPath)
+  }
+
+  /** Probe a caller-managed IVF store (built/maintained by
+    * `ivfAppend`) with `dir`'s query set against `dir`'s codebook —
+    * the same partition-pruned serving path as the auto store. */
+  def ivfServeFrom(spark: SparkSession, dir: String,
+                   indexPath: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val n = ivfBase(spark, dir)
+    val c = broadcast(n.filter($"vec_id" % 100 === 50)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm")))
+    val probe = n.filter($"vec_id" % 100 === 0)
+      .crossJoin(c)
+      .withColumn("cs", expr("graft_dot(v, cv)") / ($"nrm" * $"cnrm"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cid")))
+      .filter($"crn" <= 2)
+      .select($"vec_id".as("qid"), $"cid")
+    servePersisted(spark, new org.apache.hadoop.fs.Path(indexPath), probe,
+      n.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
+  }
+
   /** Persisted IVF over the TRAINED k-means codebook — `ivfKmeans`'s
     * centroids with `ivfPersisted`'s storage shape: the production
     * combination (train once, persist the lists, serve by partition

@@ -179,6 +179,29 @@ class SimilaritySpec extends SparkSuite {
     assert(r2.map(_.toSeq).toSeq != r1)
   }
 
+  test("bootstrap + append to a managed IVF store equals one build over the union") {
+    import spark.implicits._
+    val full = graft.Tables.embeddings(spark, sf())
+      .select($"vec_id", $"embedding")
+    val a = full.filter($"vec_id" % 5 =!= 4)
+    val b = full.filter($"vec_id" % 5 === 4)
+    val incr = java.nio.file.Files.createTempDirectory("ivf_incr").toString
+    Similarity.ivfAppend(spark, sf(), incr, a)   // bootstrap
+    Similarity.ivfAppend(spark, sf(), incr, b)   // increment
+    val whole = java.nio.file.Files.createTempDirectory("ivf_whole").toString
+    Similarity.ivfAppend(spark, sf(), whole, full)
+    val rIncr = Similarity.ivfServeFrom(spark, sf(), incr)
+      .collect().map(_.toSeq).toSeq
+    val rWhole = Similarity.ivfServeFrom(spark, sf(), whole)
+      .collect().map(_.toSeq).toSeq
+    assert(rIncr.nonEmpty && rIncr == rWhole)
+    // the managed store serves the same results as the auto store when
+    // it holds the same corpus (same codebook, probes, arithmetic)
+    val auto = Similarity.ivfPersisted(spark, sf()).collect()
+      .map(_.toSeq).toSeq
+    assert(rWhole == auto)
+  }
+
   test("source coherence matches an independent Scala recomputation") {
     val docs = graft.Tables.documents(spark, sf())
       .select("doc_id", "source").collect()
