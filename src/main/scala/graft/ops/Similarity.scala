@@ -664,7 +664,10 @@ object Similarity {
        |cn AS (
        |  SELECT source, cnt, cv, sqrt(${d.dot("cv", "cv")}) AS cnrm FROM c),
        |sc AS (
-       |  SELECT m.source, cn.cnt,
+       |  -- the hint pins the tiny centroid side broadcast in the STATIC
+       |  -- plan (post-agg size is unknown until AQE); DuckDB reads the
+       |  -- /*+ */ block as an ordinary comment
+       |  SELECT /*+ BROADCAST(cn) */ m.source, cn.cnt,
        |    ${d.dot("m.v", "cn.cv")} / (m.nrm * cn.cnrm) AS cs
        |  FROM m JOIN cn ON cn.source = m.source)
        |SELECT source, CAST(cnt AS BIGINT) AS n_docs,
