@@ -203,6 +203,33 @@ object StreamingNearDedup {
     docs.join(dropped, Seq("doc_id"), "left_anti").select("doc_id")
   }
 
+  /** Wire the full streaming pipeline against a `compact`-shaped
+    * store: one query archives the raw feed to `store/feed` (the
+    * relation the batch finishing pass re-reads), one runs `dedupDocs`
+    * into `store/kept` — exactly the layout `compact` and `keptView`
+    * consume, so the stream→compact lifecycle is producible end to end
+    * by the library instead of hand-assembled sinks.  Two independent
+    * queries over the same source (each tracks its own offsets);
+    * callers run `compact(store, settledBefore)` on a cadence once the
+    * watermark has passed the boundary. */
+  def startPipeline(docs: DataFrame, store: String,
+      watermark: String = "30 days", windowDur: String = "1 hour",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)):
+      (org.apache.spark.sql.streaming.StreamingQuery,
+       org.apache.spark.sql.streaming.StreamingQuery) = {
+    val feedQ = docs.writeStream.format("parquet")
+      .option("path", s"$store/feed")
+      .option("checkpointLocation", s"$store/_ckpt_feed")
+      .outputMode("append").trigger(trigger).start()
+    val keptQ = dedupDocs(docs, watermark, windowDur)
+      .writeStream.format("parquet")
+      .option("path", s"$store/kept")
+      .option("checkpointLocation", s"$store/_ckpt_kept")
+      .outputMode("append").trigger(trigger).start()
+    (feedQ, keptQ)
+  }
+
   // ------------------------------------- batch finishing pass (compact)
 
   /** Event-time window start of `ts` under Spark's own epoch-aligned

@@ -164,4 +164,38 @@ class StreamingNearDedupCompactSpec extends SparkSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(view2 == view)
   }
+
+  test("startPipeline wires the compact store layout end to end") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("np_src").toString
+    val store = Files.createTempDirectory("np_store").toString
+    def writeBatch(rows: Seq[(Long, Timestamp, String)]): Unit =
+      rows.toDF("doc_id", "ingest_ts", "text")
+        .write.mode("append").parquet(src)
+    def drain(): Unit = {
+      val (fq, kq) = StreamingNearDedup.startPipeline(
+        spark.readStream.schema("doc_id LONG, ingest_ts TIMESTAMP, text STRING")
+          .parquet(src),
+        store, trigger = Trigger.AvailableNow())
+      fq.awaitTermination(120000); kq.awaitTermination(120000)
+    }
+    val textA = "the quick brown fox jumps over the lazy dog today"
+    val textB = "pack my box with five dozen assorted liquor jugs"
+    writeBatch(Seq((1L, t(0), textA), (2L, t(0), textB)))
+    drain()
+    writeBatch(Seq((3L, t(1), textA)))  // near-dup of 1 -> dropped
+    drain()
+    writeBatch(Seq((9001L, flushTs, "watermark flush row one")))
+    drain()
+    writeBatch(Seq((9002L, flushTs, "watermark flush row two also")))
+    drain()
+    // the library-wired store is exactly what compact/keptView consume
+    val actions = StreamingNearDedup.compact(spark, store, t(100))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(actions == Map(1L -> "keep", 2L -> "keep"))
+    val view = StreamingNearDedup.keptView(spark, store)
+      .filter(col("window_start") < lit(t(100)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(view == Set(1L, 2L))
+  }
 }
