@@ -145,6 +145,7 @@ object SparkEntry {
     "mm_image_resize" -> (Multimodal.imageResize _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_audio_windows" -> (Multimodal.audioWindows _),
+    "mm_dedup" -> (Multimodal.payloadDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -455,5 +456,6 @@ object SparkEntry {
     "mm_image_resize" -> Multimodal.imageResizeOracleSql,
     "mm_decode_features" -> Multimodal.decodeFeaturesOracleSql,
     "mm_audio_windows" -> Multimodal.audioWindowsOracleSql,
+    "mm_dedup" -> Multimodal.payloadDedupOracleSql,
   )
 }

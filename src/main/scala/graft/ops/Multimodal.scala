@@ -85,6 +85,42 @@ object Multimodal {
        |      THEN (bytes + ${FrameBytes - 1}) // $FrameBytes ELSE 0 END) AS BIGINT) AS total_frames
        |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin
 
+  /** Payload-level exact dedup summary — the FIRST curation step of a
+    * multimodal pipeline: identical binary payloads (re-crawled
+    * images, re-encoded copies of the same upload) are found by
+    * content digest BEFORE any decode work is spent on them.  The
+    * digest is md5 over the raw payload bytes, so the operator never
+    * interprets the media; per type it reports item count, distinct
+    * payloads, and the duplicate fraction.  One map-side-combining
+    * aggregate over (type, digest) — the same scale shape as
+    * `dedup_exact`, with payloads reduced to 16-byte digests at the
+    * scan. */
+  def payloadDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select($"media_type", md5($"payload").as("digest"))
+      .groupBy($"media_type")
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct($"digest").as("n_distinct_payloads"))
+      .select($"media_type", $"n_items", $"n_distinct_payloads",
+        round(lit(1.0) - $"n_distinct_payloads".cast("double") / $"n_items", 6)
+          .as("dup_frac"))
+      .orderBy($"media_type")
+  }
+
+  /** Oracle: the payload is the text's UTF-8 bytes by construction, so
+    * DuckDB's md5 over the VARCHAR lands on the identical digest. */
+  def payloadDedupOracleSql: String =
+    """WITH m AS (
+      |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS media_type, md5(text) AS digest
+      |  FROM documents)
+      |SELECT media_type, count(*) AS n_items,
+      |  count(DISTINCT digest) AS n_distinct_payloads,
+      |  round(1 - CAST(count(DISTINCT digest) AS DOUBLE) / count(*), 6)
+      |    AS dup_frac
+      |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin
+
   /** Frame sampling for video payloads: fixed-size frames, every 4th
     * sampled, content-addressed by md5.  The sample predicate lives
     * inside the generator (filter before explode output is consumed). */

@@ -59,4 +59,22 @@ class MultimodalSpec extends SparkSuite {
         r.getAs[Long]("feat_len") > 0
     })
   }
+
+  test("payload dedup matches a Scala recomputation over raw text bytes") {
+    val docs = graft.Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy { case (id, _) =>
+      Seq("image", "audio", "video")((((id % 3) + 3) % 3).toInt)
+    }.map { case (tpe, g) =>
+      val distinct = g.map(_._2).distinct.length.toLong
+      (tpe, g.length.toLong, distinct,
+        math.rint((1.0 - distinct.toDouble / g.length) * 1e6) / 1e6)
+    }.toSet
+    val got = Multimodal.payloadDedup(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+    assert(got.map(_._1) == Set("image", "audio", "video"))
+  }
 }
