@@ -104,6 +104,7 @@ object SparkEntry {
     "text_mixture_plan" -> (TextAnalysis.mixturePlan _),
     "text_dup_spans" -> (TextAnalysis.dupSpans _),
     "text_pii" -> (TextAnalysis.pii _),
+    "text_curation_log" -> (TextAnalysis.curationLog _),
     "q_ts_correlation" -> (Temporal.tsCorrelation _),
     "q_anomaly" -> (Temporal.anomaly _),
     // Deduplication family
@@ -418,6 +419,7 @@ object SparkEntry {
     "text_mixture_plan" -> TextAnalysis.mixturePlanSql(DuckDialect),
     "text_dup_spans" -> TextAnalysis.dupSpansSql(DuckDialect),
     "text_pii" -> TextAnalysis.piiSql(DuckDialect),
+    "text_curation_log" -> TextAnalysis.curationLogSql(DuckDialect),
     "q_ts_correlation" -> Temporal.tsCorrelationOracleSql,
     "q_anomaly" -> Temporal.anomalySql,
     "dedup_exact" -> Dedup.exactSql(DuckDialect),

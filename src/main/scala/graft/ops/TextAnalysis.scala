@@ -607,6 +607,60 @@ object TextAnalysis {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-document curation audit log — the provenance record that
+    * makes the gate chain explainable: for every document, the quality
+    * score and each stage's verdict (quality gate at the same rounded
+    * 0.5 bar as `curationSql`, exact-dedup keeper election among the
+    * quality survivors — dedup runs after the gate, so failers carry
+    * NULL for a stage they never reached — and the PII families), plus
+    * the final kept decision.  Every predicate is the SAME shared
+    * fragment the individual operators use, so the log cannot disagree
+    * with the pipeline it explains (spec-pinned against `curation` +
+    * an independent recomputation).
+    *
+    * Scale: the quality/PII verdicts are narrow projections; the dedup
+    * verdict adds the one digest-keyed aggregate + join `dedup_exact`
+    * itself pays.  This is the table a data-governance review asks
+    * for: "why is doc X (not) in the corpus?" answered by one row. */
+  def curationLogSql(d: SqlDialect): String = {
+    val norm = d.reReplace("trim(lower(text))", "\\s+", " ")
+    val piiCount = PiiFamilies.map { case (_, pat) =>
+      d.regexpExtractAllSize("lower(text)", pat)
+    }.mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text,
+       |    ${d.tokens("text")} AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_chars, text,
+       |    CAST(${d.arrSize("toks")} AS BIGINT) AS n_tokens,
+       |    CAST(${lenMinus(d)("[^a-zA-Z0-9\\s]")} AS DOUBLE) AS n_sym,
+       |    CAST(${lenMinus(d)("[0-9]")} AS DOUBLE) AS n_digit
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, text, round(${scoreExpr()}, 6) AS score,
+       |    (($piiCount) > 0) AS has_pii
+       |  FROM m),
+       |keep AS (
+       |  SELECT doc_id, md5($norm) AS text_md5
+       |  FROM q WHERE score >= 0.5),
+       |rep AS (
+       |  SELECT text_md5, min(doc_id) AS rep_id FROM keep GROUP BY text_md5)
+       |SELECT q.doc_id, q.score AS quality_score,
+       |  (q.score >= 0.5) AS passed_quality,
+       |  CASE WHEN k.doc_id IS NULL THEN NULL
+       |       ELSE (k.doc_id != r.rep_id) END AS is_exact_dup,
+       |  q.has_pii,
+       |  -- FALSE short-circuits the NULL dedup verdict for gate
+       |  -- failers (FALSE AND NULL = FALSE in both engines' 3VL)
+       |  ((q.score >= 0.5) AND k.doc_id = r.rep_id AND NOT q.has_pii)
+       |    AS kept
+       |FROM q
+       |LEFT JOIN keep k ON k.doc_id = q.doc_id
+       |LEFT JOIN rep r ON r.text_md5 = k.text_md5
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
@@ -639,6 +693,8 @@ object TextAnalysis {
     run(spark, dir, dupSpansSql(SparkDialect))
   def pii(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, piiSql(SparkDialect))
+  def curationLog(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, curationLogSql(SparkDialect))
 
   /** Surfaces the contamination cap's documented blind spot (see
     * `contaminationSql`): eval-split docs whose HOT-gram count alone

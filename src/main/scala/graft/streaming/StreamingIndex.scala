@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.Similarity
+
+/** Online maintenance of a caller-managed IVF store from an embedding
+  * stream: each micro-batch of (vec_id, embedding) rows is assigned to
+  * the store's fixed codebook and appended as new list files
+  * (`Similarity.ivfAppend` inside `foreachBatch`), so the index grows
+  * with the feed and a probe between batches serves the consistent
+  * prefix — the same append-only file contract the batch operator
+  * documents.
+  *
+  * `foreachBatch` is the right tool here (not a custom sink): the
+  * append is an idempotency-tolerant bulk write whose unit IS the
+  * micro-batch, and the assignment plan inside it is the batch
+  * operator unchanged — one definition for backfill and live feed.
+  * A replayed batch after a crash re-appends its files (duplicate
+  * rows in the affected lists, never corruption — `ivfServeFrom`'s
+  * ranking tolerates duplicates by id tie-break); exactly-once needs
+  * a transactional table format underneath, which the parquet store
+  * deliberately keeps out of scope. */
+object StreamingIndex {
+
+  def start(embeddings: DataFrame, dir: String, indexPath: String,
+            trigger: Trigger = Trigger.ProcessingTime(0),
+            checkpoint: Option[String] = None): StreamingQuery = {
+    val w = embeddings.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.ivfAppend(batch.sparkSession, dir, indexPath, batch)
+      }
+      .trigger(trigger)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+}

@@ -185,6 +185,40 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("curation log verdicts are consistent with the operators they explain") {
+    val log = TextAnalysis.curationLog(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(log.size == 500)
+    // stage 1: passed_quality == membership in the streaming/batch gate
+    val passers = graft.streaming.StreamingCuration.curate(
+        graft.Tables.documents(spark, sf()))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    log.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("passed_quality") == passers.contains(id), s"doc $id")
+    }
+    // stage 2: dedup verdict only among passers; keeper = min doc_id of
+    // the normalized-digest group (recomputed independently)
+    val texts = graft.Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val reps = passers.groupBy(id =>
+        texts(id).trim.toLowerCase.replaceAll("\\s+", " "))
+      .values.flatMap(g => g.map(_ -> g.min)).toMap
+    log.foreach { case (id, r) =>
+      if (passers.contains(id))
+        assert(r.getAs[Boolean]("is_exact_dup") == (reps(id) != id), s"doc $id")
+      else assert(r.isNullAt(r.fieldIndex("is_exact_dup")),
+        s"doc $id never reached dedup")
+    }
+    // fixture is PII-free -> kept == passed and keeper
+    val kept = log.collect { case (id, r) if r.getAs[Boolean]("kept") => id }.toSet
+    assert(kept == passers.filter(id => reps(id) == id))
+    // the kept corpus is exactly what text_curation aggregates
+    val curN = TextAnalysis.curation(spark, sf()).collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(kept.size.toLong == curN)
+  }
+
   test("the fixture corpus is PII-free and every row says so") {
     val rows = TextAnalysis.pii(spark, sf()).collect()
     assert(rows.length == 500)
