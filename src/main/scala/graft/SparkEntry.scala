@@ -80,6 +80,9 @@ object SparkEntry {
         .orderBy(col("asset_symbol"))),
     "ingest_run_status" -> ((s: SparkSession, d: String) =>
       BarPipeline.runStatus(BarPipeline.canonicalBars(s, d))),
+    // Bar-domain analytics past the reference's single timeframe
+    "ingest_bars_weekly" -> (graft.ingest.BarAnalytics.weeklyBars _),
+    "ingest_bar_analytics" -> (graft.ingest.BarAnalytics.analytics _),
     // Custom DataSource V2 connector (S1 shape: per-symbol remote scan)
     "src_bar_scan" -> (graft.sources.BarSourceQueries.srcBarScan _),
     // Temporal operators + error isolation + semi-structured
@@ -391,6 +394,9 @@ object SparkEntry {
     "q_event_funnel" -> RelationalExt.qEventFunnelSql,
     "q_retention" -> RelationalExt.qRetentionSql,
     "src_bar_scan" -> graft.sources.BarSourceQueries.srcBarScanOracleSql,
+    // one shared SQL text: the engine runs the very string DuckDB checks
+    "ingest_bars_weekly" -> graft.ingest.BarAnalytics.weeklySql,
+    "ingest_bar_analytics" -> graft.ingest.BarAnalytics.analyticsSql,
     "q_asof_join" -> Temporal.asofOracleSql,
     "q_range_join" -> Temporal.rangeJoinOracleSql,
     "q_session_window" -> Temporal.sessionOracleSql,

@@ -1,0 +1,80 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Bar-domain analytics extending the reference's ingestion surface
+  * (its bars stop at one timeframe and a min/max/count summary —
+  * `app/alpaca_service.py:237-258`): multi-timeframe resampling and
+  * the return/volatility/drawdown roll-up every consumer of OHLCV
+  * bars computes next.
+  *
+  * Both operators are written as ONE SQL text valid in Spark SQL and
+  * DuckDB verbatim (`min_by`/`max_by`, ISO `date_trunc('week')`,
+  * window frames, and explicit Σ/Σ² variance are identical in both),
+  * so the engine runs the very string the oracle checks — no dialect
+  * fork to drift.
+  *
+  * Scale shapes: weekly resample is one map-side-combining aggregate
+  * over the (already aggregated) daily bars; the analytics query is
+  * one window pass partitioned by symbol (lag + running max in a
+  * single frame-bounded Window) then a per-symbol aggregate — no
+  * all-history state, no self-join. */
+object BarAnalytics {
+
+  /** Daily-bar CTE shared with the `ingest_bars_daily` oracle. */
+  private val dailyCte =
+    """b AS (
+      |  SELECT event_type AS symbol,
+      |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS t,
+      |    min_by(value, ts) AS o, max(value) AS h, min(value) AS l,
+      |    max_by(value, ts) AS c, count(*) AS v
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)""".stripMargin
+
+  /** Bar→bar resample to ISO weeks: open = first day's open, close =
+    * last day's close, high/low = extrema, volume = sum. */
+  val weeklySql: String =
+    s"""WITH $dailyCte
+       |SELECT symbol,
+       |  CAST(date_trunc('week', t) AS TIMESTAMP) AS week_start,
+       |  min_by(o, t) AS open, max(h) AS high, min(l) AS low,
+       |  max_by(c, t) AS close,
+       |  CAST(sum(v) AS BIGINT) AS volume,
+       |  count(*) AS n_days
+       |FROM b GROUP BY 1, 2
+       |ORDER BY symbol, week_start""".stripMargin
+
+  /** Per-symbol daily-close analytics: simple-return mean, sample
+    * volatility from explicit Σ/Σ² (guarded against tiny-negative
+    * variance), and maximum drawdown off the running close maximum. */
+  val analyticsSql: String =
+    s"""WITH $dailyCte,
+       |r AS (
+       |  SELECT symbol, t, c,
+       |    lag(c) OVER (PARTITION BY symbol ORDER BY t) AS pc,
+       |    max(c) OVER (PARTITION BY symbol ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+       |  FROM b),
+       |x AS (
+       |  SELECT symbol, c / pc - 1 AS ret, c / runmax - 1 AS dd FROM r),
+       |s AS (
+       |  SELECT symbol, count(ret) AS n_rets,
+       |    sum(ret) AS s1, sum(ret * ret) AS s2, min(dd) AS mdd
+       |  FROM x GROUP BY symbol)
+       |SELECT symbol, CAST(n_rets AS BIGINT) AS n_rets,
+       |  round(s1 / n_rets, 6) AS mean_ret,
+       |  round(sqrt(greatest((s2 - s1 * s1 / n_rets) / (n_rets - 1),
+       |    CAST(0.0 AS DOUBLE))), 6) AS volatility,
+       |  round(mdd, 6) AS max_drawdown
+       |FROM s ORDER BY symbol""".stripMargin
+
+  private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(sql)
+  }
+
+  def weeklyBars(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, weeklySql)
+  def analytics(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, analyticsSql)
+}

@@ -1,0 +1,56 @@
+package graft.ingest
+
+import graft.SparkSuite
+
+/** Weekly resample and return analytics recomputed independently in
+  * Scala from the daily canonical bars. */
+class BarAnalyticsSpec extends SparkSuite {
+
+  private def daily() = BarPipeline.canonicalBars(spark, sf())
+    .selectExpr("symbol", "timestamp AS t", "open", "high", "low",
+      "close", "volume")
+    .collect()
+    .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+
+  test("weekly bars aggregate the daily bars OHLC-correctly") {
+    val byWeek = daily().groupBy { case (sym, t, _, _, _, _, _) =>
+      (sym, t.toLocalDateTime.toLocalDate
+        .`with`(java.time.DayOfWeek.MONDAY))
+    }
+    val expected = byWeek.map { case ((sym, wk), g) =>
+      val sorted = g.sortBy(_._2.getTime)
+      (sym, java.sql.Timestamp.valueOf(wk.atStartOfDay),
+        sorted.head._3, g.map(_._4).max, g.map(_._5).min,
+        sorted.last._6, g.map(_._7).sum, g.length.toLong)
+    }.toSet
+    val got = BarAnalytics.weeklyBars(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6),
+        r.getLong(7)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("return analytics match a Scala recomputation per symbol") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = daily().groupBy(_._1).map { case (sym, g) =>
+      val closes = g.sortBy(_._2.getTime).map(_._6)
+      val rets = closes.sliding(2).map(p => p(1) / p(0) - 1).toSeq
+      val n = rets.length
+      val (s1, s2) = (rets.sum, rets.map(x => x * x).sum)
+      val vol = math.sqrt(math.max((s2 - s1 * s1 / n) / (n - 1), 0.0))
+      val dd = closes.scanLeft(Double.MinValue)(math.max).tail
+        .zip(closes).map { case (mx, c) => c / mx - 1 }.min
+      (sym, n.toLong, r6(s1 / n), r6(vol), r6(dd))
+    }.toSet
+    val got = BarAnalytics.analytics(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(got == expected)
+    // drawdowns are non-positive by construction
+    assert(got.forall(_._5 <= 0.0))
+  }
+}
