@@ -29,6 +29,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object RelationCache {
 
   private val memo = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val scalars = new ConcurrentHashMap[(SparkSession, String), AnyRef]()
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** Register (once per session) a context listener that releases the
@@ -67,17 +68,39 @@ object RelationCache {
     }
   }
 
-  /** Unpersist and forget every relation memoized for `spark`. */
+  /** Session-scoped memo for small driver-side values DERIVED from the
+    * cached relations (trained k-means codebooks, …), released by the
+    * same `clear` / shutdown paths as the relations themselves — so
+    * the documented refresh hook for a regenerated dataset (`clear`)
+    * also invalidates derived scalar state instead of leaving a stale
+    * codebook behind a fresh relation. */
+  def cachedScalar[T <: AnyRef](spark: SparkSession, key: String)
+      (build: => T): T = {
+    hookShutdown(spark)
+    val k = (spark, key)
+    val existing = scalars.get(k)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val v = build
+      val prev = scalars.putIfAbsent(k, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
+  }
+
+  /** Unpersist and forget every relation (and derived scalar)
+    * memoized for `spark`. */
   def clear(spark: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     memo.keySet.asScala.filter(_._1 eq spark).toSeq.foreach { k =>
       Option(memo.remove(k)).foreach(_.unpersist())
     }
+    scalars.keySet.asScala.filter(_._1 eq spark).toSeq.foreach(scalars.remove)
   }
 
   /** Drop the entries without touching storage (shutdown fallback). */
   private def forget(spark: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     memo.keySet.asScala.filter(_._1 eq spark).toSeq.foreach(memo.remove)
+    scalars.keySet.asScala.filter(_._1 eq spark).toSeq.foreach(scalars.remove)
   }
 }

@@ -333,12 +333,8 @@ object Relational {
       .orderBy($"o_year")
   }
 
-  /** Sketch-based distinct counting (HyperLogLog++): the constant-
-    * memory path for distinct cardinalities at 100 TB, alongside the
-    * exact count for error inspection.  No DuckDB oracle — sketch
-    * implementations differ across engines — so the driver records the
-    * weaker rows-only check. */
-  /** HLL++ approx-distinct with its accuracy contract as the checkable
+  /** HLL++ approx-distinct — the constant-memory path for distinct
+    * cardinalities at 100 TB — with its accuracy contract as the checkable
     * result: the raw estimate is engine-internal (HLL sketches cannot
     * hash-match another engine), so the query emits the exact count
     * (fully hash-checked) plus a boolean asserting the estimate lands

@@ -426,6 +426,8 @@ object Similarity {
       n: DataFrame): org.apache.hadoop.fs.Path = {
     import org.apache.spark.sql.functions._
     val fp = n.agg(count(lit(1)), max(col("vec_id"))).head()
+    require(fp.getLong(0) > 0,
+      s"cannot key an IVF index for an EMPTY embeddings relation at $dir")
     new org.apache.hadoop.fs.Path(
       storeBase.getOrElse(sys.props("java.io.tmpdir")),
       s"graft_ivf_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
@@ -445,11 +447,27 @@ object Similarity {
     import org.apache.hadoop.fs.Path
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(store, "_SUCCESS"))) {
+      // sweep tmp siblings leaked by CRASHED builders; the one-hour age
+      // bar keeps a live concurrent build's tmp safe from the sweep
+      val stale = fs.globStatus(
+        new Path(store.getParent, store.getName + "_tmp_*"))
+      if (stale != null) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000L
+        stale.filter(_.getModificationTime < cutoff)
+          .foreach(s => fs.delete(s.getPath, true))
+      }
       val tmp = new Path(store.getParent,
         store.getName + "_tmp_" + java.util.UUID.randomUUID().toString)
       build(tmp.toString)
       if (fs.exists(store) || !fs.rename(tmp, store))
-        fs.delete(tmp, true)
+        fs.delete(tmp, true) // lost the race: discard our build
+      else {
+        // a rename that raced a winner can MOVE tmp INSIDE the existing
+        // store under posix semantics and still return true — remove
+        // the nested artifact so list scans never see mixed depths
+        val nested = new Path(store, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      }
     }
   }
 
@@ -480,6 +498,11 @@ object Similarity {
     val cand = lists.join(broadcast(probe), "cid")
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("nid"), $"nv", $"nn")
+      // a replayed micro-batch can re-append identical rows to a list
+      // (StreamingIndex's at-least-once contract): dedup by id before
+      // ranking so a duplicate can never occupy two ranks and push a
+      // genuine neighbor out of the top-k
+      .dropDuplicates("qid", "nid")
     cand
       .join(broadcast(queries), "qid")
       .select($"qid", $"nid",
@@ -670,8 +693,13 @@ object Similarity {
        |  SELECT /*+ BROADCAST(cn) */ m.source, cn.cnt,
        |    ${d.dot("m.v", "cn.cv")} / (m.nrm * cn.cnrm) AS cs
        |  FROM m JOIN cn ON cn.source = m.source)
+       |-- the MEAN accumulates µ-quantized integer cosines (the same
+       |-- associativity discipline as the centroid sums) so Spark's
+       |-- partial-aggregation order and DuckDB land on identical
+       |-- doubles; min is order-insensitive and stays raw
        |SELECT source, CAST(cnt AS BIGINT) AS n_docs,
-       |  round(avg(cs), 6) AS mean_coherence,
+       |  round(CAST(sum(CAST(round(cs * $q) AS BIGINT)) AS DOUBLE)
+       |    / ($q * cnt), 6) AS mean_coherence,
        |  round(min(cs), 6) AS min_coherence
        |FROM sc GROUP BY source, cnt
        |ORDER BY source""".stripMargin
@@ -737,22 +765,15 @@ object Similarity {
     * deterministic (quantized sums, fixed init), so the three
     * consumers (`ivfKmeans`, `ivfKmeansPersisted`, `recall`'s k-means
     * pipeline) share one training run per (session, relation) instead
-    * of re-descending each call.  k·D doubles per entry — scalar-sized,
-    * the same footprint class as the collect it memoizes. */
-  private val codebookMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[(Long, Array[Double], Double)]]()
-
+    * of re-descending each call.  Lives in `RelationCache`'s scalar
+    * store, so `RelationCache.clear` — the documented refresh hook for
+    * a regenerated dataset — and the shutdown listener release it
+    * together with the base relation it was trained from. */
   private def trainCodebookCached(spark: SparkSession, dir: String,
-      n: DataFrame): Seq[(Long, Array[Double], Double)] = {
-    val k = (spark, dir)
-    val existing = codebookMemo.get(k)
-    if (existing != null) existing
-    else {
-      val cents = trainCodebook(n)
-      val prev = codebookMemo.putIfAbsent(k, cents)
-      if (prev != null) prev else cents
+      n: DataFrame): Seq[(Long, Array[Double], Double)] =
+    RelationCache.cachedScalar(spark, s"kmeans_codebook:$dir") {
+      trainCodebook(n)
     }
-  }
 
   /** Driver-coordinated spherical k-means over a relation carrying
     * (vec_id, v, nrm): deterministic init (vec_id ≡ 50 picks), then

@@ -613,10 +613,15 @@ object TextAnalysis {
     * 0.5 bar as `curationSql`, exact-dedup keeper election among the
     * quality survivors — dedup runs after the gate, so failers carry
     * NULL for a stage they never reached — and the PII families), plus
-    * the final kept decision.  Every predicate is the SAME shared
-    * fragment the individual operators use, so the log cannot disagree
-    * with the pipeline it explains (spec-pinned against `curation` +
-    * an independent recomputation).
+    * the final kept decision.  `kept` mirrors EXACTLY the
+    * `curationSql` pipeline (quality + keeper); `has_pii` is an
+    * advisory flag, not a kept conjunct, because the PII gate's
+    * default mode REDACTS rather than drops
+    * (`StreamingCuration.piiGate`) — a drop-mode pipeline ANDs it in
+    * itself.  Every predicate is the SAME shared fragment the
+    * individual operators use, so the log cannot disagree with the
+    * pipeline it explains (spec-pinned against `curation` + an
+    * independent recomputation).
     *
     * Scale: the quality/PII verdicts are narrow projections; the dedup
     * verdict adds the one digest-keyed aggregate + join `dedup_exact`
@@ -653,8 +658,7 @@ object TextAnalysis {
        |  q.has_pii,
        |  -- FALSE short-circuits the NULL dedup verdict for gate
        |  -- failers (FALSE AND NULL = FALSE in both engines' 3VL)
-       |  ((q.score >= 0.5) AND k.doc_id = r.rep_id AND NOT q.has_pii)
-       |    AS kept
+       |  ((q.score >= 0.5) AND k.doc_id = r.rep_id) AS kept
        |FROM q
        |LEFT JOIN keep k ON k.doc_id = q.doc_id
        |LEFT JOIN rep r ON r.text_md5 = k.text_md5

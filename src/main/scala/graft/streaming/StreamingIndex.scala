@@ -16,10 +16,11 @@ import graft.ops.Similarity
   * append is an idempotency-tolerant bulk write whose unit IS the
   * micro-batch, and the assignment plan inside it is the batch
   * operator unchanged — one definition for backfill and live feed.
-  * A replayed batch after a crash re-appends its files (duplicate
-  * rows in the affected lists, never corruption — `ivfServeFrom`'s
-  * ranking tolerates duplicates by id tie-break); exactly-once needs
-  * a transactional table format underneath, which the parquet store
+  * A replayed batch after a crash re-appends its files — at-least-once
+  * rows in the affected lists, never corruption: the serving path
+  * dedups candidates by (query, neighbor) id before ranking, so a
+  * duplicate cannot occupy two ranks.  Exactly-once needs a
+  * transactional table format underneath, which the parquet store
   * deliberately keeps out of scope. */
 object StreamingIndex {
 

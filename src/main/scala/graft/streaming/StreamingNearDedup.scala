@@ -272,10 +272,16 @@ object StreamingNearDedup {
     * `streamKept` is the (window_start, doc_id) output of `dedupDocs`
     * restricted to the same settled feed. */
   def compactActions(docs: DataFrame, streamKept: DataFrame,
-                     windowDur: String = "1 hour"): DataFrame = {
-    val canon = canonicalKept(docs, windowDur)
+                     windowDur: String = "1 hour"): DataFrame =
+    actionsFrom(canonicalKept(docs, windowDur), streamKept)
+
+  /** Reconciliation from an already-computed canonical kept relation —
+    * `compact` materializes the canonical result once and feeds it to
+    * both the store write and this join. */
+  private def actionsFrom(canonical: DataFrame,
+                          streamKept: DataFrame): DataFrame =
+    canonical
       .select(col("doc_id"), col("window_start").as("canon_ws"))
-    canon
       .join(streamKept.select(col("doc_id"),
         col("window_start").as("stream_ws")), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
@@ -283,7 +289,6 @@ object StreamingNearDedup {
         when(col("canon_ws").isNotNull && col("stream_ws").isNotNull, "keep")
           .when(col("canon_ws").isNotNull, "readmit")
           .otherwise("evict").as("action"))
-  }
 
   /** Store-level compaction job — the packaged stream-then-batch
     * finishing rule (the reference's sink-side re-reconciliation,
@@ -313,6 +318,29 @@ object StreamingNearDedup {
     * Returns the reconciliation actions (doc_id, window_start,
     * action) so callers can propagate evictions/readmissions to
     * downstream consumers of the kept set. */
+  /** Marker contents: the settle cutoff and the versioned directory
+    * currently serving as compacted truth.  Publishing is two-phase —
+    * write the new `kept_compacted_v<N>` dir, then swap the marker via
+    * tmp-file + delete + rename — so a reader sees the previous
+    * consistent (cutoff, version) pair until the swap lands, and a
+    * crash mid-swap degrades to the no-marker (live-only) view rather
+    * than mixing cutoffs with the wrong version's rows. */
+  private case class CompactMarker(cutoff: Timestamp, versionDir: String)
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      store: String): Option[CompactMarker] = {
+    val p = new org.apache.hadoop.fs.Path(store, "compact_cutoff")
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      val Array(cut, dir) = new String(buf, "UTF-8").trim.split("\n")
+      Some(CompactMarker(
+        Timestamp.from(java.time.Instant.parse(cut)), dir))
+    }
+  }
+
   def compact(spark: SparkSession, store: String,
               settledBefore: Timestamp,
               windowDur: String = "1 hour"): DataFrame = {
@@ -324,34 +352,51 @@ object StreamingNearDedup {
       .filter(col("ingest_ts") < lit(aligned))
     val streamKept = spark.read.parquet(s"$store/kept")
       .filter(col("window_start") < lit(aligned))
-    val actions = compactActions(feed, streamKept, windowDur)
-    canonicalKept(feed, windowDur)
-      .write.mode("overwrite").parquet(s"$store/kept_compacted")
+    // the canonical pass (LSH verify + connected components) is the
+    // dominant cost: materialize it ONCE and derive both the store
+    // write and the reconciliation join from the checkpointed copy
+    val canonical = canonicalKept(feed, windowDur).localCheckpoint()
     val fs = new Path(store).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new Path(store, "compact_cutoff"), true)
-    try out.write(aligned.toInstant.toString.getBytes("UTF-8"))
+    val prev = readMarker(fs, store)
+    val version = prev.map(_.versionDir)
+      .flatMap(d => "_v(\\d+)$".r.findFirstMatchIn(d).map(_.group(1).toInt))
+      .getOrElse(0) + 1
+    val versionDir = s"kept_compacted_v$version"
+    canonical.write.mode("overwrite").parquet(s"$store/$versionDir")
+    // two-phase marker swap: tmp write, delete old, rename into place
+    val marker = new Path(store, "compact_cutoff")
+    val tmp = new Path(store,
+      "compact_cutoff_tmp_" + java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"${aligned.toInstant}\n$versionDir".getBytes("UTF-8"))
     finally out.close()
-    actions
+    fs.delete(marker, false)
+    fs.rename(tmp, marker)
+    // retire versions older than the immediately previous one (kept as
+    // a grace copy for readers that resolved the old marker mid-query)
+    val keepDirs = Set(versionDir) ++ prev.map(_.versionDir)
+    val old = fs.globStatus(new Path(store, "kept_compacted_v*"))
+    if (old != null)
+      old.filterNot(s => keepDirs.contains(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, true))
+    actionsFrom(canonical, streamKept)
   }
 
   /** The reconciled kept set: compacted canonical truth below the
     * last compaction cutoff, live stream output at and above it.
-    * Before any compaction runs, this is just the stream output. */
+    * Before any compaction runs — or in the marker-less crash window —
+    * this is just the stream output. */
   def keptView(spark: SparkSession, store: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(store, "compact_cutoff")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     val live = spark.read.parquet(s"$store/kept")
-    if (!fs.exists(p)) live
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      val in = fs.open(p)
-      try in.readFully(buf) finally in.close()
-      val cutoff = Timestamp.from(
-        java.time.Instant.parse(new String(buf, "UTF-8")))
-      spark.read.parquet(s"$store/kept_compacted")
-        .unionByName(live.filter(col("window_start") >= lit(cutoff)))
+    readMarker(fs, store) match {
+      case None => live
+      case Some(m) =>
+        spark.read.parquet(s"$store/${m.versionDir}")
+          .unionByName(live.filter(col("window_start") >= lit(m.cutoff)))
     }
   }
 }

@@ -29,6 +29,18 @@ class RelationCacheSpec extends SparkSuite {
     RelationCache.clear(spark)
   }
 
+  test("cachedScalar memoizes derived values and clear invalidates them") {
+    var builds = 0
+    def build(): java.lang.Integer = { builds += 1; Integer.valueOf(7) }
+    assert(RelationCache.cachedScalar(spark, "rc_scalar")(build()) == 7)
+    assert(RelationCache.cachedScalar(spark, "rc_scalar")(build()) == 7)
+    assert(builds == 1, "second lookup must not rebuild")
+    RelationCache.clear(spark)
+    assert(RelationCache.cachedScalar(spark, "rc_scalar")(build()) == 7)
+    assert(builds == 2, "clear releases derived scalars too")
+    RelationCache.clear(spark)
+  }
+
   test("capPostings runs the broadcast guard count once per (relation, cap)") {
     val posts = Seq.tabulate(40)(i => (i.toLong, 5L, s"g${i % 4}"))
       .toDF("doc_id", "ng", "gram")

@@ -225,7 +225,11 @@ class SimilaritySpec extends SparkSuite {
       val cnrm = math.sqrt(dot(cv, cv))
       val cs = members.map(v =>
         dot(v, cv) / (math.sqrt(dot(v, v)) * cnrm))
-      (src, members.size.toLong, r6(cs.sum / cs.size), r6(cs.min))
+      // mean over µ-quantized cosines, mirroring the SQL's
+      // deterministic integer accumulation
+      val mean = cs.map(c => math.rint(c * 1e6).toLong).sum.toDouble /
+        (1e6 * cs.size)
+      (src, members.size.toLong, r6(mean), r6(cs.min))
     }.toSet
     val got = Similarity.sourceCoherence(spark, sf()).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))

@@ -210,7 +210,8 @@ class TextAnalysisSpec extends SparkSuite {
       else assert(r.isNullAt(r.fieldIndex("is_exact_dup")),
         s"doc $id never reached dedup")
     }
-    // fixture is PII-free -> kept == passed and keeper
+    // kept mirrors the curation pipeline exactly (quality + keeper);
+    // has_pii is advisory, never a kept conjunct
     val kept = log.collect { case (id, r) if r.getAs[Boolean]("kept") => id }.toSet
     assert(kept == passers.filter(id => reps(id) == id))
     // the kept corpus is exactly what text_curation aggregates
