@@ -66,4 +66,56 @@ class StreamingEnrichSpec extends SparkSuite {
       assert(boundedEvents <= unboundedEvents)
     } finally q.stop()
   }
+
+  test("join state survives a checkpointed restart: bars buffered before the crash match events after it") {
+    import java.nio.file.Files
+    val evDir = Files.createTempDirectory("enrich_ev").toString
+    val barDir = Files.createTempDirectory("enrich_bar").toString
+    val ckpt = Files.createTempDirectory("enrich_ckpt").toString
+    val out = Files.createTempDirectory("enrich_out").toString
+    def t(h: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + h * 3600L * 1000L)
+    def drain(): Unit = {
+      val q = StreamingEnrich.eventBars(
+          spark.readStream
+            .schema("event_id LONG, symbol STRING, ts TIMESTAMP, value DOUBLE")
+            .parquet(evDir),
+          spark.readStream
+            .schema("symbol STRING, bar_ts TIMESTAMP, bar_close DOUBLE")
+            .parquet(barDir))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // run 1: only the bar arrives — it enters join state
+    Seq(("AAA", t(0), 10.0)).toDF("symbol", "bar_ts", "bar_close")
+      .write.mode("append").parquet(barDir)
+    Seq((0L, "BBB", t(0), 1.0)) // seed the event side so both sides tick
+      .toDF("event_id", "symbol", "ts", "value")
+      .write.mode("append").parquet(evDir)
+    drain()
+    // run 2 (fresh query from the checkpoint): the matching event
+    // arrives — it must join the bar buffered BEFORE the restart
+    Seq((1L, "AAA", t(2), 5.0)).toDF("event_id", "symbol", "ts", "value")
+      .write.mode("append").parquet(evDir)
+    drain()
+    // flush the watermark on both sides, twice
+    val flush = t(24 * 60)
+    (2 to 3).foreach { i =>
+      Seq((10L + i, "ZZZ", flush, 0.0))
+        .toDF("event_id", "symbol", "ts", "value")
+        .write.mode("append").parquet(evDir)
+      Seq(("ZZZ", flush, 0.0)).toDF("symbol", "bar_ts", "bar_close")
+        .write.mode("append").parquet(barDir)
+      drain()
+    }
+    val got = spark.read.parquet(out).filter($"symbol" === "AAA")
+      .select("symbol", "bar_ts", "n_events", "sum_value", "bar_close")
+      .collect().map(_.toSeq).toSet
+    assert(got == Set(Seq("AAA", t(0), 1L, 5.0, 10.0)),
+      s"pre-restart bar must enrich the post-restart event, got $got")
+  }
 }

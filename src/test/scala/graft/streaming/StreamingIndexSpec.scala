@@ -34,5 +34,14 @@ class StreamingIndexSpec extends SparkSuite {
     val rBatch = graft.ops.Similarity.ivfServeFrom(spark, sf(), batch)
       .collect().map(_.toSeq).toSeq
     assert(rStream.nonEmpty && rStream == rBatch)
+
+    // at-least-once replay: re-appending a batch (the crash-recovery
+    // case) must not change what the index serves — duplicates are
+    // deduped by id before ranking
+    graft.ops.Similarity.ivfAppend(spark, sf(), streamed,
+      b.toSeq.toDF("vec_id", "embedding"))
+    val rReplayed = graft.ops.Similarity.ivfServeFrom(spark, sf(), streamed)
+      .collect().map(_.toSeq).toSeq
+    assert(rReplayed == rBatch, "replayed rows must not occupy extra ranks")
   }
 }

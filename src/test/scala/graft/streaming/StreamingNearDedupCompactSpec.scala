@@ -163,6 +163,23 @@ class StreamingNearDedupCompactSpec extends SparkSuite {
       .filter(col("window_start") < lit(t(100)))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(view2 == view)
+
+    // crash window: a missing marker (died mid-swap) degrades keptView
+    // to the live stream output — consistent, never a mixed cutoff
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store, "compact_cutoff"), false)
+    val degraded = StreamingNearDedup.keptView(spark, store)
+      .filter(col("window_start") < lit(t(100)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(degraded == streamKeptRows.map(_.getLong(1)).toSet --
+      Set(9001L, 9002L))
+    // and the next compact run re-publishes a consistent view
+    StreamingNearDedup.compact(spark, store, t(100)).collect()
+    val restored = StreamingNearDedup.keptView(spark, store)
+      .filter(col("window_start") < lit(t(100)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(restored == view)
   }
 
   test("startPipeline wires the compact store layout end to end") {
