@@ -108,6 +108,8 @@ object SparkEntry {
     "text_dup_spans" -> (TextAnalysis.dupSpans _),
     "text_pii" -> (TextAnalysis.pii _),
     "text_curation_log" -> (TextAnalysis.curationLog _),
+    "text_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
+    "text_novelty" -> (TextAnalysis.novelty _),
     "q_ts_correlation" -> (Temporal.tsCorrelation _),
     "q_anomaly" -> (Temporal.anomaly _),
     // Deduplication family
@@ -426,6 +428,8 @@ object SparkEntry {
     "text_dup_spans" -> TextAnalysis.dupSpansSql(DuckDialect),
     "text_pii" -> TextAnalysis.piiSql(DuckDialect),
     "text_curation_log" -> TextAnalysis.curationLogSql(DuckDialect),
+    "text_unigram_logprob" -> TextAnalysis.unigramLogprobSql(DuckDialect),
+    "text_novelty" -> TextAnalysis.noveltySql(DuckDialect),
     "q_ts_correlation" -> Temporal.tsCorrelationOracleSql,
     "q_anomaly" -> Temporal.anomalySql,
     "dedup_exact" -> Dedup.exactSql(DuckDialect),

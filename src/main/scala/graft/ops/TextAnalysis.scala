@@ -665,6 +665,68 @@ object TextAnalysis {
        |ORDER BY q.doc_id""".stripMargin
   }
 
+  /** Unigram-LM surprisal scoring — the classic LM quality filter: a
+    * unigram model is fit on the corpus itself (token frequencies /
+    * total), and each document is scored by the mean surprisal
+    * −E[ln p(token)] of its tokens.  Gibberish and boilerplate land at
+    * the extremes; mid-range documents read like the corpus.  Per-token
+    * surprisals are µ-quantized to integers before the per-doc sum, so
+    * the result is independent of partial-aggregation order (and of
+    * last-ulp ln() differences between engines' libm).
+    *
+    * Scale: the token→frequency join is a dim join against the
+    * vocabulary (broadcast-hinted; beyond broadcast size it degrades
+    * to a shuffled join where AQE's skew split handles Zipf-heavy
+    * tokens), then one map-side-combining per-doc aggregate.  The
+    * 1-row total joins as a broadcast scalar. */
+  def unigramLogprobSql(d: SqlDialect): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
+       |tok AS (
+       |  SELECT doc_id, ${d.explode("toks")} AS token FROM t),
+       |tf AS (
+       |  SELECT token, count(*) AS c FROM tok GROUP BY token),
+       |n AS (
+       |  SELECT CAST(sum(c) AS DOUBLE) AS total FROM tf),
+       |s AS (
+       |  SELECT /*+ BROADCAST(tf) */ tok.doc_id,
+       |    CAST(round(ln(CAST(tf.c AS DOUBLE) / n.total) * ${d.dlit(1000000.0)})
+       |      AS BIGINT) AS q
+       |  FROM tok JOIN tf ON tf.token = tok.token CROSS JOIN n)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  round(-CAST(sum(q) AS DOUBLE) / (${d.dlit(1000000.0)} * count(*)), 6)
+       |    AS mean_surprisal
+       |FROM s GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Shingle novelty — the data-selection signal dual to dedup: the
+    * fraction of a document's (distinct) 3-gram shingles that occur in
+    * NO other document.  High-novelty docs carry unique content; a
+    * near-zero score flags recombinations of corpus boilerplate even
+    * when no single near-dup pair fires.  Documents with fewer than 3
+    * tokens have no shingles and no row — same relation both engines.
+    * Scale: one gram-keyed counting aggregate + a dim join back, all
+    * integer arithmetic. */
+  def noveltySql(d: SqlDialect): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${d.shingles3(d.tokens("text"))} AS grams
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id, ${d.arrSize("grams")} AS ng,
+       |    ${d.explode("grams")} AS gram
+       |  FROM t),
+       |gdf AS (
+       |  SELECT gram, count(*) AS df FROM e GROUP BY gram)
+       |SELECT e.doc_id,
+       |  CAST(max(e.ng) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  round(CAST(sum(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / max(e.ng), 6) AS novelty_frac
+       |FROM e JOIN gdf ON gdf.gram = e.gram
+       |GROUP BY e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
@@ -699,6 +761,10 @@ object TextAnalysis {
     run(spark, dir, piiSql(SparkDialect))
   def curationLog(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, curationLogSql(SparkDialect))
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, unigramLogprobSql(SparkDialect))
+  def novelty(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, noveltySql(SparkDialect))
 
   /** Surfaces the contamination cap's documented blind spot (see
     * `contaminationSql`): eval-split docs whose HOT-gram count alone

@@ -220,6 +220,49 @@ class TextAnalysisSpec extends SparkSuite {
     assert(kept.size.toLong == curN)
   }
 
+  test("unigram surprisal matches a Scala recomputation with quantized sums") {
+    val texts = graft.Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+    val all = texts.flatMap(d => toks(d._2))
+    val tf = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = all.length.toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = texts.map { case (id, t) =>
+      val q = toks(t).map(w => math.rint(math.log(tf(w) / total) * 1e6).toLong)
+      id -> ((q.length.toLong, r6(-q.sum.toDouble / (1e6 * q.length))))
+    }.toMap
+    val got = TextAnalysis.unigramLogprob(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+    assert(got.values.forall(_._2 > 0), "surprisal is positive")
+  }
+
+  test("novelty counts singleton shingles exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),      // shingles: a b g, b g d
+      (2L, "alpha beta gamma epsilon"),    // shares 'alpha beta gamma'
+      (3L, "zeta eta theta iota"))         // all unique
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(TextAnalysis.noveltySql(SparkDialect)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 2L, 1.0)))
+    // fixture: fractions bounded and some sharing exists
+    val fix = TextAnalysis.novelty(spark, sf()).collect()
+    assert(fix.nonEmpty)
+    assert(fix.forall { r =>
+      val f = r.getDouble(3); f >= 0.0 && f <= 1.0
+    })
+  }
+
   test("the fixture corpus is PII-free and every row says so") {
     val rows = TextAnalysis.pii(spark, sf()).collect()
     assert(rows.length == 500)
