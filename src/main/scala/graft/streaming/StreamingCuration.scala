@@ -37,6 +37,65 @@ object StreamingCuration {
       .filter(s"quality_score >= $minScore")
   }
 
+  /** Unigram-LM model relation fit on a reference corpus —
+    * (token, surprisal_q) with the same µ-quantized per-token
+    * surprisal as `TextAnalysis.unigramLogprobSql`.  Fit once on the
+    * settled corpus, then served into the stream gate below: the
+    * standard fit-batch / score-stream split. */
+  def unigramModel(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val tf = corpus
+      .selectExpr(s"explode(${SparkDialect.tokens("text")}) AS token")
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val total = tf.agg(sum(col("c"))).head().getLong(0).toDouble
+    tf.select(col("token"),
+      round(log(col("c").cast("double") / lit(total)) * 1e6)
+        .cast("long").as("surprisal_q"))
+  }
+
+  /** Surprisal gate for the live feed — model serving as a
+    * STREAM-STATIC join: the (tiny, broadcast) pre-fit model joins
+    * each document's exploded tokens, a windowed per-doc aggregation
+    * averages the quantized surprisals, and docs outside
+    * [minSurprisal, maxSurprisal] are dropped once their window
+    * finalizes (too low ≈ boilerplate the model has memorized, too
+    * high ≈ gibberish / out-of-domain).  Tokens ABSENT from the model
+    * carry `oovSurprisal` (a pseudo-count floor), so vocabulary drift
+    * raises scores instead of silently vanishing rows.
+    *
+    * Docs need event-time `ingest_ts`; output is
+    * (window_start, doc_id, n_tokens, mean_surprisal) for the kept
+    * documents.  One stateful operator (the windowed agg) — the join
+    * side is static and stateless. */
+  def surprisalGate(docs: DataFrame, model: DataFrame,
+                    minSurprisal: Double, maxSurprisal: Double,
+                    oovSurprisal: Double = 20.0,
+                    watermark: String = "30 days",
+                    windowDur: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.functions._
+    // the per-doc mean stays in quantized-integer space through the
+    // aggregation (exact, order-independent) — identical arithmetic to
+    // text_unigram_logprob, so gate scores equal the batch operator's
+    val oovQ = -math.rint(oovSurprisal * 1e6).toLong
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .select(col("doc_id"), col("ingest_ts"),
+        explode(expr(SparkDialect.tokens("text"))).as("token"))
+      .join(broadcast(model), Seq("token"), "left")
+      .select(col("doc_id"), col("ingest_ts"),
+        coalesce(col("surprisal_q"), lit(oovQ)).as("q"))
+      .groupBy(window(col("ingest_ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-sum(col("q")).cast("double")
+          / (lit(1e6) * count(lit(1))), 6).as("mean_surprisal"))
+      .filter(col("mean_surprisal").between(minSurprisal, maxSurprisal))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("n_tokens"), col("mean_surprisal"))
+  }
+
   /** PII gate for the live ingest feed — the safety pass `text_pii`
     * measures, applied as a transform.  Per-family counts land as
     * metadata columns (same shared patterns as the batch query and

@@ -88,4 +88,61 @@ class StreamingCurationSpec extends SparkSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(dropped == Set(2L))
   }
+
+  test("surprisal gate scores a stream against the batch-fit model") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def flushTs = new java.sql.Timestamp(t0.getTime + 60L * 86400L * 1000L)
+    val corpus = graft.Tables.documents(spark, sf())
+    val model = StreamingCuration.unigramModel(corpus).cache()
+
+    // batch expectation from the same operator in batch mode, and the
+    // engine-side surprisal for in-vocabulary docs must match the
+    // text_unigram_logprob scoring exactly
+    val stream2batch = corpus
+      .selectExpr("doc_id", "text", s"TIMESTAMP '2024-01-01 00:00:00' AS ingest_ts")
+    val batchScores = StreamingCuration.surprisalGate(
+        stream2batch, model, 0.0, 1e9)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("mean_surprisal")).toMap
+    val opScores = graft.ops.TextAnalysis.unigramLogprob(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(batchScores == opScores,
+      "gate scoring == text_unigram_logprob on the model's own corpus")
+
+    // streamed: same rows through MemoryStream across 2 batches, plus
+    // an out-of-vocabulary doc that must survive via the OOV floor
+    val rows = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), t0, r.getString(1)))
+    val (r1, r2) = rows.splitAt(rows.length / 2)
+    val oov = (9000L, t0, "zzquux glorbnak frumple wibblethorp")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingCuration.surprisalGate(
+        input.toDS().toDF("doc_id", "ingest_ts", "text"), model, 0.0, 1e9)
+      .writeStream.format("memory").queryName("surprisal_gated")
+      .outputMode("append").start()
+    try {
+      input.addData(r1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData((r2 :+ oov).toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(Seq((9001L, flushTs, "flush one"))); q.processAllAvailable()
+      input.addData(Seq((9002L, flushTs, "flush two"))); q.processAllAvailable()
+      val streamed = spark.table("surprisal_gated")
+        .filter($"doc_id" < 9000L)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Double]("mean_surprisal")).toMap
+      assert(streamed == batchScores, "stream == batch scoring")
+      val oovScore = spark.table("surprisal_gated")
+        .filter($"doc_id" === 9000L).collect()
+      assert(oovScore.length == 1 &&
+        oovScore.head.getAs[Double]("mean_surprisal") == 20.0,
+        "OOV doc scores at the floor instead of vanishing")
+    } finally q.stop()
+
+    // the gate genuinely filters: a tight band keeps a strict subset
+    val tight = StreamingCuration.surprisalGate(stream2batch, model,
+        batchScores.values.min, batchScores.values.max * 0.99)
+      .collect()
+    assert(tight.length < batchScores.size && tight.nonEmpty)
+  }
 }
