@@ -62,9 +62,12 @@ object BarAnalytics {
        |    sum(ret) AS s1, sum(ret * ret) AS s2, min(dd) AS mdd
        |  FROM x GROUP BY symbol)
        |SELECT symbol, CAST(n_rets AS BIGINT) AS n_rets,
-       |  round(s1 / n_rets, 6) AS mean_ret,
-       |  round(sqrt(greatest((s2 - s1 * s1 / n_rets) / (n_rets - 1),
-       |    CAST(0.0 AS DOUBLE))), 6) AS volatility,
+       |  CASE WHEN n_rets > 0 THEN round(s1 / n_rets, 6) ELSE NULL END
+       |    AS mean_ret,
+       |  CASE WHEN n_rets > 1 THEN
+       |    round(sqrt(greatest((s2 - s1 * s1 / n_rets) / (n_rets - 1),
+       |      CAST(0.0 AS DOUBLE))), 6)
+       |  ELSE NULL END AS volatility,
        |  round(mdd, 6) AS max_drawdown
        |FROM s ORDER BY symbol""".stripMargin
 

@@ -93,9 +93,10 @@ object Dedup {
        |  CAST(sum(n.n_tok) AS BIGINT) AS total_tokens,
        |  CAST(sum(CASE WHEN n.doc_id = g.rep_doc_id THEN n.n_tok ELSE 0 END)
        |    AS BIGINT) AS kept_tokens,
-       |  round(1 - CAST(sum(CASE WHEN n.doc_id = g.rep_doc_id
-       |      THEN n.n_tok ELSE 0 END) AS DOUBLE) / sum(n.n_tok), 6)
-       |    AS dup_token_frac
+       |  CASE WHEN sum(n.n_tok) = 0 THEN NULL ELSE
+       |    round(1 - CAST(sum(CASE WHEN n.doc_id = g.rep_doc_id
+       |        THEN n.n_tok ELSE 0 END) AS DOUBLE) / sum(n.n_tok), 6)
+       |  END AS dup_token_frac
        |FROM n JOIN g ON n.text_md5 = g.text_md5
        |GROUP BY n.source
        |ORDER BY n.source""".stripMargin

@@ -335,15 +335,31 @@ object StreamingNearDedup {
       val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
       val in = fs.open(p)
       try in.readFully(buf) finally in.close()
-      val Array(cut, dir) = new String(buf, "UTF-8").trim.split("\n")
-      Some(CompactMarker(
-        Timestamp.from(java.time.Instant.parse(cut)), dir))
+      // Parse defensively: a malformed or partially visible marker
+      // (e.g. non-atomic rename on object stores) must degrade to the
+      // documented no-marker live-only view, not throw.
+      scala.util.Try {
+        val Array(cut, dir) = new String(buf, "UTF-8").trim.split("\n")
+        CompactMarker(Timestamp.from(java.time.Instant.parse(cut)), dir)
+      }.toOption
     }
   }
 
+  /** CONTRACT — single writer: `compact` assumes at most one run per
+    * store at a time (the intended deployment is one scheduled
+    * maintenance job, mirroring the single-owner ingest loop).  Two
+    * concurrent runs could both read marker version N and race on
+    * `kept_compacted_v(N+1)`; nothing in-band prevents that, so
+    * callers owning multiple schedulers must serialize externally.
+    * Readers are protected from the *writer* by the marker swap plus
+    * a retirement grace: the `graceVersions` most recent superseded
+    * version dirs are retained, so a reader that resolved an older
+    * marker keeps a consistent snapshot for that many further
+    * compaction cycles (compaction cadence ≫ query time by design). */
   def compact(spark: SparkSession, store: String,
               settledBefore: Timestamp,
-              windowDur: String = "1 hour"): DataFrame = {
+              windowDur: String = "1 hour",
+              graceVersions: Int = 2): DataFrame = {
     import org.apache.hadoop.fs.Path
     val aligned = spark.range(1)
       .select(windowStart(lit(settledBefore), windowDur))
@@ -359,9 +375,17 @@ object StreamingNearDedup {
     val fs = new Path(store).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val prev = readMarker(fs, store)
-    val version = prev.map(_.versionDir)
+    // next version = 1 + max over marker AND on-disk dirs: a corrupt
+    // marker must not reset the counter onto a dir a grace reader
+    // may still be scanning
+    val diskVersions = Option(
+        fs.globStatus(new Path(store, "kept_compacted_v*")))
+      .getOrElse(Array.empty)
+      .flatMap(s => "_v(\\d+)$".r.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toInt))
+    val markerVersion = prev.map(_.versionDir)
       .flatMap(d => "_v(\\d+)$".r.findFirstMatchIn(d).map(_.group(1).toInt))
-      .getOrElse(0) + 1
+    val version = (diskVersions ++ markerVersion).foldLeft(0)(_ max _) + 1
     val versionDir = s"kept_compacted_v$version"
     canonical.write.mode("overwrite").parquet(s"$store/$versionDir")
     // two-phase marker swap: tmp write, delete old, rename into place
@@ -374,13 +398,18 @@ object StreamingNearDedup {
     finally out.close()
     fs.delete(marker, false)
     fs.rename(tmp, marker)
-    // retire versions older than the immediately previous one (kept as
-    // a grace copy for readers that resolved the old marker mid-query)
-    val keepDirs = Set(versionDir) ++ prev.map(_.versionDir)
+    // retire superseded versions, keeping the `graceVersions` most
+    // recent as grace copies for readers that resolved an older
+    // marker mid-query (see the single-writer contract above)
     val old = fs.globStatus(new Path(store, "kept_compacted_v*"))
-    if (old != null)
-      old.filterNot(s => keepDirs.contains(s.getPath.getName))
-        .foreach(s => fs.delete(s.getPath, true))
+    if (old != null) {
+      val byVer = old.flatMap { s =>
+        "_v(\\d+)$".r.findFirstMatchIn(s.getPath.getName)
+          .map(m => (m.group(1).toInt, s.getPath))
+      }.sortBy(-_._1)
+      byVer.filter(_._1 != version).drop(graceVersions)
+        .foreach(p => fs.delete(p._2, true))
+    }
     actionsFrom(canonical, streamKept)
   }
 

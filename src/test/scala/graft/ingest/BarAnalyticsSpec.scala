@@ -53,4 +53,26 @@ class BarAnalyticsSpec extends SparkSuite {
     // drawdowns are non-positive by construction
     assert(got.forall(_._5 <= 0.0))
   }
+
+  test("degenerate symbols (one or two bars) yield NULL, not 0/0") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // ONE1 has a single bar (zero returns); TWO2 has two bars (one
+    // return, so sample variance's n-1 denominator is zero).  Both
+    // divisions must be CASE-guarded to NULL so Spark (non-ANSI NULL)
+    // and DuckDB (NaN/inf doubles) agree on the same SQL text.
+    Seq(
+      ("ONE1", Timestamp.valueOf("2024-01-01 10:00:00"), 10.0),
+      ("TWO2", Timestamp.valueOf("2024-01-01 10:00:00"), 10.0),
+      ("TWO2", Timestamp.valueOf("2024-01-02 10:00:00"), 12.0))
+      .toDF("event_type", "ts", "value")
+      .createOrReplaceTempView("events")
+    val rows = spark.sql(BarAnalytics.analyticsSql).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(rows("ONE1") == ((0L, true, true)),
+      "zero returns: mean and volatility both NULL")
+    assert(rows("TWO2")._1 == 1L && !rows("TWO2")._2 && rows("TWO2")._3,
+      "one return: mean defined, volatility NULL")
+  }
 }

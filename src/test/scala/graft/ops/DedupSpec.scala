@@ -171,4 +171,20 @@ class DedupSpec extends SparkSuite {
       assert((frac > 0) == (docDups(src) > 0), s"source $src")
     }
   }
+
+  test("token report: a source of only empty docs yields NULL frac, not 0/0") {
+    import spark.implicits._
+    // sum(n_tok) = 0 for this source; the CASE guard must make BOTH
+    // dialects return NULL rather than Spark-NULL-vs-DuckDB-NaN.
+    Seq((1L, "empty_src", ""), (2L, "empty_src", "   \t  "),
+        (3L, "real_src", "some actual tokens here"))
+      .toDF("doc_id", "source", "text")
+      .createOrReplaceTempView("documents")
+    val rows = spark.sql(Dedup.reportTokensSql(SparkDialect))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.isNullAt(3))).toMap
+    assert(rows("empty_src") == ((0L, true)),
+      "zero token mass: dup_token_frac is NULL")
+    assert(rows("real_src")._1 == 4L && !rows("real_src")._2)
+  }
 }

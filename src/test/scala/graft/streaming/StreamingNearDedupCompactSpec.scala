@@ -180,6 +180,32 @@ class StreamingNearDedupCompactSpec extends SparkSuite {
       .filter(col("window_start") < lit(t(100)))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(restored == view)
+
+    // malformed marker (e.g. partially visible write on a
+    // non-atomic-rename object store) degrades exactly like no marker
+    val mOut = fs.create(
+      new org.apache.hadoop.fs.Path(store, "compact_cutoff"), true)
+    mOut.write("garbage, not a marker".getBytes("UTF-8")); mOut.close()
+    val malformed = StreamingNearDedup.keptView(spark, store)
+      .filter(col("window_start") < lit(t(100)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(malformed == degraded,
+      "malformed marker serves the live-only view, never throws")
+
+    // recovery compact over the garbage marker: version counter derives
+    // from on-disk dirs (no overwrite of a dir a grace reader may hold),
+    // and retirement keeps the current + graceVersions most recent dirs
+    StreamingNearDedup.compact(spark, store, t(100)).collect()
+    val dirs = fs.globStatus(
+        new org.apache.hadoop.fs.Path(store, "kept_compacted_v*"))
+      .map(s => "_v(\\d+)$".r.findFirstMatchIn(s.getPath.getName)
+        .get.group(1).toInt).sorted.toSeq
+    assert(dirs.size == 3 && dirs.max == dirs.last,
+      s"current + 2 grace versions retained, got $dirs")
+    val recovered = StreamingNearDedup.keptView(spark, store)
+      .filter(col("window_start") < lit(t(100)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(recovered == view)
   }
 
   test("startPipeline wires the compact store layout end to end") {
