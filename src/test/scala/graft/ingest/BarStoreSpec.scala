@@ -44,4 +44,83 @@ class BarStoreSpec extends SparkSuite {
     BarStore.upsert(bars.union(bars), dir)
     assert(BarStore.read(spark, dir).count() === bars.count())
   }
+
+  // --- lifecycle: compaction + retention -------------------------
+
+  /** A store whose every date partition is fragmented into several
+    * files — the layout N streaming appends / task-parallel bootstrap
+    * writes leave behind. */
+  private def fragmentedStore(): (String, Set[org.apache.spark.sql.Row]) = {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("barstore").toString + "/bars"
+    canonical()
+      .withColumn("bar_date", to_date(col("timestamp")))
+      .repartition(6) // 6 tasks × M dates → up to 6 files per partition
+      .write.partitionBy("bar_date").parquet(dir)
+    (dir, BarStore.read(spark, dir).collect().toSet)
+  }
+
+  private def visibleFiles(dir: String, part: String): Array[String] = {
+    val d = new java.io.File(dir, part)
+    Option(d.list()).getOrElse(Array.empty)
+      .filter(f => !f.startsWith("_") && !f.startsWith("."))
+  }
+
+  test("compactDates bin-packs settled partitions without changing content") {
+    val (dir, before) = fragmentedStore()
+    val parts = new java.io.File(dir).list()
+      .filter(_.startsWith("bar_date=")).sorted
+    assert(parts.exists(p => visibleFiles(dir, p).length > 1),
+      "fixture must start fragmented")
+    val done = BarStore.compactDates(spark, dir,
+      java.sql.Date.valueOf("2030-01-01"))
+    assert(done.nonEmpty)
+    // every settled partition now holds exactly its target file count (1
+    // at this size), and the rows are untouched
+    parts.foreach { p =>
+      assert(visibleFiles(dir, p).length === 1, s"partition $p")
+    }
+    assert(BarStore.read(spark, dir).collect().toSet === before)
+    // idempotent: nothing left to compact
+    assert(BarStore.compactDates(spark, dir,
+      java.sql.Date.valueOf("2030-01-01")).isEmpty)
+    // hidden siblings (tmp/trash) are all cleaned up
+    assert(new java.io.File(dir).list().forall(n => !n.startsWith("_compact")))
+  }
+
+  test("a crash parked mid-swap heals on the next lifecycle run") {
+    val (dir, before) = fragmentedStore()
+    val parts = new java.io.File(dir).list()
+      .filter(_.startsWith("bar_date=")).sorted
+    val victim = parts.head
+    // simulate dying between the two swap renames: partition parked in
+    // a hidden trash dir, live dir absent
+    val root = new java.io.File(dir)
+    val vName = victim.stripPrefix("bar_date=")
+    assert(new java.io.File(root, victim)
+      .renameTo(new java.io.File(root, s"_compact_trash_${vName}_deadbeef")))
+    // degraded-but-consistent: readers see the store minus the parked
+    // partition (hidden prefix ⇒ no doubling, no mixed listing)
+    val vDate = java.sql.Date.valueOf(victim.stripPrefix("bar_date="))
+    val degraded = BarStore.read(spark, dir).collect().toSet
+    assert(degraded === before.filterNot(_.getAs[java.sql.Date]("bar_date") == vDate))
+    // any lifecycle entry point heals the window first
+    BarStore.compactDates(spark, dir, java.sql.Date.valueOf("2030-01-01"))
+    assert(BarStore.read(spark, dir).collect().toSet === before)
+    assert(new java.io.File(dir).list().forall(n => !n.startsWith("_compact")))
+  }
+
+  test("vacuum drops exactly the expired partitions, idempotently") {
+    val (dir, before) = fragmentedStore()
+    val dates = before.map(_.getAs[java.sql.Date]("bar_date")).toSeq.sorted
+    val cutoff = dates(dates.length / 2) // keep the newer half
+    val dropped = BarStore.vacuum(spark, dir, cutoff)
+    assert(dropped.nonEmpty &&
+      dropped.forall(p => java.sql.Date.valueOf(
+        p.stripPrefix("bar_date=")).before(cutoff)))
+    val after = BarStore.read(spark, dir).collect().toSet
+    assert(after === before.filter(
+      r => !r.getAs[java.sql.Date]("bar_date").before(cutoff)))
+    assert(BarStore.vacuum(spark, dir, cutoff).isEmpty, "re-run is a no-op")
+  }
 }
