@@ -49,8 +49,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
+    // Same-run DuckDB baseline: absolute seconds drift with host load
+    // between rounds, but the engine/DuckDB RATIO from one run on one
+    // host is load-immune — emit both totals so round-over-round
+    // comparisons read the ratio, not the wall clock.  Baseline runs
+    // via the driver-side python+duckdb (same oracle SQL the
+    // correctness gate executes); absent that stack (a real cluster),
+    // the fields are null and the engine numbers stand alone.
+    val baseline = timeDuckBaseline(sfDir, queries.keySet)
+    val baseJson = baseline match {
+      case Some((dt, df)) =>
+        val ratio = if (dt > 0) f"${total / dt}%.3f" else "null"
+        f""","duckdb_total":$dt%.3f,"duckdb_failed":$df,"ratio":$ratio"""
+      case None => ""","duckdb_total":null,"ratio":null"""
+    }
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":$failed}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":$failed$baseJson}"""
     // The full line (~3 KB with 80+ queries) overflows the harness's
     // output-tail capture, truncating its front into unparseable text —
     // so persist it to a file and ALSO print a short summary line LAST,
@@ -63,7 +77,68 @@ object Bench {
       System.err.println(s"bench_out.json write failed: ${e.getMessage}") }
     println(full)
     println(
-      f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","sf":"$sfDir","runs":$runs,"failed":$failed,"queries_file":"bench_out.json"}""")
+      f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","sf":"$sfDir","runs":$runs,"failed":$failed$baseJson,"queries_file":"bench_out.json"}""")
     spark.stop()
   }
+
+  /** Time the DuckDB oracle suite for the measured query set in one
+    * subprocess: (total seconds, failed count).  None when the
+    * python+duckdb stack is unavailable or errors — the baseline is
+    * best-effort context, never a bench failure. */
+  private def timeDuckBaseline(sfDir: String,
+      names: Set[String]): Option[(Double, Int)] =
+    if (sys.env.get("SPARK_GRAFT_BASELINE").contains("0")) None
+    else scala.util.Try {
+      def q(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val oracle = SparkEntry.oracleSql.view.filterKeys(names)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      val dir = java.nio.file.Files.createTempDirectory("graft_baseline")
+      val oPath = dir.resolve("oracle_sql.json")
+      java.nio.file.Files.writeString(oPath, oracle)
+      val script = dir.resolve("baseline.py")
+      java.nio.file.Files.writeString(script,
+        """import sys, os, json, time
+          |import duckdb
+          |sf, op = sys.argv[1], sys.argv[2]
+          |con = duckdb.connect()
+          |con.execute(f"SET threads TO {os.cpu_count()}")
+          |for t in ("region nation customer supplier part orders "
+          |          "lineitem events documents embeddings").split():
+          |    p = f"{sf}/{t}.parquet"
+          |    if os.path.exists(p):
+          |        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+          |oracle = json.load(open(op))
+          |total, failed = 0.0, 0
+          |for name in sorted(oracle):
+          |    t0 = time.time()
+          |    try:
+          |        con.execute(oracle[name]).fetchall()
+          |        total += time.time() - t0
+          |    except Exception:
+          |        failed += 1
+          |print(f"{total:.3f} {failed}")
+          |""".stripMargin)
+      val proc = new ProcessBuilder("python3", script.toString,
+        sfDir, oPath.toString).redirectErrorStream(false).start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val ok = proc.waitFor() == 0
+      try {
+        java.nio.file.Files.deleteIfExists(script)
+        java.nio.file.Files.deleteIfExists(oPath)
+        java.nio.file.Files.deleteIfExists(dir)
+      } catch { case _: Throwable => () }
+      if (!ok) None
+      else out.trim.split("\\s+") match {
+        case Array(t, f) => Some((t.toDouble, f.toInt))
+        case _ => None
+      }
+    }.toOption.flatten
 }

@@ -33,6 +33,10 @@ object GraftSession {
       // multi-second Janino compile a second time
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+      // rejects unless read as raw Long — session-level so no read
+      // path has to mutate conf as a side effect (Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")

@@ -27,7 +27,9 @@ object Tables {
     * integer division (exactly DuckDB's nanos→micros truncation —
     * float division would lose precision above 2^53 ns). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must set spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(GraftSession.build does) - events.parquet is TIMESTAMP(NANOS)")
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }

@@ -35,7 +35,6 @@ object StreamingIngest {
 
   /** File-stream source over a directory of event parquet files. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventSchema)
       .option("pathGlobFilter", "events*.parquet")
