@@ -108,6 +108,7 @@ object SparkEntry {
     "text_dup_spans" -> (TextAnalysis.dupSpans _),
     "text_pii" -> (TextAnalysis.pii _),
     "text_curation_log" -> (TextAnalysis.curationLog _),
+    "text_curation_log_full" -> (TextAnalysis.curationLogFull _),
     "text_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
     "text_novelty" -> (TextAnalysis.novelty _),
     "q_ts_correlation" -> (Temporal.tsCorrelation _),
@@ -430,6 +431,7 @@ object SparkEntry {
     "text_dup_spans" -> TextAnalysis.dupSpansSql(DuckDialect),
     "text_pii" -> TextAnalysis.piiSql(DuckDialect),
     "text_curation_log" -> TextAnalysis.curationLogSql(DuckDialect),
+    "text_curation_log_full" -> TextAnalysis.curationLogFullSql(DuckDialect),
     "text_unigram_logprob" -> TextAnalysis.unigramLogprobSql(DuckDialect),
     "text_novelty" -> TextAnalysis.noveltySql(DuckDialect),
     "q_ts_correlation" -> Temporal.tsCorrelationOracleSql,

@@ -665,6 +665,87 @@ object TextAnalysis {
        |ORDER BY q.doc_id""".stripMargin
   }
 
+  /** Surprisal gate band shared by the full curation log and the
+    * composed streaming DAG (`StreamingCuration.curationDag`): docs
+    * whose mean unigram surprisal falls OUTSIDE [lo, hi] are dropped —
+    * too low reads as boilerplate the model has memorized, too high as
+    * gibberish/out-of-domain.  The band brackets the corpus bulk
+    * (~3.39–3.41 at every generated SF) so both tails are live. */
+  val SurprisalLo: Double = 3.394
+  val SurprisalHi: Double = 3.410
+
+  /** `curationLogSql` extended with the surprisal stage — the full
+    * gate chain the composed pipeline runs (quality → surprisal →
+    * dedup keeper, with the PII flag advisory as before): per document
+    * the quality score, the mean unigram surprisal (fit on the corpus
+    * itself, identical µ-quantized arithmetic to
+    * `unigramLogprobSql` — the log's surprisal column is directly
+    * comparable to `text_unigram_logprob`), each stage's verdict
+    * (NULL when the doc never reached the stage), and the final
+    * `kept`.  The keeper election now runs among quality AND surprisal
+    * survivors — a gate chain elects representatives only from
+    * documents that passed every upstream gate.  A doc with no tokens
+    * has no LM evidence: its surprisal is NULL and the gate fails it
+    * (COALESCE to FALSE), pinned portable across both engines' 3VL. */
+  def curationLogFullSql(d: SqlDialect): String = {
+    val norm = d.reReplace("trim(lower(text))", "\\s+", " ")
+    val piiCount = PiiFamilies.map { case (_, pat) =>
+      d.regexpExtractAllSize("lower(text)", pat)
+    }.mkString(" + ")
+    val inBand = s"mean_surprisal BETWEEN ${d.dlit(SurprisalLo)}" +
+      s" AND ${d.dlit(SurprisalHi)}"
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ${d.tokens("text")} AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text,
+       |    CAST(${d.arrSize("toks")} AS BIGINT) AS n_tokens,
+       |    CAST(${lenMinus(d)("[^a-zA-Z0-9\\s]")} AS DOUBLE) AS n_sym,
+       |    CAST(${lenMinus(d)("[0-9]")} AS DOUBLE) AS n_digit
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, text, round(${scoreExpr()}, 6) AS score,
+       |    (($piiCount) > 0) AS has_pii
+       |  FROM m),
+       |tok AS (
+       |  SELECT doc_id, ${d.explode("toks")} AS token FROM t),
+       |tf AS (
+       |  SELECT token, count(*) AS c FROM tok GROUP BY token),
+       |n AS (
+       |  SELECT CAST(sum(c) AS DOUBLE) AS total FROM tf),
+       |su AS (
+       |  SELECT /*+ BROADCAST(tf) */ tok.doc_id,
+       |    CAST(round(ln(CAST(tf.c AS DOUBLE) / n.total) * ${d.dlit(1000000.0)})
+       |      AS BIGINT) AS q
+       |  FROM tok JOIN tf ON tf.token = tok.token CROSS JOIN n),
+       |sur AS (
+       |  SELECT doc_id,
+       |    round(-CAST(sum(q) AS DOUBLE) / (${d.dlit(1000000.0)} * count(*)), 6)
+       |      AS mean_surprisal
+       |  FROM su GROUP BY doc_id),
+       |keep AS (
+       |  SELECT q.doc_id, md5($norm) AS text_md5
+       |  FROM q LEFT JOIN sur ON sur.doc_id = q.doc_id
+       |  WHERE q.score >= 0.5 AND COALESCE($inBand, FALSE)),
+       |rep AS (
+       |  SELECT text_md5, min(doc_id) AS rep_id FROM keep GROUP BY text_md5)
+       |SELECT q.doc_id, q.score AS quality_score,
+       |  (q.score >= 0.5) AS passed_quality,
+       |  sur.mean_surprisal,
+       |  CASE WHEN q.score >= 0.5
+       |       THEN COALESCE($inBand, FALSE) ELSE NULL END AS passed_surprisal,
+       |  CASE WHEN k.doc_id IS NULL THEN NULL
+       |       ELSE (k.doc_id != r.rep_id) END AS is_exact_dup,
+       |  q.has_pii,
+       |  ((q.score >= 0.5) AND COALESCE($inBand, FALSE)
+       |    AND k.doc_id = r.rep_id) AS kept
+       |FROM q
+       |LEFT JOIN sur ON sur.doc_id = q.doc_id
+       |LEFT JOIN keep k ON k.doc_id = q.doc_id
+       |LEFT JOIN rep r ON r.text_md5 = k.text_md5
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
   /** Unigram-LM surprisal scoring — the classic LM quality filter: a
     * unigram model is fit on the corpus itself (token frequencies /
     * total), and each document is scored by the mean surprisal
@@ -761,6 +842,8 @@ object TextAnalysis {
     run(spark, dir, piiSql(SparkDialect))
   def curationLog(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, curationLogSql(SparkDialect))
+  def curationLogFull(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, curationLogFullSql(SparkDialect))
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, unigramLogprobSql(SparkDialect))
   def novelty(spark: SparkSession, dir: String): DataFrame =

