@@ -140,6 +140,9 @@ object SparkEntry {
     "sim_quantized_topk" -> (Similarity.quantizedTopK _),
     "sim_ann_ivf_pq" ->
       ((s: SparkSession, d: String) => Similarity.ivfQuantizedPersisted(s, d)),
+    "sim_ivf_kmeans_pq" ->
+      ((s: SparkSession, d: String) =>
+        Similarity.ivfKmeansQuantizedPersisted(s, d)),
     "sim_source_coherence" -> (Similarity.sourceCoherence _),
     // HLL sketch — the estimate is engine-internal, so the oracle
     // checks the exact count + the sketch's verified tolerance bound
@@ -466,6 +469,7 @@ object SparkEntry {
     // recomputes the quantized IVF pipeline from the raw embeddings —
     // independently checks the persisted int8 store AND the serving math
     "sim_ann_ivf_pq" -> Similarity.ivfQuantizedSql(DuckDialect),
+    "sim_ivf_kmeans_pq" -> Similarity.ivfKmeansQuantizedSql(DuckDialect),
     "sim_source_coherence" -> Similarity.sourceCoherenceSql(DuckDialect),
     "q_approx_distinct" -> Relational.qApproxDistinctOracleSql,
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,

@@ -248,7 +248,11 @@ object Similarity {
   val KmeansIters = 2
   val KmeansQuant = "1000000.0"
 
-  def ivfKmeansSql(d: SqlDialect): String = {
+  /** Shared prefix of `ivfKmeansSql` and `ivfKmeansQuantizedSql`:
+    * base relations, deterministic init, the unrolled Lloyd rounds,
+    * final assignment, nprobe=2 probing, and candidate generation —
+    * everything up to (and excluding) the scoring tail. */
+  private def kmeansCandCtes(d: SqlDialect): String = {
     // One Lloyd round: assignments from centroid relation `cPrev` →
     // quantized per-dimension means → centroid relation `cNext`.
     def cosTo(c: String): String =
@@ -281,7 +285,7 @@ object Similarity {
       s"${assignCtes(i, s"c$i")},\n${updateCtes(i)}"
     }.mkString(",\n")
     val f = KmeansIters // final centroid relation index
-    s"""WITH ${baseCtes(d)},
+    s"""${baseCtes(d)},
        |c0 AS (
        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
        |  WHERE vec_id % 100 = 50),
@@ -298,7 +302,11 @@ object Similarity {
        |  WHERE vec_id % 100 = 0 AND crn <= 2),
        |cand AS (
        |  SELECT p.qid, a.vec_id AS nid
-       |  FROM probe p JOIN asgn a ON a.cid = p.cid AND a.vec_id != p.qid),
+       |  FROM probe p JOIN asgn a ON a.cid = p.cid AND a.vec_id != p.qid)""".stripMargin
+  }
+
+  def ivfKmeansSql(d: SqlDialect): String = {
+    s"""WITH ${kmeansCandCtes(d)},
        |sc AS (
        |  SELECT cand.qid, cand.nid,
        |    ${d.dot("q.v", "x.v")} / (q.nrm * x.nrm) AS cs
@@ -311,6 +319,41 @@ object Similarity {
        |  FROM sc)
        |SELECT qid AS query_id, nid AS neighbor_id,
        |  round(cs, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+       |FROM r WHERE rn <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Oracle/spec form of `ivfKmeansQuantizedPersisted`: the trained
+    * codebook's candidate generation (`kmeansCandCtes` — exact float
+    * geometry through Lloyd, assignment and probing) scored with the
+    * int8-code arithmetic of `quantizedTopKSql`, end-to-end from the
+    * raw embeddings. */
+  def ivfKmeansQuantizedSql(d: SqlDialect): String = {
+    val absMax = d.arrMax(d.arrTransform("v", "x", "abs(x)"))
+    val code = d.arrTransform("v", "x",
+      "CAST(floor(x * scale + 0.5) AS DOUBLE)")
+    s"""WITH ${kmeansCandCtes(d)},
+       |s AS (
+       |  SELECT vec_id, v, nrm,
+       |    CASE WHEN $absMax = ${d.dlit(0.0)} THEN NULL
+       |         ELSE ${d.dlit(127.0)} / $absMax END AS scale
+       |  FROM n),
+       |qz AS (
+       |  SELECT vec_id, nrm, scale, $code AS code FROM s
+       |  WHERE scale IS NOT NULL),
+       |sc AS (
+       |  SELECT cand.qid, cand.nid,
+       |    ${d.dot("q.code", "x.code")} / (q.scale * x.scale)
+       |      / (q.nrm * x.nrm) AS cs
+       |  FROM cand
+       |  JOIN qz q ON q.vec_id = cand.qid
+       |  JOIN qz x ON x.vec_id = cand.nid),
+       |r AS (
+       |  SELECT qid, nid, cs,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+       |  FROM sc)
+       |SELECT qid AS query_id, nid AS neighbor_id,
+       |  round(cs, 6) AS approx_cosine, CAST(rn AS BIGINT) AS rank
        |FROM r WHERE rn <= 5
        |ORDER BY query_id, rank""".stripMargin
   }
@@ -649,6 +692,47 @@ object Similarity {
     servePersisted(spark, store, probe,
       n.filter($"vec_id" % 100 === 0)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
+  }
+
+  /** `ivfQuantizedPersisted`'s int8 store and serving over the
+    * TRAINED k-means codebook — the full production combination:
+    * train once (deterministic µ-quantized Lloyd), persist
+    * partition-pruned int8 lists, serve top-k from codes.  Geometry
+    * (assignment, probing) is `ivfKmeans`'s exactly; only the list
+    * payload is quantized, so `ivfKmeansQuantizedSql` recomputing the
+    * whole pipeline from raw embeddings verifies both the store and
+    * the serving arithmetic. */
+  def ivfKmeansQuantizedPersisted(spark: SparkSession, dir: String): DataFrame =
+    ivfKmeansQuantizedPersisted(spark, dir, None)
+
+  def ivfKmeansQuantizedPersisted(spark: SparkSession, dir: String,
+                                  storeBase: Option[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = ivfBase(spark, dir)
+    val cents = trainCodebookCached(spark, dir, n)
+    val absMax = SparkDialect.arrMax(
+      SparkDialect.arrTransform("v", "x", "abs(x)"))
+    val quantized = n
+      .withColumn("scale", expr(
+        s"CASE WHEN $absMax = 0.0D THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE 127.0D / $absMax END"))
+      .filter($"scale".isNotNull)
+      .withColumn("code", expr(SparkDialect.arrTransform(
+        "v", "x", "CAST(floor(x * scale + 0.5) AS TINYINT)")))
+    val store = indexStorePath(spark, dir, "pqkm", storeBase, n)
+    publishIndex(spark, store) { tmp =>
+      quantized.withColumn("cid", centroidOrder(cents)(0).getField("cid"))
+        .select($"vec_id", $"code", $"scale", $"nrm", $"cid")
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    }
+    val probe = n.filter($"vec_id" % 100 === 0)
+      .withColumn("p", explode(slice(centroidOrder(cents), 1, 2)))
+      .select($"vec_id".as("qid"), $"p.cid".as("cid"))
+    val queries = quantized.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"code".as("qcode"),
+        $"scale".as("qscale"), $"nrm".as("qn"))
+    serveQuantized(spark, store, probe, queries)
   }
 
   /** QUANTIZED persisted IVF serving — the memory/IO shape a 100 TB

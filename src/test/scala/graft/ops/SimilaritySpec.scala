@@ -351,6 +351,26 @@ class SimilaritySpec extends SparkSuite {
     shared.foreach(k => assert(pq(k) == full(k), s"pair $k"))
   }
 
+  test("k-means quantized persisted IVF serves its SQL form exactly") {
+    graft.Tables.embeddings(spark, sf())
+      .createOrReplaceTempView("embeddings")
+    val sql = spark.sql(Similarity.ivfKmeansQuantizedSql(SparkDialect))
+      .collect().map(_.toSeq).toSeq
+    val served = Similarity.ivfKmeansQuantizedPersisted(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == sql)
+    // trained-codebook candidates, quantized scores: any pair shared
+    // with the full quantized ranking carries the identical score
+    val full = Similarity.quantizedTopK(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("approx_cosine")).toMap
+    val pq = served.map(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long])
+      -> s(2).asInstanceOf[Double]).toMap
+    val shared = pq.keySet.intersect(full.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(pq(k) == full(k), s"pair $k"))
+  }
+
   test("quantized persisted IVF prunes to probed lists and stores int8 codes") {
     import org.apache.spark.sql.functions.col
     val q = Similarity.ivfQuantizedPersisted(spark, sf())
