@@ -395,6 +395,9 @@ object Similarity {
       // top-5 cut so every variant is scored on the same k
       .join(matched(quantizedTopK(spark, dir).filter($"rank" <= 5), "m_q"),
         Seq("query_id"), "left")
+      // the production serving mode: IVF candidates, int8 scores
+      .join(matched(ivfQuantizedPersisted(spark, dir), "m_pq"),
+        Seq("query_id"), "left")
       .select($"query_id", $"n_true",
         round(coalesce($"m_lsh", lit(0L)).cast("double") / $"n_true", 6)
           .as("recall_lsh"),
@@ -403,7 +406,9 @@ object Similarity {
         round(coalesce($"m_km", lit(0L)).cast("double") / $"n_true", 6)
           .as("recall_kmeans"),
         round(coalesce($"m_q", lit(0L)).cast("double") / $"n_true", 6)
-          .as("recall_quantized"))
+          .as("recall_quantized"),
+        round(coalesce($"m_pq", lit(0L)).cast("double") / $"n_true", 6)
+          .as("recall_ivf_pq"))
       .orderBy($"query_id")
   }
 
@@ -425,17 +430,20 @@ object Similarity {
        |${m("ml", annLshSql(d))},
        |${m("mi", ivfSql(d))},
        |${m("mk", ivfKmeansSql(d))},
-       |${m("mq", s"SELECT query_id, neighbor_id FROM (${quantizedTopKSql(d)}) qt WHERE rank <= 5")}
+       |${m("mq", s"SELECT query_id, neighbor_id FROM (${quantizedTopKSql(d)}) qt WHERE rank <= 5")},
+       |${m("mp", ivfQuantizedSql(d))}
        |SELECT tc.query_id, CAST(tc.n_true AS BIGINT) AS n_true,
        |  round(CAST(COALESCE(ml.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_lsh,
        |  round(CAST(COALESCE(mi.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_ivf,
        |  round(CAST(COALESCE(mk.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_kmeans,
-       |  round(CAST(COALESCE(mq.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_quantized
+       |  round(CAST(COALESCE(mq.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_quantized,
+       |  round(CAST(COALESCE(mp.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_ivf_pq
        |FROM tc
        |LEFT JOIN ml ON ml.query_id = tc.query_id
        |LEFT JOIN mi ON mi.query_id = tc.query_id
        |LEFT JOIN mk ON mk.query_id = tc.query_id
        |LEFT JOIN mq ON mq.query_id = tc.query_id
+       |LEFT JOIN mp ON mp.query_id = tc.query_id
        |ORDER BY tc.query_id""".stripMargin
   }
 

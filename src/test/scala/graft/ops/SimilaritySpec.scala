@@ -61,7 +61,9 @@ class SimilaritySpec extends SparkSuite {
       "recall_ivf" -> pairs(Similarity.ivf(spark, sf())),
       "recall_kmeans" -> pairs(Similarity.ivfKmeans(spark, sf())),
       "recall_quantized" ->
-        pairs(Similarity.quantizedTopK(spark, sf()).filter("rank <= 5")))
+        pairs(Similarity.quantizedTopK(spark, sf()).filter("rank <= 5")),
+      "recall_ivf_pq" ->
+        pairs(Similarity.ivfQuantizedPersisted(spark, sf())))
     rec.foreach { r =>
       val q = r.getAs[Long]("query_id")
       assert(r.getAs[Long]("n_true") == truth(q).size)
