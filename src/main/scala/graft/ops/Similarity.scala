@@ -670,6 +670,77 @@ object Similarity {
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
   }
 
+  /** `ivfAppend` for the QUANTIZED store: assign `newVecs` to the
+    * fixed codebook and append their int8 rows (code, scale, nrm)
+    * as NEW parquet files inside the existing `cid=` partitions —
+    * the same append-only, per-file-atomic lifecycle as the float
+    * store, at a quarter of the bytes per appended vector.  Calling
+    * on an empty path is the bootstrap; bootstrap + N appends ≡ one
+    * bootstrap over the union (spec-pinned).  All-zero vectors are
+    * skipped (NULL scale — no codes, no cosine direction), exactly
+    * the serving-set rule of every quantized path. */
+  def ivfQuantizedAppend(spark: SparkSession, dir: String,
+                         indexPath: String, newVecs: DataFrame): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = ivfBase(spark, dir)
+    val c = broadcast(n.filter($"vec_id" % 100 === 50)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm")))
+    val absMax = SparkDialect.arrMax(
+      SparkDialect.arrTransform("v", "x", "abs(x)"))
+    val quantized = newVecs
+      .select($"vec_id", $"embedding",
+        expr(SparkDialect.toDoubleArr("embedding")).as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .withColumn("scale", expr(
+        s"CASE WHEN $absMax = 0.0D THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE 127.0D / $absMax END"))
+      .filter($"scale".isNotNull)
+      .withColumn("code", expr(SparkDialect.arrTransform(
+        "v", "x", "CAST(floor(x * scale + 0.5) AS TINYINT)")))
+    val scored = quantized
+      .crossJoin(c)
+      .withColumn("cs", expr("graft_dot(v, cv)") / ($"nrm" * $"cnrm"))
+    val asgn = scored.groupBy($"vec_id")
+      .agg(max_by($"cid", struct($"cs", -$"cid")).as("cid"))
+    quantized.select($"vec_id", $"code", $"scale", $"nrm")
+      .join(asgn, "vec_id")
+      .write.mode("append").partitionBy("cid").parquet(indexPath)
+  }
+
+  /** Probe a caller-managed QUANTIZED store (built/maintained by
+    * `ivfQuantizedAppend`): same fixed-codebook probing as
+    * `ivfServeFrom`, same int8 serving as `ivfQuantizedPersisted`. */
+  def ivfQuantizedServeFrom(spark: SparkSession, dir: String,
+                            indexPath: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val n = ivfBase(spark, dir)
+    val c = broadcast(n.filter($"vec_id" % 100 === 50)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm")))
+    val probe = n.filter($"vec_id" % 100 === 0)
+      .crossJoin(c)
+      .withColumn("cs", expr("graft_dot(v, cv)") / ($"nrm" * $"cnrm"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cid")))
+      .filter($"crn" <= 2)
+      .select($"vec_id".as("qid"), $"cid")
+    val absMax = SparkDialect.arrMax(
+      SparkDialect.arrTransform("v", "x", "abs(x)"))
+    val queries = n.filter($"vec_id" % 100 === 0)
+      .withColumn("scale", expr(
+        s"CASE WHEN $absMax = 0.0D THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE 127.0D / $absMax END"))
+      .filter($"scale".isNotNull)
+      .withColumn("code", expr(SparkDialect.arrTransform(
+        "v", "x", "CAST(floor(x * scale + 0.5) AS TINYINT)")))
+      .select($"vec_id".as("qid"), $"code".as("qcode"),
+        $"scale".as("qscale"), $"nrm".as("qn"))
+    serveQuantized(spark,
+      new org.apache.hadoop.fs.Path(indexPath), probe, queries)
+  }
+
   /** Persisted IVF over the TRAINED k-means codebook — `ivfKmeans`'s
     * centroids with `ivfPersisted`'s storage shape: the production
     * combination (train once, persist the lists, serve by partition

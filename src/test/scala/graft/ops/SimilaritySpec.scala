@@ -204,6 +204,35 @@ class SimilaritySpec extends SparkSuite {
     assert(rWhole == auto)
   }
 
+  test("quantized managed store: bootstrap + append ≡ one build, serves like auto") {
+    import spark.implicits._
+    val full = graft.Tables.embeddings(spark, sf())
+      .select($"vec_id", $"embedding")
+    val a = full.filter($"vec_id" % 5 =!= 4)
+    val b = full.filter($"vec_id" % 5 === 4)
+    val incr = java.nio.file.Files.createTempDirectory("ivfq_incr").toString
+    Similarity.ivfQuantizedAppend(spark, sf(), incr, a)   // bootstrap
+    Similarity.ivfQuantizedAppend(spark, sf(), incr, b)   // increment
+    val whole = java.nio.file.Files.createTempDirectory("ivfq_whole").toString
+    Similarity.ivfQuantizedAppend(spark, sf(), whole, full)
+    val rIncr = Similarity.ivfQuantizedServeFrom(spark, sf(), incr)
+      .collect().map(_.toSeq).toSeq
+    val rWhole = Similarity.ivfQuantizedServeFrom(spark, sf(), whole)
+      .collect().map(_.toSeq).toSeq
+    assert(rIncr.nonEmpty && rIncr == rWhole)
+    // same corpus ⇒ the managed quantized store serves exactly the
+    // auto store's ranking (same codebook, probes, int8 arithmetic)
+    val auto = Similarity.ivfQuantizedPersisted(spark, sf()).collect()
+      .map(_.toSeq).toSeq
+    assert(rWhole == auto)
+    // replay tolerance: re-appending an already-appended batch must
+    // not change served results (dropDuplicates in the serve path)
+    Similarity.ivfQuantizedAppend(spark, sf(), incr, b)
+    val replayed = Similarity.ivfQuantizedServeFrom(spark, sf(), incr)
+      .collect().map(_.toSeq).toSeq
+    assert(replayed == rWhole)
+  }
+
   test("source coherence matches an independent Scala recomputation") {
     val docs = graft.Tables.documents(spark, sf())
       .select("doc_id", "source").collect()
