@@ -34,4 +34,20 @@ object StreamingIndex {
       .trigger(trigger)
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
+
+  /** Same maintenance loop for the QUANTIZED managed store: each
+    * micro-batch appends int8 (code, scale, nrm) rows via
+    * `Similarity.ivfQuantizedAppend` — a quarter of the write bytes
+    * per vector, same at-least-once replay contract (the quantized
+    * serve path dedups by id before ranking). */
+  def startQuantized(embeddings: DataFrame, dir: String, indexPath: String,
+                     trigger: Trigger = Trigger.ProcessingTime(0),
+                     checkpoint: Option[String] = None): StreamingQuery = {
+    val w = embeddings.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.ivfQuantizedAppend(batch.sparkSession, dir, indexPath, batch)
+      }
+      .trigger(trigger)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }
