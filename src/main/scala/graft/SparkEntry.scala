@@ -143,6 +143,9 @@ object SparkEntry {
     "sim_ivf_kmeans_pq" ->
       ((s: SparkSession, d: String) =>
         Similarity.ivfKmeansQuantizedPersisted(s, d)),
+    "sim_ann_ivf_pq_rerank" ->
+      ((s: SparkSession, d: String) =>
+        Similarity.ivfQuantizedRerankPersisted(s, d)),
     "sim_source_coherence" -> (Similarity.sourceCoherence _),
     // HLL sketch — the estimate is engine-internal, so the oracle
     // checks the exact count + the sketch's verified tolerance bound
@@ -470,6 +473,7 @@ object SparkEntry {
     // independently checks the persisted int8 store AND the serving math
     "sim_ann_ivf_pq" -> Similarity.ivfQuantizedSql(DuckDialect),
     "sim_ivf_kmeans_pq" -> Similarity.ivfKmeansQuantizedSql(DuckDialect),
+    "sim_ann_ivf_pq_rerank" -> Similarity.ivfQuantizedRerankSql(DuckDialect),
     "sim_source_coherence" -> Similarity.sourceCoherenceSql(DuckDialect),
     "q_approx_distinct" -> Relational.qApproxDistinctOracleSql,
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,

@@ -844,7 +844,14 @@ object Similarity {
     ivfQuantizedPersisted(spark, dir, None)
 
   def ivfQuantizedPersisted(spark: SparkSession, dir: String,
-                            storeBase: Option[String]): DataFrame = {
+                            storeBase: Option[String]): DataFrame =
+    quantizedFixedServe(spark, dir, storeBase, 5)
+
+  /** Build-if-absent + serve top-`k` from the fixed-codebook int8
+    * store — the shared engine of `ivfQuantizedPersisted` (k = 5) and
+    * the rerank path's coarse stage (k = RerankCoarseK). */
+  private def quantizedFixedServe(spark: SparkSession, dir: String,
+      storeBase: Option[String], k: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
@@ -878,10 +885,10 @@ object Similarity {
     val queries = quantized.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("qid"), $"code".as("qcode"),
         $"scale".as("qscale"), $"nrm".as("qn"))
-    serveQuantized(spark, store, probe, queries)
+    serveQuantized(spark, store, probe, queries, k)
   }
 
-  /** Serve top-5 from a quantized inverted-list store: read ONLY the
+  /** Serve top-k from a quantized inverted-list store: read ONLY the
     * probed `cid=` partitions (pinned schema so the long IN-list stays
     * in PartitionFilters), score from the int8 codes.  The code dot is
     * integer-valued and |code| ≤ 127, dim ≤ a few thousand — exact in
@@ -889,7 +896,7 @@ object Similarity {
     * bit-for-bit. */
   private def serveQuantized(spark: SparkSession,
       store: org.apache.hadoop.fs.Path, probe: DataFrame,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, k: Int = 5): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
@@ -914,7 +921,7 @@ object Similarity {
           .divide($"qn" * $"nrm").as("cs"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy($"cs".desc, $"nid")))
-      .filter($"rn" <= 5)
+      .filter($"rn" <= k)
       .select($"qid".as("query_id"), $"nid".as("neighbor_id"),
         round($"cs", 6).as("approx_cosine"), $"rn".cast("long").as("rank"))
       .orderBy($"query_id", $"rank")
@@ -926,7 +933,9 @@ object Similarity {
     * probed candidates — recomputed end-to-end from the raw
     * embeddings, no store involved, so it independently checks both
     * the index contents and the serving arithmetic. */
-  def ivfQuantizedSql(d: SqlDialect): String = {
+  def ivfQuantizedSql(d: SqlDialect): String = ivfQuantizedSql(d, 5)
+
+  def ivfQuantizedSql(d: SqlDialect, topn: Int): String = {
     val absMax = d.arrMax(d.arrTransform("v", "x", "abs(x)"))
     val code = d.arrTransform("v", "x",
       "CAST(floor(x * scale + 0.5) AS DOUBLE)")
@@ -969,8 +978,74 @@ object Similarity {
        |  FROM sc)
        |SELECT qid AS query_id, nid AS neighbor_id,
        |  round(cs, 6) AS approx_cosine, CAST(rn AS BIGINT) AS rank
+       |FROM r WHERE rn <= $topn
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Two-stage quantized serving with EXACT rerank — the canonical
+    * production pattern for a quantized index (SQ8 + refine): the
+    * int8 partition-pruned store supplies a coarse top-`coarseK`
+    * candidate set per query (4× cheaper list I/O), then ONLY those
+    * `coarseK` rows per query fetch their exact float vectors from
+    * the primary table and are re-ranked by true cosine.  The output
+    * carries EXACT cosines (`cosine`, like the unquantized
+    * operators), with quantization noise surviving only in which
+    * candidates reached the rerank — recall, not precision, is what
+    * the coarse stage can cost. */
+  def ivfQuantizedRerankSql(d: SqlDialect): String = {
+    s"""WITH ${baseCtes(d)},
+       |coarse AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${ivfQuantizedSql(d, RerankCoarseK)}) cq),
+       |sc AS (
+       |  SELECT coarse.query_id AS qid, coarse.neighbor_id AS nid,
+       |    ${d.dot("q.v", "x.v")} / (q.nrm * x.nrm) AS cs
+       |  FROM coarse
+       |  JOIN n q ON q.vec_id = coarse.query_id
+       |  JOIN n x ON x.vec_id = coarse.neighbor_id),
+       |r AS (
+       |  SELECT qid, nid, cs,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+       |  FROM sc)
+       |SELECT qid AS query_id, nid AS neighbor_id,
+       |  round(cs, 6) AS cosine, CAST(rn AS BIGINT) AS rank
        |FROM r WHERE rn <= 5
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  val RerankCoarseK: Int = 20
+
+  /** Engine path of `ivfQuantizedRerankSql`: coarse top-20 from the
+    * persisted int8 store (`ivfQuantizedPersisted`'s serving with a
+    * deeper cut), exact vectors joined back for ONLY those candidate
+    * rows, exact-cosine rerank to top-5.  At 100 TB the refine stage
+    * touches coarseK rows per query from the primary store — a
+    * point-lookup-sized join — while the scan-heavy stage ran on the
+    * 4× smaller codes. */
+  def ivfQuantizedRerankPersisted(spark: SparkSession, dir: String): DataFrame =
+    ivfQuantizedRerankPersisted(spark, dir, None)
+
+  def ivfQuantizedRerankPersisted(spark: SparkSession, dir: String,
+                                  storeBase: Option[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val n = ivfBase(spark, dir)
+    val coarse = quantizedFixedServe(spark, dir, storeBase, RerankCoarseK)
+      .select($"query_id", $"neighbor_id")
+    coarse
+      .join(n.select($"vec_id".as("query_id"), $"v".as("qv"),
+        $"nrm".as("qn")), "query_id")
+      .join(n.select($"vec_id".as("neighbor_id"), $"v".as("nv"),
+        $"nrm".as("nn")), "neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        expr("graft_dot(qv, nv)").divide($"qn" * $"nn").as("cs"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cs".desc, $"neighbor_id")))
+      .filter($"rn" <= 5)
+      .select($"query_id", $"neighbor_id",
+        round($"cs", 6).as("cosine"), $"rn".cast("long").as("rank"))
+      .orderBy($"query_id", $"rank")
   }
 
   /** Per-source embedding coherence — the curation monitor that flags

@@ -204,6 +204,34 @@ class SimilaritySpec extends SparkSuite {
     assert(rWhole == auto)
   }
 
+  test("quantized rerank: exact scores, candidates from the coarse int8 stage") {
+    graft.Tables.embeddings(spark, sf())
+      .createOrReplaceTempView("embeddings")
+    val sql = spark.sql(Similarity.ivfQuantizedRerankSql(SparkDialect))
+      .collect().map(_.toSeq).toSeq
+    val served = Similarity.ivfQuantizedRerankPersisted(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == sql)
+    // reranked scores are EXACT cosines: any pair shared with
+    // brute-force carries the identical value
+    val brute = Similarity.topK(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    served.foreach { s =>
+      val k = (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long])
+      brute.get(k).foreach(c => assert(c == s(2).asInstanceOf[Double], s"$k"))
+    }
+    // every reranked neighbor came through the coarse int8 stage
+    val coarse = spark.sql(
+        Similarity.ivfQuantizedSql(SparkDialect, Similarity.RerankCoarseK))
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    served.foreach { s =>
+      assert(coarse((s(0).asInstanceOf[Long], s(1).asInstanceOf[Long])))
+    }
+  }
+
   test("quantized managed store: bootstrap + append ≡ one build, serves like auto") {
     import spark.implicits._
     val full = graft.Tables.embeddings(spark, sf())
