@@ -398,6 +398,10 @@ object Similarity {
       // the production serving mode: IVF candidates, int8 scores
       .join(matched(ivfQuantizedPersisted(spark, dir), "m_pq"),
         Seq("query_id"), "left")
+      // ...and with the exact rerank stage: same candidates, true
+      // ordering — recall_ivf_pq_rerank ≥ recall_ivf_pq by construction
+      .join(matched(ivfQuantizedRerankPersisted(spark, dir), "m_pqr"),
+        Seq("query_id"), "left")
       .select($"query_id", $"n_true",
         round(coalesce($"m_lsh", lit(0L)).cast("double") / $"n_true", 6)
           .as("recall_lsh"),
@@ -408,7 +412,9 @@ object Similarity {
         round(coalesce($"m_q", lit(0L)).cast("double") / $"n_true", 6)
           .as("recall_quantized"),
         round(coalesce($"m_pq", lit(0L)).cast("double") / $"n_true", 6)
-          .as("recall_ivf_pq"))
+          .as("recall_ivf_pq"),
+        round(coalesce($"m_pqr", lit(0L)).cast("double") / $"n_true", 6)
+          .as("recall_ivf_pq_rerank"))
       .orderBy($"query_id")
   }
 
@@ -431,19 +437,23 @@ object Similarity {
        |${m("mi", ivfSql(d))},
        |${m("mk", ivfKmeansSql(d))},
        |${m("mq", s"SELECT query_id, neighbor_id FROM (${quantizedTopKSql(d)}) qt WHERE rank <= 5")},
-       |${m("mp", ivfQuantizedSql(d))}
+       |${m("mp", ivfQuantizedSql(d))},
+       |${m("mpr", ivfQuantizedRerankSql(d))}
        |SELECT tc.query_id, CAST(tc.n_true AS BIGINT) AS n_true,
        |  round(CAST(COALESCE(ml.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_lsh,
        |  round(CAST(COALESCE(mi.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_ivf,
        |  round(CAST(COALESCE(mk.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_kmeans,
        |  round(CAST(COALESCE(mq.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_quantized,
-       |  round(CAST(COALESCE(mp.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_ivf_pq
+       |  round(CAST(COALESCE(mp.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_ivf_pq,
+       |  round(CAST(COALESCE(mpr.m, 0) AS DOUBLE) / tc.n_true, 6)
+       |    AS recall_ivf_pq_rerank
        |FROM tc
        |LEFT JOIN ml ON ml.query_id = tc.query_id
        |LEFT JOIN mi ON mi.query_id = tc.query_id
        |LEFT JOIN mk ON mk.query_id = tc.query_id
        |LEFT JOIN mq ON mq.query_id = tc.query_id
        |LEFT JOIN mp ON mp.query_id = tc.query_id
+       |LEFT JOIN mpr ON mpr.query_id = tc.query_id
        |ORDER BY tc.query_id""".stripMargin
   }
 

@@ -63,7 +63,9 @@ class SimilaritySpec extends SparkSuite {
       "recall_quantized" ->
         pairs(Similarity.quantizedTopK(spark, sf()).filter("rank <= 5")),
       "recall_ivf_pq" ->
-        pairs(Similarity.ivfQuantizedPersisted(spark, sf())))
+        pairs(Similarity.ivfQuantizedPersisted(spark, sf())),
+      "recall_ivf_pq_rerank" ->
+        pairs(Similarity.ivfQuantizedRerankPersisted(spark, sf())))
     rec.foreach { r =>
       val q = r.getAs[Long]("query_id")
       assert(r.getAs[Long]("n_true") == truth(q).size)
