@@ -110,6 +110,27 @@ class BarStoreSpec extends SparkSuite {
     assert(new java.io.File(dir).list().forall(n => !n.startsWith("_compact")))
   }
 
+  test("a crash after publish (superseded trash) is swept, not restored") {
+    val (dir, before) = fragmentedStore()
+    val parts = new java.io.File(dir).list()
+      .filter(_.startsWith("bar_date=")).sorted
+    // simulate dying between the publish rename and the trash delete:
+    // live partition EXISTS, a stale copy is parked in trash
+    val victim = parts.head
+    val vName = victim.stripPrefix("bar_date=")
+    val root = new java.io.File(dir)
+    val trash = new java.io.File(root, s"_compact_trash_${vName}_cafebabe")
+    assert(trash.mkdir())
+    java.nio.file.Files.writeString(
+      new java.io.File(trash, "stale.bin").toPath, "superseded copy")
+    // reader is unaffected (trash is hidden), and the next lifecycle
+    // run deletes the superseded copy instead of restoring it
+    assert(BarStore.read(spark, dir).collect().toSet === before)
+    BarStore.compactDates(spark, dir, java.sql.Date.valueOf("2030-01-01"))
+    assert(!trash.exists(), "superseded trash swept")
+    assert(BarStore.read(spark, dir).collect().toSet === before)
+  }
+
   test("vacuum drops exactly the expired partitions, idempotently") {
     val (dir, before) = fragmentedStore()
     val dates = before.map(_.getAs[java.sql.Date]("bar_date")).toSeq.sorted
