@@ -39,7 +39,13 @@ object Bench {
       sorted.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
+                 catch { case e: Throwable =>
+                   // a -1 in the JSON says WHICH query failed; say WHY
+                   // on stderr so failures are diagnosable from the log
+                   System.err.println(s"[bench] $name failed: " +
+                     s"${e.getClass.getSimpleName}: ${e.getMessage}")
+                   false
+                 }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
     }.reduce((a, b) => a.map { case (k, v) =>

@@ -11,7 +11,14 @@ heavy operators see the same shapes at 10x the rows:
 - embeddings: per-label Gaussians fit on the real per-label mean/std
   (dim 64, 10 labels), so IVF list balance and cosine geometry match.
 
-Usage: gen_scaling.py <realSfDir> <outDir> <factor> [seed]
+Usage: gen_scaling.py <realSfDir> <outDir> <factor> [seed] [heaps]
+
+With the optional 5th arg `heaps`, the vocabulary GROWS with corpus
+size (Heaps' law, V ∝ n^0.5) instead of staying fixed: synthetic
+tokens extend the real vocabulary with a continued Zipf tail.  The
+fixed-vocab mode saturates the shingle space at large factors (no
+real corpus does that); the heaps mode is the realistic growth law
+for measuring candidate-volume scaling.
 """
 import sys, random, collections
 import duckdb
@@ -20,6 +27,7 @@ import pyarrow.parquet as pq
 
 real, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
 seed = int(sys.argv[4]) if len(sys.argv) > 4 else 42
+heaps = len(sys.argv) > 5 and sys.argv[5] == "heaps"
 rnd = random.Random(seed)
 con = duckdb.connect()
 
@@ -34,6 +42,15 @@ for text, _, _ in rows:
     lengths.append(len(ts))
 vocab = list(tokens)
 weights = [tokens[w] for w in vocab]
+if heaps:
+    # V(n) = V(n0) * factor^0.5; new tokens continue the Zipf tail of
+    # the real frequency curve (weight ~ 1/rank, scaled to the real
+    # minimum so the head distribution is untouched)
+    target_v = int(len(vocab) * factor ** 0.5)
+    min_w = min(weights)
+    for k in range(len(vocab), target_v):
+        vocab.append(f"tok{k:05d}")
+        weights.append(max(1, int(min_w * len(tokens) / (k + 1))))
 langs = sorted({r[1] for r in rows})
 n_docs = len(rows) * factor
 n_sources = len({r[2] for r in rows})
