@@ -146,6 +146,9 @@ object SparkEntry {
     "sim_ann_ivf_pq_rerank" ->
       ((s: SparkSession, d: String) =>
         Similarity.ivfQuantizedRerankPersisted(s, d)),
+    "sim_ivf_kmeans_pq_rerank" ->
+      ((s: SparkSession, d: String) =>
+        Similarity.ivfKmeansQuantizedRerankPersisted(s, d)),
     "sim_source_coherence" -> (Similarity.sourceCoherence _),
     // HLL sketch — the estimate is engine-internal, so the oracle
     // checks the exact count + the sketch's verified tolerance bound
@@ -474,6 +477,8 @@ object SparkEntry {
     "sim_ann_ivf_pq" -> Similarity.ivfQuantizedSql(DuckDialect),
     "sim_ivf_kmeans_pq" -> Similarity.ivfKmeansQuantizedSql(DuckDialect),
     "sim_ann_ivf_pq_rerank" -> Similarity.ivfQuantizedRerankSql(DuckDialect),
+    "sim_ivf_kmeans_pq_rerank" ->
+      Similarity.ivfKmeansQuantizedRerankSql(DuckDialect),
     "sim_source_coherence" -> Similarity.sourceCoherenceSql(DuckDialect),
     "q_approx_distinct" -> Relational.qApproxDistinctOracleSql,
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,

@@ -328,7 +328,10 @@ object Similarity {
     * geometry through Lloyd, assignment and probing) scored with the
     * int8-code arithmetic of `quantizedTopKSql`, end-to-end from the
     * raw embeddings. */
-  def ivfKmeansQuantizedSql(d: SqlDialect): String = {
+  def ivfKmeansQuantizedSql(d: SqlDialect): String =
+    ivfKmeansQuantizedSql(d, 5)
+
+  def ivfKmeansQuantizedSql(d: SqlDialect, topn: Int): String = {
     val absMax = d.arrMax(d.arrTransform("v", "x", "abs(x)"))
     val code = d.arrTransform("v", "x",
       "CAST(floor(x * scale + 0.5) AS DOUBLE)")
@@ -354,7 +357,7 @@ object Similarity {
        |  FROM sc)
        |SELECT qid AS query_id, nid AS neighbor_id,
        |  round(cs, 6) AS approx_cosine, CAST(rn AS BIGINT) AS rank
-       |FROM r WHERE rn <= 5
+       |FROM r WHERE rn <= $topn
        |ORDER BY query_id, rank""".stripMargin
   }
 
@@ -795,7 +798,14 @@ object Similarity {
     ivfKmeansQuantizedPersisted(spark, dir, None)
 
   def ivfKmeansQuantizedPersisted(spark: SparkSession, dir: String,
-                                  storeBase: Option[String]): DataFrame = {
+                                  storeBase: Option[String]): DataFrame =
+    kmeansQuantizedServe(spark, dir, storeBase, 5)
+
+  /** Build-if-absent + serve top-`k` from the k-means int8 store —
+    * shared by `ivfKmeansQuantizedPersisted` (k = 5) and the rerank
+    * path's coarse stage (k = RerankCoarseK). */
+  private def kmeansQuantizedServe(spark: SparkSession, dir: String,
+      storeBase: Option[String], k: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val n = ivfBase(spark, dir)
@@ -821,7 +831,39 @@ object Similarity {
     val queries = quantized.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("qid"), $"code".as("qcode"),
         $"scale".as("qscale"), $"nrm".as("qn"))
-    serveQuantized(spark, store, probe, queries)
+    serveQuantized(spark, store, probe, queries, k)
+  }
+
+  /** Two-stage serving over the TRAINED codebook — the faiss-style
+    * default combination (trained coarse quantizer + SQ8 lists +
+    * exact refine): coarse top-`RerankCoarseK` from the k-means int8
+    * store, exact-cosine rerank to top-5.  Oracle recomputes both
+    * stages end-to-end (`ivfKmeansQuantizedRerankSql`). */
+  def ivfKmeansQuantizedRerankPersisted(spark: SparkSession,
+      dir: String): DataFrame =
+    ivfKmeansQuantizedRerankPersisted(spark, dir, None)
+
+  def ivfKmeansQuantizedRerankPersisted(spark: SparkSession, dir: String,
+      storeBase: Option[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val n = ivfBase(spark, dir)
+    val coarse = kmeansQuantizedServe(spark, dir, storeBase, RerankCoarseK)
+      .select($"query_id", $"neighbor_id")
+    coarse
+      .join(n.select($"vec_id".as("query_id"), $"v".as("qv"),
+        $"nrm".as("qn")), "query_id")
+      .join(n.select($"vec_id".as("neighbor_id"), $"v".as("nv"),
+        $"nrm".as("nn")), "neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        expr("graft_dot(qv, nv)").divide($"qn" * $"nn").as("cs"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cs".desc, $"neighbor_id")))
+      .filter($"rn" <= 5)
+      .select($"query_id", $"neighbor_id",
+        round($"cs", 6).as("cosine"), $"rn".cast("long").as("rank"))
+      .orderBy($"query_id", $"rank")
   }
 
   /** QUANTIZED persisted IVF serving — the memory/IO shape a 100 TB
@@ -1024,6 +1066,28 @@ object Similarity {
   }
 
   val RerankCoarseK: Int = 20
+
+  /** Oracle form of `ivfKmeansQuantizedRerankPersisted`. */
+  def ivfKmeansQuantizedRerankSql(d: SqlDialect): String = {
+    s"""WITH ${baseCtes(d)},
+       |coarse AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${ivfKmeansQuantizedSql(d, RerankCoarseK)}) cq),
+       |sc AS (
+       |  SELECT coarse.query_id AS qid, coarse.neighbor_id AS nid,
+       |    ${d.dot("q.v", "x.v")} / (q.nrm * x.nrm) AS cs
+       |  FROM coarse
+       |  JOIN n q ON q.vec_id = coarse.query_id
+       |  JOIN n x ON x.vec_id = coarse.neighbor_id),
+       |r AS (
+       |  SELECT qid, nid, cs,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+       |  FROM sc)
+       |SELECT qid AS query_id, nid AS neighbor_id,
+       |  round(cs, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+       |FROM r WHERE rn <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Engine path of `ivfQuantizedRerankSql`: coarse top-20 from the
     * persisted int8 store (`ivfQuantizedPersisted`'s serving with a

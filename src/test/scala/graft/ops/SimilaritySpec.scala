@@ -234,6 +234,23 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("k-means quantized rerank serves its SQL form with exact scores") {
+    graft.Tables.embeddings(spark, sf())
+      .createOrReplaceTempView("embeddings")
+    val sql = spark.sql(Similarity.ivfKmeansQuantizedRerankSql(SparkDialect))
+      .collect().map(_.toSeq).toSeq
+    val served = Similarity.ivfKmeansQuantizedRerankPersisted(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == sql)
+    val brute = Similarity.topK(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    served.foreach { s =>
+      val k = (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long])
+      brute.get(k).foreach(c => assert(c == s(2).asInstanceOf[Double], s"$k"))
+    }
+  }
+
   test("quantized managed store: bootstrap + append ≡ one build, serves like auto") {
     import spark.implicits._
     val full = graft.Tables.embeddings(spark, sf())
