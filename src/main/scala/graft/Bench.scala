@@ -132,10 +132,28 @@ object Bench {
           |        failed += 1
           |print(f"{total:.3f} {failed}")
           |""".stripMargin)
+      // stderr -> DISCARD: an unread stderr pipe back-pressures a
+      // chatty child into a deadlock; and bound the wait so a hung
+      // python3 degrades to the "baseline unavailable" path instead
+      // of stalling the whole bench run.
       val proc = new ProcessBuilder("python3", script.toString,
-        sfDir, oPath.toString).redirectErrorStream(false).start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      val ok = proc.waitFor() == 0
+        sfDir, oPath.toString)
+        .redirectError(ProcessBuilder.Redirect.DISCARD)
+        .start()
+      // Drain stdout on a daemon thread: a direct readAllBytes would
+      // block past any waitFor timeout if the child hangs without
+      // closing its pipe.
+      val outRef = new java.util.concurrent.atomic.AtomicReference("")
+      val drain = new Thread(() => outRef.set(
+        new String(proc.getInputStream.readAllBytes(), "UTF-8")))
+      drain.setDaemon(true)
+      drain.start()
+      val finished =
+        proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) proc.destroyForcibly()
+      drain.join(10000)
+      val out = outRef.get()
+      val ok = finished && proc.exitValue() == 0
       try {
         java.nio.file.Files.deleteIfExists(script)
         java.nio.file.Files.deleteIfExists(oPath)

@@ -160,10 +160,22 @@ object BarStore {
     * `restoreCrashedSwaps`, which renames such orphans back — so a
     * crashed compaction heals on the next run (idempotent-store
     * contract, the same self-repair shape as the reference's
-    * merge=True re-ingest).  In-flight scans racing the swap see the
-    * store's existing dynamic-partition-overwrite semantics: an old or
-    * a new listing, never a mixed or doubled one.  Single writer per
-    * table, like all S4 writes.
+    * merge=True re-ingest).  Single writer per table, like all S4
+    * writes.
+    *
+    * Reader-visibility caveat: the swap is two renames, so a reader
+    * listing the table in the instant between rename(dir->trash) and
+    * rename(tmp->dir) sees NEITHER copy of that partition — a
+    * transient-missing window (never mixed or doubled rows, but
+    * possibly absent ones).  The window is two filesystem metadata
+    * ops wide and only touches partitions older than `olderThan`,
+    * i.e. settled history.  A plain parquet directory has no
+    * manifest, so this cannot be closed without doubling rows
+    * instead (copy-in-then-delete) or changing the read path;
+    * readers that must never observe a missing settled partition
+    * should read through a snapshot/manifest store — the versioned
+    * marker-swap layout used by `Similarity.publishIndex` and its
+    * compactor, where every swap is one atomic marker write.
     *
     * Returns (partition, filesBefore, filesAfter) for each rewrite. */
   def compactDates(spark: SparkSession, path: String,

@@ -669,8 +669,18 @@ object TextAnalysis {
     * composed streaming DAG (`StreamingCuration.curationDag`): docs
     * whose mean unigram surprisal falls OUTSIDE [lo, hi] are dropped —
     * too low reads as boilerplate the model has memorized, too high as
-    * gibberish/out-of-domain.  The band brackets the corpus bulk
-    * (~3.39–3.41 at every generated SF) so both tails are live. */
+    * gibberish/out-of-domain.
+    *
+    * These DEFAULTS are fit to the generated benchmark fixture's
+    * unigram distribution (the band brackets the corpus bulk,
+    * ~3.39–3.41 at every generated SF, so both tails are live in the
+    * oracle check).  They are corpus-specific by nature — a real
+    * deployment must re-fit them (e.g. central quantiles of the
+    * corpus's mean-surprisal distribution) and pass them explicitly;
+    * `curationLogFullSql`, `curationDag`, and `curationDagBatch` all
+    * take the band as parameters for exactly that reason.  The
+    * REGISTERED query `text_curation_log_full` uses the defaults and
+    * is therefore pinned to the benchmark corpus. */
   val SurprisalLo: Double = 3.394
   val SurprisalHi: Double = 3.410
 
@@ -687,13 +697,15 @@ object TextAnalysis {
     * documents that passed every upstream gate.  A doc with no tokens
     * has no LM evidence: its surprisal is NULL and the gate fails it
     * (COALESCE to FALSE), pinned portable across both engines' 3VL. */
-  def curationLogFullSql(d: SqlDialect): String = {
+  def curationLogFullSql(d: SqlDialect,
+                         surprisalLo: Double = SurprisalLo,
+                         surprisalHi: Double = SurprisalHi): String = {
     val norm = d.reReplace("trim(lower(text))", "\\s+", " ")
     val piiCount = PiiFamilies.map { case (_, pat) =>
       d.regexpExtractAllSize("lower(text)", pat)
     }.mkString(" + ")
-    val inBand = s"mean_surprisal BETWEEN ${d.dlit(SurprisalLo)}" +
-      s" AND ${d.dlit(SurprisalHi)}"
+    val inBand = s"mean_surprisal BETWEEN ${d.dlit(surprisalLo)}" +
+      s" AND ${d.dlit(surprisalHi)}"
     s"""WITH t AS (
        |  SELECT doc_id, text, ${d.tokens("text")} AS toks
        |  FROM documents),

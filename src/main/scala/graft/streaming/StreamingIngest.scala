@@ -35,6 +35,13 @@ object StreamingIngest {
 
   /** File-stream source over a directory of event parquet files. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // Same fail-fast guard as Tables.events: on a session not built via
+    // GraftSession/Verify the stream would otherwise die at start with
+    // an opaque Spark nanos-timestamp error.
+    require(
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must set spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(GraftSession.build does) - events*.parquet is TIMESTAMP(NANOS)")
     spark.readStream
       .schema(eventSchema)
       .option("pathGlobFilter", "events*.parquet")

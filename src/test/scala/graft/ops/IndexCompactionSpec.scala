@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.SparkSuite
+
+/** `IndexCompaction.compactIndex` over caller-managed IVF stores:
+  * serve-result equivalence across compaction, file-count reduction,
+  * and the crash-window heals — the BarStoreSpec lifecycle contract
+  * ported to `cid=` partitions. */
+class IndexCompactionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def embs = graft.Tables.embeddings(spark, sf())
+    .select($"vec_id", $"embedding")
+
+  /** Bootstrap + 3 incremental appends → ≥4 files in touched lists. */
+  private def fragmentedStore(quantized: Boolean): String = {
+    val path = java.nio.file.Files.createTempDirectory("ivfc").toString
+    val parts = (0 until 4).map(i => embs.filter($"vec_id" % 4 === i))
+    parts.foreach { p =>
+      if (quantized) Similarity.ivfQuantizedAppend(spark, sf(), path, p)
+      else Similarity.ivfAppend(spark, sf(), path, p)
+    }
+    path
+  }
+
+  private def cidFiles(path: String): Map[String, Int] = {
+    val root = new java.io.File(path)
+    root.listFiles().filter(d => d.isDirectory && d.getName.startsWith("cid="))
+      .map(d => d.getName ->
+        d.listFiles().count(f => f.isFile && !f.getName.startsWith("_")
+          && !f.getName.startsWith("."))).toMap
+  }
+
+  test("float store: compaction preserves served results and shrinks files") {
+    val path = fragmentedStore(quantized = false)
+    val before = Similarity.ivfServeFrom(spark, sf(), path)
+      .collect().map(_.toSeq).toSeq
+    assert(cidFiles(path).values.max >= 4, "fixture must be fragmented")
+    val done = IndexCompaction.compactIndex(spark, path)
+    assert(done.nonEmpty, "oversized partitions must be compacted")
+    assert(cidFiles(path).values.max === 1,
+      "tiny lists bin-pack to one file each")
+    val after = Similarity.ivfServeFrom(spark, sf(), path)
+      .collect().map(_.toSeq).toSeq
+    assert(after === before)
+    // no hidden siblings left behind
+    val leftovers = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("_ivfc_"))
+    assert(leftovers.isEmpty)
+    // idempotent: nothing left to compact
+    assert(IndexCompaction.compactIndex(spark, path).isEmpty)
+  }
+
+  test("quantized store: appended-then-compacted serve ≡ fresh one-shot build") {
+    val path = fragmentedStore(quantized = true)
+    IndexCompaction.compactIndex(spark, path)
+    val compacted = Similarity.ivfQuantizedServeFrom(spark, sf(), path)
+      .collect().map(_.toSeq).toSeq
+    val fresh = java.nio.file.Files.createTempDirectory("ivfcf").toString
+    Similarity.ivfQuantizedAppend(spark, sf(), fresh, embs)
+    val oneShot = Similarity.ivfQuantizedServeFrom(spark, sf(), fresh)
+      .collect().map(_.toSeq).toSeq
+    assert(compacted.nonEmpty && compacted === oneShot)
+  }
+
+  test("compaction is the replay reconciliation point: duplicate rows collapse") {
+    val path = java.nio.file.Files.createTempDirectory("ivfr").toString
+    Similarity.ivfAppend(spark, sf(), path, embs)
+    Similarity.ivfAppend(spark, sf(), path, embs) // full replay
+    val rows0 = spark.read.parquet(path).count()
+    IndexCompaction.compactIndex(spark, path)
+    val rows1 = spark.read.parquet(path).count()
+    assert(rows1 * 2 === rows0, "exact-duplicate replayed rows collapse")
+    val served = Similarity.ivfServeFrom(spark, sf(), path)
+      .collect().map(_.toSeq).toSeq
+    val fresh = java.nio.file.Files.createTempDirectory("ivfrf").toString
+    Similarity.ivfAppend(spark, sf(), fresh, embs)
+    assert(served === Similarity.ivfServeFrom(spark, sf(), fresh)
+      .collect().map(_.toSeq).toSeq)
+  }
+
+  test("crash between park and publish heals whole (late appends kept)") {
+    val path = fragmentedStore(quantized = false)
+    val before = Similarity.ivfServeFrom(spark, sf(), path)
+      .collect().map(_.toSeq).toSeq
+    // simulate: one partition parked in trash, live dir gone
+    val root = new java.io.File(path)
+    val part = root.listFiles().filter(_.getName.startsWith("cid=")).head
+    val cid = part.getName.stripPrefix("cid=")
+    assert(part.renameTo(
+      new java.io.File(root, s"_ivfc_trash_${cid}_deadbeef")))
+    IndexCompaction.healCrashedSwaps(spark, path)
+    assert(new java.io.File(root, s"cid=$cid").isDirectory)
+    assert(!root.listFiles().exists(_.getName.startsWith("_ivfc_")))
+    val healed = Similarity.ivfServeFrom(spark, sf(), path)
+      .collect().map(_.toSeq).toSeq
+    assert(healed === before)
+  }
+
+  test("crash after publish rescues non-manifest files, drops the stale copy") {
+    val path = fragmentedStore(quantized = false)
+    val root = new java.io.File(path)
+    val part = root.listFiles().filter(_.getName.startsWith("cid=")).head
+    val cid = part.getName.stripPrefix("cid=")
+    // simulate: live partition EXISTS (published), trash holds one
+    // superseded (manifest-claimed) file and one late-appended file
+    val trash = new java.io.File(root, s"_ivfc_trash_${cid}_cafebabe")
+    assert(trash.mkdir())
+    val stale = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+    // copy a real list file out as the "superseded" content
+    java.nio.file.Files.copy(stale.toPath,
+      new java.io.File(trash, "old-claimed.parquet").toPath)
+    java.nio.file.Files.copy(stale.toPath,
+      new java.io.File(trash, "late-append.parquet").toPath)
+    java.nio.file.Files.write(
+      new java.io.File(root, s"_ivfc_snap_${cid}_cafebabe").toPath,
+      "old-claimed.parquet".getBytes("UTF-8"))
+    IndexCompaction.healCrashedSwaps(spark, path)
+    val live = new java.io.File(root, s"cid=$cid")
+    assert(new java.io.File(live, "late-append.parquet").isFile,
+      "the late append must be rescued into the live partition")
+    assert(!new java.io.File(live, "old-claimed.parquet").exists(),
+      "the superseded copy must not be restored")
+    assert(!root.listFiles().exists(_.getName.startsWith("_ivfc_")))
+  }
+}
