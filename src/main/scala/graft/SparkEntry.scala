@@ -137,6 +137,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.ivfPersisted(s, d)),
     "sim_ivf_kmeans_persisted" ->
       ((s: SparkSession, d: String) => Similarity.ivfKmeansPersisted(s, d)),
+    "sim_ivf_kmeans_scaled" ->
+      ((s: SparkSession, d: String) => Similarity.ivfKmeansScaled(s, d)),
     "sim_quantized_topk" -> (Similarity.quantizedTopK _),
     "sim_ann_ivf_pq" ->
       ((s: SparkSession, d: String) => Similarity.ivfQuantizedPersisted(s, d)),
@@ -471,6 +473,7 @@ object SparkEntry {
     // construction — the same oracles verify the persisted-index paths
     "sim_ann_ivf_persisted" -> Similarity.ivfSql(DuckDialect),
     "sim_ivf_kmeans_persisted" -> Similarity.ivfKmeansSql(DuckDialect),
+    "sim_ivf_kmeans_scaled" -> Similarity.ivfKmeansScaledSql(DuckDialect),
     "sim_quantized_topk" -> Similarity.quantizedTopKSql(DuckDialect),
     // recomputes the quantized IVF pipeline from the raw embeddings —
     // independently checks the persisted int8 store AND the serving math

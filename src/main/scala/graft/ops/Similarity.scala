@@ -251,8 +251,12 @@ object Similarity {
   /** Shared prefix of `ivfKmeansSql` and `ivfKmeansQuantizedSql`:
     * base relations, deterministic init, the unrolled Lloyd rounds,
     * final assignment, nprobe=2 probing, and candidate generation —
-    * everything up to (and excluding) the scoring tail. */
-  private def kmeansCandCtes(d: SqlDialect): String = {
+    * everything up to (and excluding) the scoring tail.
+    * `initPred` selects the seed centroids from `n` — the fixed
+    * vec_id ≡ 50 (mod 100) picks by default, or the corpus-scaled
+    * √n rule of `scaledInitPred`. */
+  private def kmeansCandCtes(d: SqlDialect,
+      initPred: String = "vec_id % 100 = 50"): String = {
     // One Lloyd round: assignments from centroid relation `cPrev` →
     // quantized per-dimension means → centroid relation `cNext`.
     def cosTo(c: String): String =
@@ -288,7 +292,7 @@ object Similarity {
     s"""${baseCtes(d)},
        |c0 AS (
        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
-       |  WHERE vec_id % 100 = 50),
+       |  WHERE $initPred),
        |$lloyd,
        |xf AS (
        |  SELECT n.vec_id, c.cid,
@@ -307,6 +311,43 @@ object Similarity {
 
   def ivfKmeansSql(d: SqlDialect): String = {
     s"""WITH ${kmeansCandCtes(d)},
+       |sc AS (
+       |  SELECT cand.qid, cand.nid,
+       |    ${d.dot("q.v", "x.v")} / (q.nrm * x.nrm) AS cs
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.qid
+       |  JOIN n x ON x.vec_id = cand.nid),
+       |r AS (
+       |  SELECT qid, nid, cs,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+       |  FROM sc)
+       |SELECT qid AS query_id, nid AS neighbor_id,
+       |  round(cs, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+       |FROM r WHERE rn <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Corpus-scaled seed rule: stride s = floor(n / floor(√n)), seeds
+    * = vec_id ≡ 0 (mod s) → ~√n centroids regardless of corpus size.
+    * This is the standard IVF nlist sizing (k + nprobe·n/k per-query
+    * cost is minimized at k ≈ √n): with the fixed mod-100 rule, list
+    * LENGTH is ~flat but the assignment/probe cross-join against k ∝ n
+    * centroids grows quadratically with the corpus (SCALING.md's
+    * sim_ann_ivf_persisted 100× exponent 1.22); with k ∝ √n both the
+    * coarse comparison count and the probed list length grow only as
+    * √n.  Dense non-negative vec_ids (the fixtures' shape) give
+    * ceil(n/s) ≈ √n seeds; the rule is pure arithmetic over a count —
+    * no global sort, no RNG — so it runs identically in both engines
+    * and at any scale. */
+  private def scaledInitPred(d: SqlDialect): String =
+    "vec_id % (SELECT greatest(1, CAST(floor(CAST(count(*) AS DOUBLE)" +
+      " / floor(sqrt(CAST(count(*) AS DOUBLE)))) AS BIGINT)) FROM n) = 0"
+
+  /** Oracle/engine-spec form of `ivfKmeansScaled`: `ivfKmeansSql`
+    * with the corpus-scaled √n seeding — the Lloyd chain, nprobe=2
+    * probing and exact scoring are unchanged. */
+  def ivfKmeansScaledSql(d: SqlDialect): String = {
+    s"""WITH ${kmeansCandCtes(d, scaledInitPred(d))},
        |sc AS (
        |  SELECT cand.qid, cand.nid,
        |    ${d.dot("q.v", "x.v")} / (q.nrm * x.nrm) AS cs
@@ -767,12 +808,38 @@ object Similarity {
     ivfKmeansPersisted(spark, dir, None)
 
   def ivfKmeansPersisted(spark: SparkSession, dir: String,
-                         storeBase: Option[String]): DataFrame = {
+                         storeBase: Option[String]): DataFrame =
+    kmeansPersistedServe(spark, dir, storeBase, "km",
+      trainCodebookCached(spark, dir, ivfBase(spark, dir)))
+
+  /** Corpus-scaled-nlist IVF — `ivfKmeansPersisted` with a codebook
+    * of ~√n trained centroids instead of the fixed seed rule (see
+    * `scaledInitPred` for the sizing argument).  This is the variant
+    * whose per-query cost stays near-flat as the corpus grows: coarse
+    * comparisons AND probed-list length both scale as √n, where the
+    * fixed rule's k ∝ n coarse stage dominates at 100× (SCALING.md).
+    * Persisted `cid=`-partitioned store, partition-pruned serving,
+    * same exact arithmetic — `ivfKmeansScaledSql` recomputes the
+    * whole chain from raw embeddings as the oracle. */
+  def ivfKmeansScaled(spark: SparkSession, dir: String): DataFrame =
+    ivfKmeansScaled(spark, dir, None)
+
+  def ivfKmeansScaled(spark: SparkSession, dir: String,
+                      storeBase: Option[String]): DataFrame =
+    kmeansPersistedServe(spark, dir, storeBase, "kmsc",
+      trainScaledCodebookCached(spark, dir, ivfBase(spark, dir)))
+
+  /** Shared build-if-absent + partition-pruned float serving over a
+    * trained codebook: persist `cid=` lists, probe nprobe=2, serve
+    * with `servePersisted` — the tail of both k-means persisted
+    * variants (fixed-seed `km`, √n-scaled `kmsc` store tags). */
+  private def kmeansPersistedServe(spark: SparkSession, dir: String,
+      storeBase: Option[String], tag: String,
+      cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val n = ivfBase(spark, dir)
-    val cents = trainCodebookCached(spark, dir, n)
-    val store = indexStorePath(spark, dir, "km", storeBase, n)
+    val store = indexStorePath(spark, dir, tag, storeBase, n)
     publishIndex(spark, store) { tmp =>
       n.withColumn("cid", centroidOrder(cents)(0).getField("cid"))
         .select($"vec_id", $"embedding", $"cid")
@@ -1246,14 +1313,34 @@ object Similarity {
       trainCodebook(n)
     }
 
+  /** Stride of the corpus-scaled seed rule (`scaledInitPred`):
+    * s = floor(n / floor(√n)), so vec_id ≡ 0 (mod s) picks ~√n seeds
+    * over the fixtures' dense id space.  One count job; pure integer
+    * arithmetic, bit-identical to the oracle's scalar subquery. */
+  private[ops] def scaledStride(n: DataFrame): Long = {
+    val cnt = n.count()
+    require(cnt > 0,
+      "cannot size a scaled IVF codebook for an EMPTY embeddings relation")
+    val k = math.max(1L, math.floor(math.sqrt(cnt.toDouble)).toLong)
+    math.max(1L, cnt / k)
+  }
+
+  /** `trainCodebookCached` for the √n-scaled codebook (its own memo
+    * key — the two codebooks coexist in one session). */
+  private def trainScaledCodebookCached(spark: SparkSession, dir: String,
+      n: DataFrame): Seq[(Long, Array[Double], Double)] =
+    RelationCache.cachedScalar(spark, s"kmeans_codebook_scaled:$dir") {
+      trainCodebook(n, scaledStride(n), 0L)
+    }
+
   /** Driver-coordinated spherical k-means over a relation carrying
     * (vec_id, v, nrm): deterministic init (vec_id ≡ 50 picks), then
     * `KmeansIters` Lloyd rounds — each ONE aggregation job whose
     * map-side partial sums are µ-quantized longs, so the collected
     * codebook (k·D numbers) is bit-identical to the oracle's unrolled
     * CTE chain regardless of partial-aggregation order. */
-  private def trainCodebook(
-      n0: DataFrame): Seq[(Long, Array[Double], Double)] = {
+  private def trainCodebook(n0: DataFrame, mod: Long = 100L,
+      rem: Long = 50L): Seq[(Long, Array[Double], Double)] = {
     val spark = n0.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -1261,7 +1348,7 @@ object Similarity {
     val quant = KmeansQuant.toDouble
     // init: deterministic picks, ordered by cid
     var cents: Seq[(Long, Array[Double], Double)] =
-      n.filter($"vec_id" % 100 === 50).orderBy($"vec_id").collect().map { r =>
+      n.filter($"vec_id" % mod === rem).orderBy($"vec_id").collect().map { r =>
         val v = r.getSeq[Double](1).toArray
         (r.getLong(0), v, math.sqrt(dotSelf(v)))
       }.toSeq

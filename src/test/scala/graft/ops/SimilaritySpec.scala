@@ -147,6 +147,33 @@ class SimilaritySpec extends SparkSuite {
       p.take(2000))
   }
 
+  test("scaled k-means IVF sizes its codebook at ~√n and serves its SQL form") {
+    val n = graft.Tables.embeddings(spark, sf()).count()
+    val k = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+    val stride = math.max(1L, n / k)
+    val seeds = (0L until n).count(_ % stride == 0)
+    // engine result ≡ the single-statement SQL form (the oracle shape)
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.embeddings(spark, sf()).createOrReplaceTempView("embeddings")
+    val sqlForm = spark.sql(Similarity.ivfKmeansScaledSql(SparkDialect))
+      .collect().map(_.toSeq).toSeq
+    val got = Similarity.ivfKmeansScaled(spark, sf()).collect()
+      .map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == sqlForm)
+    // the persisted store carries ~√n inverted lists (empty clusters
+    // may drop out of Lloyd, never grow) — versus the fixed rule's
+    // n/100 seeds — and its probe path stays partition-pruned
+    val lists = storeDir("kmsc", sf()).listFiles()
+      .count(_.getName.startsWith("cid="))
+    assert(lists <= seeds && lists > seeds / 2, s"lists=$lists seeds=$seeds")
+    assert(lists > (0L until n).count(_ % 100 == 50),
+      "scaled codebook must out-size the fixed rule at fixture scale")
+    val p = Similarity.ivfKmeansScaled(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[cid#\d+L IN \(""".r.findFirstIn(p).isDefined,
+      p.take(2000))
+  }
+
   test("persisted IVF honors a custom store location and rebuilds after deletion") {
     val base = java.nio.file.Files.createTempDirectory("ivf_custom").toString
     val first = Similarity.ivfPersisted(spark, sf(), Some(base)).collect()
