@@ -117,6 +117,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    "dedup_lsh_cap_report" -> (Dedup.minhashCapReport _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_clusters" -> (Dedup.simhashClusters _),
     "dedup_embedding" -> (Dedup.embeddingCosine _),
@@ -450,6 +451,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactSql(DuckDialect),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(DuckDialect),
     "dedup_minhash_lsh" -> Dedup.minhashLshSql(DuckDialect),
+    "dedup_lsh_cap_report" -> Dedup.minhashCapReportSql(DuckDialect),
     // SimHash oracle is deliberately a DIFFERENT algorithm (brute-force
     // all-pairs) that must equal the engine's banded result — see
     // Dedup header for the completeness argument.

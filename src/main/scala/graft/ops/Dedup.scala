@@ -303,14 +303,27 @@ object Dedup {
         .filter("simhash IS NOT NULL")
     }
 
-  private def simhashVerifiedPairsPlan(spark: SparkSession, sig: DataFrame): DataFrame = {
+  private def simhashVerifiedPairsPlan(spark: SparkSession, sig: DataFrame,
+      maxBucket: Int = MaxBandBucket): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val mask = (1 << SimHashBandBits) - 1
-    val bands = (0 until SimHashBands).map { b =>
-      sig.select($"doc_id", $"simhash", lit(b).as("band"),
-        expr(s"(shiftright(simhash, ${b * SimHashBandBits}) & $mask)").as("bval"))
-    }.reduce(_.unionByName(_))
+    val bands0 = simhashBandsOf(sig)
+    // Same bounded-bucket degradation as the MinHash path (TextOps
+    // .MaxBandBucket): on an adversarially self-similar corpus the
+    // band buckets — and the TRUE ≤5-bit pair set — grow
+    // quadratically, so even with the hamming filter in the join the
+    // fan-out has a quadratic floor.  Over-cap buckets are dropped
+    // whole BEFORE the self-join; a pair is lost only if all its
+    // colliding buckets are capped (≥ cap-sized near-clone cliques).
+    // `simhashCapReport` is the observable receipt.  The fixture
+    // maxima are far below the default cap, so oracle results carry
+    // no cap effect (proven by the green suite).
+    val bands = bands0
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"band", $"bval")))
+      .filter($"df" <= maxBucket)
+      .drop("df")
     // Hamming filter BEFORE the pair distinct: signature bits correlate
     // strongly on a same-vocabulary corpus, so band buckets are large
     // and the self-join emits millions of candidate pairs — the ≤5-bit
@@ -329,6 +342,52 @@ object Dedup {
         expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
       .filter($"hamming" <= SimHashMaxHamming)
       .distinct()
+  }
+
+  /** The 6 10-bit band projections of a simhash signature relation. */
+  private def simhashBandsOf(sig: DataFrame): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mask = (1 << SimHashBandBits) - 1
+    (0 until SimHashBands).map { b =>
+      sig.select($"doc_id", $"simhash", lit(b).as("band"),
+        expr(s"(shiftright(simhash, ${b * SimHashBandBits}) & $mask)").as("bval"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** `minhashCapReport`'s counterpart for the SimHash band join: one
+    * row of (capped_buckets, capped_pairs = Σ C(f,2) over over-cap
+    * buckets, kept_pairs with the cap applied).  Spec-pinned rather
+    * than registered — the registered cap receipt is the MinHash one;
+    * this is the same pattern over the other banded join. */
+  def simhashCapReport(spark: SparkSession, dir: String,
+      cap: Int): DataFrame =
+    simhashCapReportFrom(simhashSig(spark, dir), cap)
+
+  /** `simhashCapReport` over an arbitrary (doc_id, text) relation. */
+  def simhashCapReportOf(docs: DataFrame, cap: Int): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    simhashCapReportFrom(
+      docs.selectExpr("doc_id",
+          s"graft_simhash(${SparkDialect.tokens("text")}) AS simhash")
+        .filter("simhash IS NOT NULL"), cap)
+  }
+
+  private def simhashCapReportFrom(sig: DataFrame, cap: Int): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sizes = simhashBandsOf(sig).groupBy($"band", $"bval")
+      .agg(count(lit(1)).as("df"))
+    val capped = sizes.filter($"df" > cap)
+      .agg(count(lit(1)).as("capped_buckets"),
+        expr("CAST(floor(COALESCE(sum(df * (df - 1)), 0) / 2.0) AS BIGINT)")
+          .as("capped_pairs"))
+    val kept = simhashVerifiedPairsPlan(spark, sig, cap)
+      .agg(count(lit(1)).as("kept_pairs"))
+    capped.crossJoin(kept)
   }
 
   /** Oracle-facing form of the banded result: sorted, renamed. */
@@ -525,15 +584,24 @@ object Dedup {
     * `minhashLsh`, factored so callers with their own relations (the
     * streaming finishing pass) reuse it.  Unordered: the oracle-facing
     * entry point adds the ORDER BY. */
-  private def minhashPairsFrom(grams: DataFrame, sig: DataFrame): DataFrame = {
+  private def minhashPairsFrom(grams: DataFrame, sig: DataFrame,
+      maxBucket: Int = MaxBandBucket): DataFrame = {
     val spark = grams.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val d = SparkDialect
-    val bands = (0 until Bands).map { b =>
-      sig.select($"doc_id", lit(b).as("band"),
-        expr(bandKey(d, b)).as("bkey"))
-    }.reduce(_.unionByName(_))
+    // Bounded-bucket degradation: drop over-cap band buckets BEFORE
+    // the self-join — the window shuffles on the same (band, bkey)
+    // key the join needs, so the exchange is shared, and an
+    // adversarial bucket of f ≫ cap members costs O(f) here instead
+    // of O(f²) downstream (see TextOps.MaxBandBucket; dropped mass is
+    // observable via minhashCapReport).
+    val bands = bandsOf(sig)
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"band", $"bkey")))
+      .filter($"df" <= maxBucket)
+      .drop("df")
     val cand = bands.as("a")
       .join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
@@ -557,6 +625,107 @@ object Dedup {
         round($"est_sim", 6).as("est_sim"), round($"jaccard", 6).as("jaccard"))
   }
 
+  /** The 8 band projections of a signature relation, stacked. */
+  private def bandsOf(sig: DataFrame): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    (0 until Bands).map { b =>
+      sig.select($"doc_id", lit(b).as("band"),
+        expr(bandKey(SparkDialect, b)).as("bkey"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Cap chosen for the REGISTERED cap-report query: small enough to
+    * trip on the fixture corpora (max bucket 3 at sf0.01), so the
+    * degraded path itself is oracle-exercised — production corpora
+    * run `minhashCapReport(spark, dir, cap)` with their real cap. */
+  val DemoBandBucketCap = 2
+
+  /** Observability for the bounded-bucket degradation: one row with
+    * the number of over-cap band buckets, the candidate-pair mass
+    * they would have contributed (Σ C(f,2) — the exact upper bound on
+    * pairs dropped from candidate generation), and the verified-pair
+    * count that survives with the cap applied.  On a benign corpus
+    * capped_buckets = 0 and kept_pairs equals the uncapped operator's
+    * row count; on an adversarial one this is the receipt for what
+    * bounded work gave up. */
+  def minhashCapReport(spark: SparkSession, dir: String): DataFrame =
+    minhashCapReport(spark, dir, DemoBandBucketCap)
+
+  def minhashCapReport(spark: SparkSession, dir: String,
+      cap: Int): DataFrame = {
+    val grams = gramsDF(spark, dir)
+    val sig = RelationCache.cached(spark, s"mh_sig:$dir") {
+      minhashSigFrom(grams)
+    }
+    capReportFrom(grams, sig, cap)
+  }
+
+  private def capReportFrom(grams: DataFrame, sig: DataFrame,
+      cap: Int): DataFrame = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sizes = bandsOf(sig).groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("df"))
+    val capped = sizes.filter($"df" > cap)
+      .agg(count(lit(1)).as("capped_buckets"),
+        expr("CAST(floor(COALESCE(sum(df * (df - 1)), 0) / 2.0) AS BIGINT)")
+          .as("capped_pairs"))
+    val kept = minhashPairsFrom(grams, sig, cap)
+      .agg(count(lit(1)).as("kept_pairs"))
+    capped.crossJoin(kept)
+  }
+
+  /** Oracle form of `minhashCapReport`: the same banding chain with
+    * bucket sizes aggregated once, candidates generated only from
+    * under-cap buckets, and the dropped mass folded into one row. */
+  def minhashCapReportSql(d: SqlDialect): String =
+    minhashCapReportSql(d, DemoBandBucketCap)
+
+  def minhashCapReportSql(d: SqlDialect, cap: Int): String = {
+    val bandSelects = (0 until Bands).map { b =>
+      s"SELECT doc_id, $b AS band, ${bandKey(d, b)} AS bkey FROM mh_sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val sigMatches = (0 until NumPerms)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${gramCtes(d)},
+       |${sigCtes(d)},
+       |bands AS (
+       |  $bandSelects),
+       |bsz AS (
+       |  SELECT band, bkey, count(*) AS df FROM bands GROUP BY band, bkey),
+       |fb AS (
+       |  SELECT b.doc_id, b.band, b.bkey
+       |  FROM bands b JOIN bsz z
+       |    ON z.band = b.band AND z.bkey = b.bkey AND z.df <= $cap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM fb a JOIN fb b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT c.ia, c.ib,
+       |    CAST(${d.arrIntersectSize("ga.grams", "gb.grams")} AS DOUBLE)
+       |      / (ga.ng + gb.ng - ${d.arrIntersectSize("ga.grams", "gb.grams")}) AS jaccard
+       |  FROM cand c
+       |  JOIN mh_sig sa ON sa.doc_id = c.ia
+       |  JOIN mh_sig sb ON sb.doc_id = c.ib
+       |  JOIN mh_grams ga ON ga.doc_id = c.ia
+       |  JOIN mh_grams gb ON gb.doc_id = c.ib),
+       |kept AS (
+       |  SELECT count(*) AS kept_pairs FROM scored WHERE jaccard >= 0.5),
+       |capped AS (
+       |  SELECT count(*) AS capped_buckets,
+       |    CAST(floor(COALESCE(sum(df * (df - 1)), 0) / 2.0) AS BIGINT)
+       |      AS capped_pairs
+       |  FROM bsz WHERE df > $cap)
+       |SELECT CAST(capped.capped_buckets AS BIGINT) AS capped_buckets,
+       |  capped.capped_pairs, CAST(kept.kept_pairs AS BIGINT) AS kept_pairs
+       |FROM capped CROSS JOIN kept""".stripMargin
+  }
+
   /** Verified MinHash-LSH near-dup pairs over an arbitrary
     * (doc_id, text) relation — the same banding + J ≥ 0.5 verification
     * as `minhashLsh`, for callers that bring their own corpus slice
@@ -565,15 +734,31 @@ object Dedup {
     * deliberately NOT session-cached: a compaction window is a
     * one-shot slice, and identical shuffle subplans across the verify
     * joins fall into ReusedExchange. */
-  def verifiedPairsOf(docs: DataFrame): DataFrame = {
+  def verifiedPairsOf(docs: DataFrame): DataFrame =
+    verifiedPairsOf(docs, MaxBandBucket)
+
+  /** `verifiedPairsOf` with an explicit band-bucket cap — the knob a
+    * production corpus tunes (see TextOps.MaxBandBucket). */
+  def verifiedPairsOf(docs: DataFrame, maxBucket: Int): DataFrame = {
+    val grams = gramsOf(docs)
+    minhashPairsFrom(grams, minhashSigFrom(grams), maxBucket)
+  }
+
+  /** `minhashCapReport` over an arbitrary (doc_id, text) relation —
+    * the degradation receipt for callers bringing their own corpus. */
+  def capReportOf(docs: DataFrame, cap: Int): DataFrame = {
+    val grams = gramsOf(docs)
+    capReportFrom(grams, minhashSigFrom(grams), cap)
+  }
+
+  private def gramsOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     TextOps.excludeRule(spark,
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     graft.functions.GraftFunctions.register(spark)
-    val grams = docs
+    docs
       .selectExpr("doc_id", "graft_shingles3(graft_tokens(text)) AS grams")
       .selectExpr("doc_id", "grams", "size(grams) AS ng")
-    minhashPairsFrom(grams, minhashSigFrom(grams))
   }
 
   /** Cluster-canonical keeper set over an arbitrary

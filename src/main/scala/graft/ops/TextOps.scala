@@ -212,6 +212,25 @@ object TextOps {
   val Bands = 8
   val RowsPerBand = 4
 
+  /** LSH band-bucket size cap: a bucket of f colliding signatures
+    * contributes O(f²) candidate pairs, so on an adversarially
+    * IID-similar corpus (every doc near every other — the fixed-vocab
+    * 100× scaling fixture) candidate generation has a quadratic floor
+    * no blocking can evade.  Buckets larger than this are dropped
+    * whole from candidate generation — the `MaxGramDf` move one level
+    * up: work becomes bounded per bucket, and the dropped mass is
+    * exactly observable (`Dedup.minhashCapReport`'s capped_pairs =
+    * Σ C(f,2) over capped buckets).  Unlike the hot-gram cap there is
+    * no exact fold-back — a pair is LOST iff every band bucket it
+    * collides in is capped, which on a benign corpus means losing
+    * only pairs embedded in ≥ cap-sized near-clone cliques (whose
+    * members are retrievable from any surviving bucket).  1000 is
+    * orders of magnitude above the fixture maxima (df ≤ 3 at sf0.01,
+    * ≤ 4 at sf0.1 — results bit-identical with or without the cap,
+    * which the oracle suite proves) while bounding any one bucket's
+    * join fan-out at ~500k pairs. */
+  val MaxBandBucket = 1000
+
   /** Knuth multiplicative constants → 32 fixed (a, b) pairs. */
   def permA(i: Int): Long = {
     val a = (2654435761L * (i + 1) + 1L) % P
