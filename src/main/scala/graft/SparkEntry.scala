@@ -133,6 +133,7 @@ object SparkEntry {
     "sim_ann_ivf" -> (Similarity.ivf _),
     "sim_ivf_kmeans" -> (Similarity.ivfKmeans _),
     "sim_recall" -> (Similarity.recall _),
+    "sim_recall_rerank" -> (Similarity.recallRerank _),
     "sim_quantize" -> (Similarity.quantize _),
     "sim_ann_ivf_persisted" ->
       ((s: SparkSession, d: String) => Similarity.ivfPersisted(s, d)),
@@ -470,6 +471,7 @@ object SparkEntry {
     "sim_ann_ivf" -> Similarity.ivfSql(DuckDialect),
     "sim_ivf_kmeans" -> Similarity.ivfKmeansSql(DuckDialect),
     "sim_recall" -> Similarity.recallSql(DuckDialect),
+    "sim_recall_rerank" -> Similarity.recallRerankSql(DuckDialect),
     "sim_quantize" -> Similarity.quantizeSql(DuckDialect),
     // identical semantics to sim_ann_ivf / sim_ivf_kmeans by
     // construction — the same oracles verify the persisted-index paths

@@ -417,11 +417,38 @@ object Similarity {
     * production runs it on a sampled query set, not the full corpus.
     * The joins are tiny (k rows per query) — cost is dominated by the
     * pipelines themselves. */
-  def recall(spark: SparkSession, dir: String): DataFrame = {
+  def recall(spark: SparkSession, dir: String): DataFrame =
+    recallOver(spark, dir, Seq(
+      "recall_lsh" -> (() => annLsh(spark, dir)),
+      "recall_ivf" -> (() => ivf(spark, dir)),
+      "recall_kmeans" -> (() => ivfKmeans(spark, dir)),
+      // quantized serving emits top-10; its recall column measures the
+      // top-5 cut so every variant is scored on the same k
+      "recall_quantized" -> (() => {
+        import spark.implicits._
+        quantizedTopK(spark, dir).filter($"rank" <= 5)
+      }),
+      // the production serving mode: IVF candidates, int8 scores
+      "recall_ivf_pq" -> (() => ivfQuantizedPersisted(spark, dir))))
+
+  /** The rerank half of the recall harness, split out so the bench's
+    * per-query table shows coarse-stage and rerank-stage regressions
+    * separately: both two-stage serving modes (fixed + trained coarse
+    * quantizer, exact refine).  recall_ivf_pq_rerank ≥ `recall`'s
+    * recall_ivf_pq by construction — same candidates, true ordering. */
+  def recallRerank(spark: SparkSession, dir: String): DataFrame =
+    recallOver(spark, dir, Seq(
+      "recall_ivf_pq_rerank" ->
+        (() => ivfQuantizedRerankPersisted(spark, dir)),
+      "recall_km_pq_rerank" ->
+        (() => ivfKmeansQuantizedRerankPersisted(spark, dir))))
+
+  private def recallOver(spark: SparkSession, dir: String,
+      variants: Seq[(String, () => DataFrame)]): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // the truth relation feeds five joins; uncached, Spark would
-    // recompute the full brute-force top-k subplan inside each one
+    // the truth relation feeds every variant join; uncached, Spark
+    // would recompute the brute-force top-k subplan inside each one
     val truth = RelationCache.cached(spark, s"recall_truth:$dir") {
       topK(spark, dir).filter($"rank" <= 5)
         .select($"query_id", $"neighbor_id")
@@ -431,73 +458,61 @@ object Similarity {
       truth.join(ann.select($"query_id", $"neighbor_id"),
           Seq("query_id", "neighbor_id"))
         .groupBy($"query_id").agg(count(lit(1)).as(name))
-    tc
-      .join(matched(annLsh(spark, dir), "m_lsh"), Seq("query_id"), "left")
-      .join(matched(ivf(spark, dir), "m_ivf"), Seq("query_id"), "left")
-      .join(matched(ivfKmeans(spark, dir), "m_km"), Seq("query_id"), "left")
-      // quantized serving emits top-10; its recall column measures the
-      // top-5 cut so every variant is scored on the same k
-      .join(matched(quantizedTopK(spark, dir).filter($"rank" <= 5), "m_q"),
-        Seq("query_id"), "left")
-      // the production serving mode: IVF candidates, int8 scores
-      .join(matched(ivfQuantizedPersisted(spark, dir), "m_pq"),
-        Seq("query_id"), "left")
-      // ...and with the exact rerank stage: same candidates, true
-      // ordering — recall_ivf_pq_rerank ≥ recall_ivf_pq by construction
-      .join(matched(ivfQuantizedRerankPersisted(spark, dir), "m_pqr"),
-        Seq("query_id"), "left")
-      .select($"query_id", $"n_true",
-        round(coalesce($"m_lsh", lit(0L)).cast("double") / $"n_true", 6)
-          .as("recall_lsh"),
-        round(coalesce($"m_ivf", lit(0L)).cast("double") / $"n_true", 6)
-          .as("recall_ivf"),
-        round(coalesce($"m_km", lit(0L)).cast("double") / $"n_true", 6)
-          .as("recall_kmeans"),
-        round(coalesce($"m_q", lit(0L)).cast("double") / $"n_true", 6)
-          .as("recall_quantized"),
-        round(coalesce($"m_pq", lit(0L)).cast("double") / $"n_true", 6)
-          .as("recall_ivf_pq"),
-        round(coalesce($"m_pqr", lit(0L)).cast("double") / $"n_true", 6)
-          .as("recall_ivf_pq_rerank"))
+    val joined = variants.zipWithIndex.foldLeft(tc) {
+      case (acc, ((_, ann), i)) =>
+        acc.join(matched(ann(), s"m_$i"), Seq("query_id"), "left")
+    }
+    joined.select($"query_id" +: $"n_true" +:
+      variants.zipWithIndex.map { case ((name, _), i) =>
+        round(coalesce(col(s"m_$i"), lit(0L)).cast("double") / $"n_true", 6)
+          .as(name)
+      }: _*)
       .orderBy($"query_id")
   }
 
   /** Oracle form of `recall`: the four pipelines as nested-WITH
     * subqueries (their CTE names are scoped locally), joined on
     * (query_id, neighbor_id). */
-  def recallSql(d: SqlDialect): String = {
-    def m(name: String, sub: String): String =
-      s"""$name AS (
+  def recallSql(d: SqlDialect): String =
+    recallSqlOver(d, Seq(
+      "recall_lsh" -> annLshSql(d),
+      "recall_ivf" -> ivfSql(d),
+      "recall_kmeans" -> ivfKmeansSql(d),
+      "recall_quantized" ->
+        s"SELECT query_id, neighbor_id FROM (${quantizedTopKSql(d)}) qt WHERE rank <= 5",
+      "recall_ivf_pq" -> ivfQuantizedSql(d)))
+
+  /** Oracle form of `recallRerank`. */
+  def recallRerankSql(d: SqlDialect): String =
+    recallSqlOver(d, Seq(
+      "recall_ivf_pq_rerank" -> ivfQuantizedRerankSql(d),
+      "recall_km_pq_rerank" -> ivfKmeansQuantizedRerankSql(d)))
+
+  private def recallSqlOver(d: SqlDialect,
+      variants: Seq[(String, String)]): String = {
+    val ms = variants.zipWithIndex.map { case ((_, sub), i) =>
+      s"""m$i AS (
          |  SELECT t.query_id, count(*) AS m FROM truth t
          |  JOIN ($sub) a
          |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
          |  GROUP BY t.query_id)""".stripMargin
+    }.mkString(",\n")
+    val cols = variants.zipWithIndex.map { case ((name, _), i) =>
+      s"round(CAST(COALESCE(m$i.m, 0) AS DOUBLE) / tc.n_true, 6) AS $name"
+    }.mkString(",\n  ")
+    val joins = variants.indices
+      .map(i => s"LEFT JOIN m$i ON m$i.query_id = tc.query_id")
+      .mkString("\n")
     s"""WITH truth AS (
        |  SELECT query_id, neighbor_id FROM (${topKSql(d)}) t
        |  WHERE rank <= 5),
        |tc AS (
        |  SELECT query_id, count(*) AS n_true FROM truth GROUP BY query_id),
-       |${m("ml", annLshSql(d))},
-       |${m("mi", ivfSql(d))},
-       |${m("mk", ivfKmeansSql(d))},
-       |${m("mq", s"SELECT query_id, neighbor_id FROM (${quantizedTopKSql(d)}) qt WHERE rank <= 5")},
-       |${m("mp", ivfQuantizedSql(d))},
-       |${m("mpr", ivfQuantizedRerankSql(d))}
+       |$ms
        |SELECT tc.query_id, CAST(tc.n_true AS BIGINT) AS n_true,
-       |  round(CAST(COALESCE(ml.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_lsh,
-       |  round(CAST(COALESCE(mi.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_ivf,
-       |  round(CAST(COALESCE(mk.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_kmeans,
-       |  round(CAST(COALESCE(mq.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_quantized,
-       |  round(CAST(COALESCE(mp.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall_ivf_pq,
-       |  round(CAST(COALESCE(mpr.m, 0) AS DOUBLE) / tc.n_true, 6)
-       |    AS recall_ivf_pq_rerank
+       |  $cols
        |FROM tc
-       |LEFT JOIN ml ON ml.query_id = tc.query_id
-       |LEFT JOIN mi ON mi.query_id = tc.query_id
-       |LEFT JOIN mk ON mk.query_id = tc.query_id
-       |LEFT JOIN mq ON mq.query_id = tc.query_id
-       |LEFT JOIN mp ON mp.query_id = tc.query_id
-       |LEFT JOIN mpr ON mpr.query_id = tc.query_id
+       |$joins
        |ORDER BY tc.query_id""".stripMargin
   }
 

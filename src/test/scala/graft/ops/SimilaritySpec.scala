@@ -50,7 +50,9 @@ class SimilaritySpec extends SparkSuite {
 
   test("recall equals an independent Scala recomputation from the result sets") {
     val rec = Similarity.recall(spark, sf()).collect()
+    val rer = Similarity.recallRerank(spark, sf()).collect()
     assert(rec.map(_.getAs[Long]("query_id")).toSeq == Seq(0L, 100L, 200L, 300L, 400L))
+    assert(rer.map(_.getAs[Long]("query_id")).toSeq == Seq(0L, 100L, 200L, 300L, 400L))
     def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
@@ -63,19 +65,32 @@ class SimilaritySpec extends SparkSuite {
       "recall_quantized" ->
         pairs(Similarity.quantizedTopK(spark, sf()).filter("rank <= 5")),
       "recall_ivf_pq" ->
-        pairs(Similarity.ivfQuantizedPersisted(spark, sf())),
+        pairs(Similarity.ivfQuantizedPersisted(spark, sf())))
+    val byMethodRerank = Map(
       "recall_ivf_pq_rerank" ->
-        pairs(Similarity.ivfQuantizedRerankPersisted(spark, sf())))
-    rec.foreach { r =>
+        pairs(Similarity.ivfQuantizedRerankPersisted(spark, sf())),
+      "recall_km_pq_rerank" ->
+        pairs(Similarity.ivfKmeansQuantizedRerankPersisted(spark, sf())))
+    def check(rows: Array[org.apache.spark.sql.Row],
+        methods: Map[String, Map[Long, Set[Long]]]): Unit = rows.foreach { r =>
       val q = r.getAs[Long]("query_id")
       assert(r.getAs[Long]("n_true") == truth(q).size)
-      byMethod.foreach { case (col, ann) =>
+      methods.foreach { case (col, ann) =>
         val expected = (truth(q) & ann.getOrElse(q, Set.empty)).size.toDouble /
           truth(q).size
         val got = r.getAs[Double](col)
         assert(got == math.rint(expected * 1e6) / 1e6, s"$col for query $q")
         assert(got >= 0.0 && got <= 1.0)
       }
+    }
+    check(rec, byMethod)
+    check(rer, byMethodRerank)
+    // the exact-rerank stage can only help: same candidates, true order
+    val pqByQ = rec.map(r =>
+      r.getAs[Long]("query_id") -> r.getAs[Double]("recall_ivf_pq")).toMap
+    rer.foreach { r =>
+      assert(r.getAs[Double]("recall_ivf_pq_rerank") >=
+        pqByQ(r.getAs[Long]("query_id")))
     }
   }
 
