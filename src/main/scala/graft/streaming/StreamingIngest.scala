@@ -136,7 +136,10 @@ object StreamingIngest {
     * `ingest_quarantine` operator — to `quarantineDir`/events as
     * parquet rows carrying their `reject_reasons`, so a malformed
     * event is isolated without failing (or even touching) the bar
-    * batch.  It is a separate query because the rejects must be
+    * batch.  All three quarantine outputs and the summary feed are
+    * `SinkRetention.appendDated` sinks (capture-date partitioned, no
+    * file-sink manifest), so `SinkRetention.vacuum` gives every
+    * side sink the same age-gated retention the bar store has.  It is a separate query because the rejects must be
     * captured at raw-event granularity, BEFORE the stateful window
     * aggregation that the main query's foreachBatch sees; both drain
     * under the same trigger (for `AvailableNow` the spec awaits both).
@@ -165,11 +168,18 @@ object StreamingIngest {
     val quarantineQuery = quarantineDir.map { qd =>
       val (_, rejects) =
         Quarantine.split(readEvents(spark, srcDir), Quarantine.eventRules())
+      // foreachBatch append (not the streaming file sink): the sink is
+      // then a plain dated parquet dir with no _spark_metadata log, so
+      // SinkRetention.vacuum can drop aged partitions without
+      // orphaning a manifest.  At-least-once; batch_id enables dedup.
       rejects.writeStream
-        .format("parquet").option("path", s"$qd/events")
         .option("checkpointLocation", s"$checkpointDir/_quarantine")
         .outputMode("append")
         .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.ingest.SinkRetention.appendDated(
+            batch.withColumn("batch_id", lit(batchId)), s"$qd/events")
+        }
         .start()
     }
     val bars = streamingBars(readEvents(spark, srcDir), timeframe)
@@ -183,25 +193,27 @@ object StreamingIngest {
             quarantineDir.foreach { qd =>
               val dropped = batch.filter(col("t").isNull)
               if (!dropped.isEmpty)
-                dropped.withColumn("reject_reason", lit("null_bucket"))
-                  .withColumn("batch_id", lit(batchId))
-                  .write.mode("append").parquet(s"$qd/bars")
+                graft.ingest.SinkRetention.appendDated(
+                  dropped.withColumn("reject_reason", lit("null_bucket"))
+                    .withColumn("batch_id", lit(batchId)), s"$qd/bars")
             }
             if (!canonical.isEmpty) {
               BarStore.merge(canonical, storeDir)
               eventsDir.foreach { dir =>
-                graft.ingest.BarPipeline
-                  .summaryEventJson(
-                    graft.ingest.BarPipeline.ingestSummaries(canonical))
-                  .withColumn("batch_id", lit(batchId))
-                  .write.mode("append").json(dir)
+                graft.ingest.SinkRetention.appendDated(
+                  graft.ingest.BarPipeline
+                    .summaryEventJson(
+                      graft.ingest.BarPipeline.ingestSummaries(canonical))
+                    .withColumn("batch_id", lit(batchId)),
+                  dir, format = "json")
               }
             }
           case None => // structural reject: isolate, never throw (T7)
             quarantineDir.foreach { qd =>
-              batch.withColumn("reject_reason", lit("missing_timestamp"))
-                .withColumn("batch_id", lit(batchId))
-                .write.mode("append").parquet(s"$qd/bars_structural")
+              graft.ingest.SinkRetention.appendDated(
+                batch.withColumn("reject_reason", lit("missing_timestamp"))
+                  .withColumn("batch_id", lit(batchId)),
+                s"$qd/bars_structural")
             }
         }
       }

@@ -29,7 +29,7 @@ class StreamingIngestSpec extends SparkSuite {
       val published = spark.read.json(events)
       assert(published.count() >= 5) // 5 symbols in the fixture
       assert(published.columns.toSet ==
-        Set("event_type", "message", "batch_id"))
+        Set("event_type", "message", "batch_id", "sink_date"))
       assert(published.select("event_type").distinct().collect()
         .map(_.getString(0)).toSeq == Seq("HistoricalDataUpdated"))
       val streamed = BarStore.read(spark, store)
