@@ -127,6 +127,8 @@ object SparkEntry {
     "dedup_report_tokens" -> (Dedup.reportTokens _),
     // Finishing-pass keeper election (stream-then-batch compaction)
     "dedup_compact" -> (Dedup.compactKept _),
+    // Daily-increment dedup against the persisted signature store
+    "dedup_incremental" -> (Dedup.incremental _),
     // Similarity search over embeddings
     "sim_topk_bruteforce" -> (Similarity.topK _),
     "sim_ann_lsh" -> (Similarity.annLsh _),
@@ -154,6 +156,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) =>
         Similarity.ivfKmeansQuantizedRerankPersisted(s, d)),
     "sim_source_coherence" -> (Similarity.sourceCoherence _),
+    // Per-list skew report over the persisted k-means store — the
+    // retrain/rebuild trigger signal; oracle proves store ≡ assignment
+    "sim_index_health" ->
+      ((s: SparkSession, d: String) => Similarity.indexHealth(s, d)),
     // HLL sketch — the estimate is engine-internal, so the oracle
     // checks the exact count + the sketch's verified tolerance bound
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
@@ -466,6 +472,7 @@ object SparkEntry {
     "dedup_report" -> Dedup.reportSql(DuckDialect),
     "dedup_report_tokens" -> Dedup.reportTokensSql(DuckDialect),
     "dedup_compact" -> Dedup.compactKeptOracleSql(DuckDialect),
+    "dedup_incremental" -> Dedup.incrementalSql(DuckDialect),
     "sim_topk_bruteforce" -> Similarity.topKSql(DuckDialect),
     "sim_ann_lsh" -> Similarity.annLshSql(DuckDialect),
     "sim_ann_ivf" -> Similarity.ivfSql(DuckDialect),
@@ -487,6 +494,7 @@ object SparkEntry {
     "sim_ivf_kmeans_pq_rerank" ->
       Similarity.ivfKmeansQuantizedRerankSql(DuckDialect),
     "sim_source_coherence" -> Similarity.sourceCoherenceSql(DuckDialect),
+    "sim_index_health" -> Similarity.indexHealthSql(DuckDialect),
     "q_approx_distinct" -> Relational.qApproxDistinctOracleSql,
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,
     "q_salted_agg" -> ScalePatterns.qSaltedAggOracleSql,

@@ -1086,4 +1086,174 @@ object Dedup {
       .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
       .orderBy("cluster_id")
   }
+
+  // ----- incremental near-dup against a persisted signature store ---
+
+  /** Fixture batch split: documents with doc_id ≥ floor(max·0.8) play
+    * the role of the NEW daily increment; the rest is the already-
+    * indexed corpus.  Pure integer arithmetic on max(doc_id), so the
+    * engine scalar and the oracle's subquery agree exactly. */
+  val IncrementalSplitFrac = 0.8
+
+  /** Signature-estimated similarity gate for the incremental path:
+    * est_sim = fraction of agreeing MinHash components (granularity
+    * 1/32).  Unlike `minhashLsh`'s exact-Jaccard verification this
+    * needs NO access to corpus text — at 100 TB the whole point is
+    * that an increment is deduped against signatures alone, without
+    * rescanning stored documents. */
+  val MinEstSim = 0.5
+
+  private def incrementalSplitId(spark: SparkSession, dir: String): Long =
+    RelationCache.cachedScalar(spark, s"dedup_split:$dir") {
+      import org.apache.spark.sql.functions._
+      val mx = Tables.documents(spark, dir).agg(max(col("doc_id"))).head()
+      require(!mx.isNullAt(0),
+        s"cannot split an EMPTY documents relation at $dir")
+      java.lang.Long.valueOf(
+        math.floor(mx.getLong(0) * IncrementalSplitFrac).toLong)
+    }.longValue()
+
+  /** Fingerprint-keyed store path for the corpus signature index —
+    * `indexStorePath`'s discipline (count + max key in the name, so a
+    * regenerated corpus gets a fresh store). */
+  private def sigStorePath(spark: SparkSession, dir: String,
+      storeBase: Option[String], corpus: DataFrame,
+      splitId: Long): org.apache.hadoop.fs.Path = {
+    import org.apache.spark.sql.functions._
+    val fp = corpus.agg(count(lit(1)), max(col("doc_id"))).head()
+    require(fp.getLong(0) > 0,
+      s"cannot key a signature store for an EMPTY corpus at $dir")
+    new org.apache.hadoop.fs.Path(
+      storeBase.getOrElse(sys.props("java.io.tmpdir")),
+      s"graft_mhsig_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + java.lang.Integer.toHexString(dir.hashCode) +
+        s"_${fp.getLong(0)}_${fp.getLong(1)}_$splitId")
+  }
+
+  /** Incremental near-dup: dedup a NEW document batch against an
+    * already-indexed corpus WITHOUT rescanning the corpus — the daily-
+    * increment shape of a 100 TB pipeline, where the corpus is only
+    * ever touched through its persisted signature index.
+    *
+    * Store (built once per corpus fingerprint, atomic publish):
+    *   `bands/`  — (doc_id, bkey, bdf) partitioned by `band=`, where
+    *     bdf is the bucket's corpus-side size precomputed at build
+    *     time so serving can cap adversarial buckets WITHOUT a window
+    *     over the (huge) store;
+    *   `sig/`    — (doc_id, h0..h31) wide MinHash signatures.
+    *
+    * Serve: batch grams → signatures → band keys; candidates are
+    * (corpus×batch) band-bucket collisions read from the store plus
+    * (batch×batch) self-collisions; both sides bucket-capped at
+    * `cap` (store side via the precomputed bdf, batch side via a
+    * window on the — small — increment).  Pairs are gated on
+    * signature agreement (`MinEstSim`) alone; corpus text is never
+    * read.  Output: (doc_id_a, doc_id_b, est_sim, vs_corpus).
+    *
+    * `incrementalSql` recomputes the identical relation from raw
+    * documents in one SQL statement (uncapped — the caps never trip
+    * on the fixtures, which `IncrementalDedupSpec` pins both ways). */
+  def incremental(spark: SparkSession, dir: String): DataFrame =
+    incremental(spark, dir, None)
+
+  def incremental(spark: SparkSession, dir: String,
+      storeBase: Option[String],
+      cap: Int = MaxBandBucket): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val splitId = incrementalSplitId(spark, dir)
+    val grams = gramsDF(spark, dir)
+    val corpusGrams = grams.filter($"doc_id" < splitId)
+    val store = sigStorePath(spark, dir, storeBase, corpusGrams, splitId)
+    Similarity.publishIndex(spark, store) { tmp =>
+      val sig = minhashSigFrom(corpusGrams)
+      val bands = bandsOf(sig)
+        .withColumn("bdf", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"band", $"bkey")))
+      bands
+        .repartition($"band")
+        .sortWithinPartitions($"bkey") // row-group pruning on bkey probes
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(s"$tmp/bands")
+      sig.write.mode("overwrite").parquet(s"$tmp/sig")
+      val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_SUCCESS")).close()
+    }
+    val batchSig = RelationCache.cached(spark, s"mh_sig_inc:$dir") {
+      minhashSigFrom(grams.filter($"doc_id" >= splitId))
+    }
+    val batchBands = bandsOf(batchSig)
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"band", $"bkey")))
+      .filter($"df" <= cap)
+      .drop("df")
+    val storeBands = spark.read.parquet(s"$store/bands")
+      .filter($"bdf" <= cap)
+      .select($"doc_id", $"band".cast("int").as("band"), $"bkey")
+    val oldNew = storeBands.as("a")
+      .join(batchBands.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey")
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
+    val newNew = batchBands.as("a")
+      .join(batchBands.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
+    val cand = oldNew.unionByName(newNew).distinct()
+    val storeSig = spark.read.parquet(s"$store/sig")
+    val allSig = storeSig.unionByName(batchSig)
+    val sigMatches = (0 until NumPerms)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    cand
+      .join(allSig.as("sa"), $"sa.doc_id" === $"ia")
+      .join(allSig.as("sb"), $"sb.doc_id" === $"ib")
+      .withColumn("est_sim",
+        expr(s"CAST(($sigMatches) AS DOUBLE) / $NumPerms"))
+      .filter($"est_sim" >= MinEstSim)
+      .select($"ia".as("doc_id_a"), $"ib".as("doc_id_b"),
+        round($"est_sim", 6).as("est_sim"),
+        when($"ia" < splitId, 1).otherwise(0).cast("int").as("vs_corpus"))
+      .orderBy($"doc_id_a", $"doc_id_b")
+  }
+
+  /** Single-statement oracle for `incremental`: signatures for ALL
+    * documents, banded candidates restricted to pairs whose higher id
+    * is in the new batch, signature-agreement gate — the store is an
+    * implementation detail the oracle proves away. */
+  def incrementalSql(d: SqlDialect): String = {
+    val bandSelects = (0 until Bands).map { b =>
+      s"SELECT doc_id, $b AS band, ${bandKey(d, b)} AS bkey FROM mh_sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val sigMatches = (0 until NumPerms)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${gramCtes(d)},
+       |${sigCtes(d)},
+       |split AS (
+       |  SELECT CAST(floor(max(doc_id) * ${d.dlit(IncrementalSplitFrac)})
+       |    AS BIGINT) AS sid FROM documents),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE b.doc_id >= (SELECT sid FROM split)),
+       |scored AS (
+       |  SELECT c.ia, c.ib,
+       |    CAST(($sigMatches) AS DOUBLE) / $NumPerms AS est_sim
+       |  FROM cand c
+       |  JOIN mh_sig sa ON sa.doc_id = c.ia
+       |  JOIN mh_sig sb ON sb.doc_id = c.ib)
+       |SELECT ia AS doc_id_a, ib AS doc_id_b,
+       |  round(est_sim, 6) AS est_sim,
+       |  CAST(CASE WHEN ia < (SELECT sid FROM split) THEN 1 ELSE 0 END
+       |    AS INT) AS vs_corpus
+       |FROM scored
+       |WHERE est_sim >= ${d.dlit(MinEstSim)}
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+  }
 }

@@ -562,7 +562,7 @@ object Similarity {
     * dir, so readers only ever see a complete index.  Existence goes
     * through Hadoop's FileSystem so the check is correct on non-local
     * storage too (java.io.File is always false for hdfs:// / s3a://). */
-  private def publishIndex(spark: SparkSession,
+  private[ops] def publishIndex(spark: SparkSession,
       store: org.apache.hadoop.fs.Path)(build: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -844,6 +844,74 @@ object Similarity {
     kmeansPersistedServe(spark, dir, storeBase, "kmsc",
       trainScaledCodebookCached(spark, dir, ivfBase(spark, dir)))
 
+  /** Build-if-absent of a trained-codebook `cid=`-partitioned float
+    * store — shared by the persisted serving variants and the
+    * index-health report. */
+  private def kmeansStorePath(spark: SparkSession, dir: String,
+      storeBase: Option[String], tag: String,
+      cents: Seq[(Long, Array[Double], Double)]): org.apache.hadoop.fs.Path = {
+    import spark.implicits._
+    val n = ivfBase(spark, dir)
+    val store = indexStorePath(spark, dir, tag, storeBase, n)
+    publishIndex(spark, store) { tmp =>
+      n.withColumn("cid", centroidOrder(cents)(0).getField("cid"))
+        .select($"vec_id", $"embedding", $"cid")
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    }
+    store
+  }
+
+  /** Index-health report over the persisted k-means store: per-list
+    * vector count, corpus fraction, and balance (count / ideal-even
+    * count — 1.0 is a perfectly balanced codebook; a list with
+    * balance k is a skew hot-spot whose probes read k× the ideal
+    * bytes).  This is the signal a production deployment watches to
+    * decide WHEN to retrain/rebuild (`IndexMaintenance`): list skew
+    * drifts as appended data shifts the corpus distribution away
+    * from the codebook's training snapshot.  Reads ONLY the store
+    * (counts per `cid=` partition — column-pruned to the partition
+    * key); `indexHealthSql` recomputes assignment from raw
+    * embeddings, so the green oracle proves the persisted lists ARE
+    * the assignment semantics, end-to-end. */
+  def indexHealth(spark: SparkSession, dir: String): DataFrame =
+    indexHealth(spark, dir, None)
+
+  def indexHealth(spark: SparkSession, dir: String,
+      storeBase: Option[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = ivfBase(spark, dir)
+    val cents = trainCodebookCached(spark, dir, n)
+    val store = kmeansStorePath(spark, dir, storeBase, "km", cents)
+    val lists = spark.read.parquet(store.toString)
+    val h = lists.groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val t = h.agg(sum($"n_vecs").as("total"), count(lit(1)).as("k"))
+    h.crossJoin(broadcast(t))
+      .select($"cid", $"n_vecs",
+        round($"n_vecs".cast("double") / $"total", 6).as("frac"),
+        round($"n_vecs".cast("double") * $"k" / $"total", 6).as("balance"))
+      .orderBy($"cid")
+  }
+
+  /** Oracle for `indexHealth`: the unrolled k-means chain's `asgn`
+    * relation grouped per centroid — no store, pure SQL from raw
+    * embeddings. */
+  def indexHealthSql(d: SqlDialect): String = {
+    s"""WITH ${kmeansCandCtes(d)},
+       |h AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM asgn GROUP BY cid),
+       |t AS (
+       |  SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+       |    CAST(count(*) AS BIGINT) AS k FROM h)
+       |SELECT h.cid, h.n_vecs,
+       |  round(CAST(h.n_vecs AS DOUBLE) / t.total, 6) AS frac,
+       |  round(CAST(h.n_vecs AS DOUBLE) * t.k / t.total, 6) AS balance
+       |FROM h CROSS JOIN t
+       |ORDER BY cid""".stripMargin
+  }
+
   /** Shared build-if-absent + partition-pruned float serving over a
     * trained codebook: persist `cid=` lists, probe nprobe=2, serve
     * with `servePersisted` — the tail of both k-means persisted
@@ -854,12 +922,7 @@ object Similarity {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val n = ivfBase(spark, dir)
-    val store = indexStorePath(spark, dir, tag, storeBase, n)
-    publishIndex(spark, store) { tmp =>
-      n.withColumn("cid", centroidOrder(cents)(0).getField("cid"))
-        .select($"vec_id", $"embedding", $"cid")
-        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    }
+    val store = kmeansStorePath(spark, dir, storeBase, tag, cents)
     val probe = n.filter($"vec_id" % 100 === 0)
       .withColumn("p", explode(slice(centroidOrder(cents), 1, 2)))
       .select($"vec_id".as("qid"), $"p.cid".as("cid"))
