@@ -22,16 +22,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read the nanos as Long and truncate to micros with
-    * integer division (exactly DuckDB's nanos→micros truncation —
-    * float division would lose precision above 2^53 ns). */
+  /** `events.parquet` has shipped with two `ts` physical types across
+    * fixture generations, so the loader adapts to what the file
+    * actually stores instead of assuming one:
+    *
+    *  - TIMESTAMP(NANOS): Spark's parquet reader rejects it outright
+    *    unless `spark.sql.legacy.parquet.nanosAsLong=true` surfaces it
+    *    as a raw nanos Long (GraftSession/Verify/SparkSuite all set
+    *    it).  Truncate to micros with integer division — exactly
+    *    DuckDB's nanos→micros truncation; float division would lose
+    *    precision above 2^53 ns.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ; reinterpret the wall-clock as UTC (sessions run
+    *    with session.timeZone=UTC) so downstream sees the same
+    *    TimestampType instants as the nanos path produced.
+    *
+    * Either way callers get `ts: TimestampType` at micros precision. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "session must set spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(GraftSession.build does) - events.parquet is TIMESTAMP(NANOS)")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw =
+      try load(s, d, "events")
+      catch {
+        case e: Exception if Option(e.getMessage).exists(_.contains("NANOS")) =>
+          throw new IllegalStateException(
+            "events.parquet stores TIMESTAMP(NANOS) - the session must set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession.build does)", e)
+      }
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already TimestampType
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

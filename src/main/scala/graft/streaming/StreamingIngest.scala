@@ -33,21 +33,39 @@ object StreamingIngest {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-stream source over a directory of event parquet files. */
+  /** File-stream source over a directory of event parquet files.
+    *
+    * Like `Tables.events`, adapts to the `ts` physical type the files
+    * actually store (raw nanos Long under the legacy conf, or
+    * TIMESTAMP_NTZ micros from newer fixture generations): a file
+    * stream needs its schema up front, so probe the directory once
+    * with a static read — one footer read at stream build time, not
+    * per micro-batch.  Either way downstream sees `ts: TimestampType`
+    * at micros precision, identical to the batch loader. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     // Same fail-fast guard as Tables.events: on a session not built via
-    // GraftSession/Verify the stream would otherwise die at start with
-    // an opaque Spark nanos-timestamp error.
+    // GraftSession/Verify a nanos-format stream would otherwise die at
+    // start with an opaque Spark nanos-timestamp error.
     require(
       spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "session must set spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(GraftSession.build does) - events*.parquet is TIMESTAMP(NANOS)")
-    spark.readStream
-      .schema(eventSchema)
+        "(GraftSession.build does) - events*.parquet may be TIMESTAMP(NANOS)")
+    val probed =
+      try Some(spark.read.option("pathGlobFilter", "events*.parquet")
+            .parquet(dir).schema)
+      catch { case _: Exception => None } // empty dir: stream starts before files
+    val schema = probed.getOrElse(eventSchema)
+    val raw = spark.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events*.parquet")
       .option("maxFilesPerTrigger", "4") // bounded micro-batches at scale
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** T5 under streaming: watermarked tumbling OHLCV bars.

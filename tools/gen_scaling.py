@@ -30,8 +30,9 @@ order points at replica r of its customer, so orders-per-customer,
 lineitems-per-order, events-per-user distributions are exactly the
 sf0.1 ones).  Dates/timestamps are kept identical so filter
 selectivities and window/session shapes are scale-invariant, and
-`events.ts` is re-written as parquet TIMESTAMP(NANOS) to match the
-driver fixture's physical type (Tables.events reads nanos-as-long).
+`events.ts` is written as parquet TIMESTAMP(NANOS) — the historical
+driver-fixture physical type; Tables.events adapts to NANOS-as-long
+or MICROS-ntz, so either form round-trips identically.
 Unique-per-key name columns get a per-replica suffix so name
 cardinalities scale with the keys.
 """
@@ -94,7 +95,7 @@ if alltables:
         f"l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
         f"l_returnflag, l_linestatus, l_shipdate")
 
-    # events must stay TIMESTAMP(NANOS) on disk (see module doc)
+    # events kept TIMESTAMP(NANOS) on disk (see module doc; loader adapts)
     ev_sql = " UNION ALL ".join(
         f"SELECT event_id + {r}::BIGINT * {es} AS event_id, ts, "
         f"user_id + {r}::BIGINT * {us} AS user_id, event_type, value, props"
