@@ -122,6 +122,7 @@ object SparkEntry {
     "dedup_clusters" -> (Dedup.simhashClusters _),
     "dedup_embedding" -> (Dedup.embeddingCosine _),
     "dedup_embedding_lsh" -> (Dedup.embeddingLsh _),
+    "dedup_embedding_lsh_scaled" -> (Dedup.embeddingLshScaled _),
     "dedup_semantic" -> (Dedup.semantic _),
     "dedup_report" -> (Dedup.report _),
     "dedup_report_tokens" -> (Dedup.reportTokens _),
@@ -468,6 +469,7 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.simhashClustersOracleSql(DuckDialect),
     "dedup_embedding" -> Dedup.embeddingCosineSql(DuckDialect),
     "dedup_embedding_lsh" -> Dedup.embeddingLshSql(DuckDialect),
+    "dedup_embedding_lsh_scaled" -> Dedup.embeddingLshScaledSql(DuckDialect),
     "dedup_semantic" -> Dedup.semanticSql(DuckDialect),
     "dedup_report" -> Dedup.reportSql(DuckDialect),
     "dedup_report_tokens" -> Dedup.reportTokensSql(DuckDialect),

@@ -463,6 +463,77 @@ object Dedup {
     spark.sql(embeddingLshSql(SparkDialect))
   }
 
+  /** Corpus-scaled embedding-LSH near-dup — the fix for the fixed
+    * band space's quadratic floor (SCALING.md round-10 table:
+    * `dedup_embedding_lsh` grew 44× on 10× data because 4 bands ×
+    * 4 bits = 16 buckets hold Θ(n) vectors each).
+    *
+    * Same 4 bands, but each band key is the FIRST `nb` bits of a
+    * 16-bit-per-band hyperplane signature, where
+    * `nb = clamp(4..16, ceil(log2(n / 32)))` comes from a scalar
+    * subquery over the corpus count — expected bucket occupancy
+    * stays ~32 vectors regardless of corpus size, so candidate
+    * volume is ~16n per band instead of n²/16.  The SQL text is
+    * static (all 64 bit columns are computed; the data-dependent
+    * part is only the substring length), so the identical statement
+    * runs in Spark and DuckDB and the result stays deterministic
+    * and hash-checked.  At the oracle scales (n ≤ 500) nb floors at
+    * 4, i.e. the scaled variant coincides with `embeddingLsh`'s
+    * bucket granularity there; the two diverge only where the fixed
+    * grid starts to saturate.  (Standard LSH recall tradeoff applies:
+    * narrower buckets lower per-band collision probability for true
+    * near-dups; a production deployment grows the band COUNT
+    * alongside — kept at 4 here so the engine/oracle pair stays one
+    * statement.  `dedup_embedding` remains the exact reference.) */
+  def embeddingLshScaledSql(d: SqlDialect): String = {
+    val maxBits = 16
+    val bitCols = (0 until AnnBands * maxBits).map { p =>
+      val proj = d.dot("v", d.arrOf(planeWeights(p).map(d.dlit)))
+      s"(CASE WHEN $proj > 0 THEN 1 ELSE 0 END) AS bit$p"
+    }.mkString(",\n    ")
+    val bandStrs = (0 until AnnBands).map { b =>
+      val cat = (0 until maxBits)
+        .map(r => s"CAST(bit${b * maxBits + r} AS STRING)")
+        .mkString(", ")
+      s"SELECT vec_id, $b AS band, concat($cat) AS bstr FROM bits"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(${d.dot("v", "v")}) AS nrm FROM e),
+       |p AS (
+       |  SELECT CAST(greatest(4, least($maxBits,
+       |    ceil(log2(CAST(count(*) AS DOUBLE) / 32.0)))) AS INT) AS nb
+       |  FROM n),
+       |bits AS (
+       |  SELECT vec_id,
+       |    $bitCols
+       |  FROM n),
+       |bands AS (
+       |  $bandStrs),
+       |keys AS (
+       |  SELECT vec_id, band, substring(bstr, 1, p.nb) AS bkey
+       |  FROM bands CROSS JOIN p),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM keys a JOIN keys b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+       |sc AS (
+       |  SELECT c.ia, c.ib, ${d.dot("x.v", "y.v")} / (x.nrm * y.nrm) AS cs
+       |  FROM cand c
+       |  JOIN n x ON x.vec_id = c.ia
+       |  JOIN n y ON y.vec_id = c.ib)
+       |SELECT ia AS vec_id_a, ib AS vec_id_b, round(cs, 6) AS cosine
+       |FROM sc WHERE cs >= 0.4
+       |ORDER BY vec_id_a, vec_id_b""".stripMargin
+  }
+
+  def embeddingLshScaled(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    spark.sql(embeddingLshScaledSql(SparkDialect))
+  }
+
   private def runDocs(spark: SparkSession, dir: String, sql: String): DataFrame = {
     // InferFiltersFromGenerate substitutes the whole shingle/token
     // expression into a pre-Generate filter (size(...)>0, isnotnull),

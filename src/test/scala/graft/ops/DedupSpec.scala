@@ -73,6 +73,38 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("corpus-scaled embedding LSH is a subset of exact with equal cosines") {
+    val exact = Dedup.embeddingCosine(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b")) ->
+        r.getAs[Double]("cosine")).toMap
+    val lsh = Dedup.embeddingLshScaled(spark, sf()).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val k = (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))
+      assert(exact.contains(k))
+      assert(exact(k) == r.getAs[Double]("cosine"))
+    }
+  }
+
+  test("scaled embedding LSH never loses exact duplicates as bands narrow") {
+    // Double the sf0.001 corpus (500 → 1000 vectors, copies at
+    // vec_id + 10000): n/32 > 16 pushes the scaled band width past the
+    // fixed grid's 4 bits.  Identical vectors share EVERY band key at
+    // any width, so all 500 (i, i+10000) cosine-1.0 pairs must
+    // survive — the recall floor of the narrowing tradeoff.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    base.union(base.withColumn("vec_id", col("vec_id") + lit(10000L)))
+      .createOrReplaceTempView("embeddings")
+    val got = spark.sql(Dedup.embeddingLshScaledSql(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))).toSet
+    val n = base.count()
+    val dupPairs = base.select($"vec_id").as[Long].collect()
+      .map(i => (i, i + 10000L)).toSet
+    assert(n == 500L && dupPairs.subsetOf(got))
+  }
+
   test("embedding cosine near-dup pairs are in range and deduped") {
     val rows = Dedup.embeddingCosine(spark, sf()).collect()
     assert(rows.nonEmpty)
