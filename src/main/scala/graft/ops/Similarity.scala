@@ -854,7 +854,7 @@ object Similarity {
     val n = ivfBase(spark, dir)
     val store = indexStorePath(spark, dir, tag, storeBase, n)
     publishIndex(spark, store) { tmp =>
-      n.withColumn("cid", centroidOrder(cents)(0).getField("cid"))
+      assignedCid(n, cents)
         .select($"vec_id", $"embedding", $"cid")
         .write.mode("overwrite").partitionBy("cid").parquet(tmp)
     }
@@ -923,9 +923,7 @@ object Similarity {
     import org.apache.spark.sql.functions._
     val n = ivfBase(spark, dir)
     val store = kmeansStorePath(spark, dir, storeBase, tag, cents)
-    val probe = n.filter($"vec_id" % 100 === 0)
-      .withColumn("p", explode(slice(centroidOrder(cents), 1, 2)))
-      .select($"vec_id".as("qid"), $"p.cid".as("cid"))
+    val probe = probeCids(n.filter($"vec_id" % 100 === 0), cents)
     servePersisted(spark, store, probe,
       n.filter($"vec_id" % 100 === 0)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
@@ -966,13 +964,11 @@ object Similarity {
         "v", "x", "CAST(floor(x * scale + 0.5) AS TINYINT)")))
     val store = indexStorePath(spark, dir, "pqkm", storeBase, n)
     publishIndex(spark, store) { tmp =>
-      quantized.withColumn("cid", centroidOrder(cents)(0).getField("cid"))
+      assignedCid(quantized, cents)
         .select($"vec_id", $"code", $"scale", $"nrm", $"cid")
         .write.mode("overwrite").partitionBy("cid").parquet(tmp)
     }
-    val probe = n.filter($"vec_id" % 100 === 0)
-      .withColumn("p", explode(slice(centroidOrder(cents), 1, 2)))
-      .select($"vec_id".as("qid"), $"p.cid".as("cid"))
+    val probe = probeCids(n.filter($"vec_id" % 100 === 0), cents)
     val queries = quantized.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("qid"), $"code".as("qcode"),
         $"scale".as("qscale"), $"nrm".as("qn"))
@@ -1377,6 +1373,83 @@ object Similarity {
     }: _*))
   }
 
+  /** Codebook-size threshold between the two assignment shapes.  At
+    * or below it, `centroidOrder`'s unrolled literal expression wins:
+    * fully codegen'd, zero extra shuffle.  Above it the expression
+    * tree carries k·D literal doubles — Janino overflows its method
+    * limits and Spark silently falls back to interpreted per-row
+    * evaluation, and Catalyst itself chokes folding the constants
+    * (measured: k = 447 at the 100× scaling corpus turned a ~10 s
+    * assignment into minutes of single-threaded driver+interpreter
+    * time) — so assignment switches to `centroidTopDF`'s
+    * broadcast-join form, which is the shape that holds at ANY k
+    * (100 TB nlist is ~√n ≫ any Janino limit). */
+  private val CentroidExprMaxK = 64
+
+  /** Broadcast-join centroid ranking: score rows × broadcast codebook
+    * with the SAME arithmetic as `centroidOrder` (graft_dot fold,
+    * nrm·cnrm product order), reduce per vec_id with the bounded
+    * typed `TopKPairs` heap — map-side partials carry ≤ `top` pairs,
+    * so the shuffle is k-independent.  (cs desc, cid asc) in
+    * TopKPairs ≡ the literal path's ascending (-cs, cid) sort; both
+    * orders are total (cid unique), so the merge is deterministic
+    * regardless of partial order.  Returns (vec_id, cids) with cids
+    * ranked best-first. */
+  private[ops] def centroidTopDF(rows: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)], top: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val c = broadcast(
+      cents.map { case (cid, cv, cnrm) => (cid, cv.toSeq, cnrm) }
+        .toDF("cid", "cv", "cnrm"))
+    val topk = new graft.functions.TopKPairs(top).toColumn.name("topk")
+    rows.select($"vec_id", $"v", $"nrm").join(c)
+      .select($"vec_id",
+        call_function("graft_dot", $"v", $"cv")
+          .divide($"nrm" * $"cnrm").as("cs"),
+        $"cid")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk)
+      .map { case (vid, pairs) => (vid, pairs.map(_._2)) }
+      .toDF("vec_id", "cids")
+  }
+
+  /** `df` + an assigned `cid` column (rank-1 centroid), dispatching
+    * on codebook size — see `CentroidExprMaxK`.  `df` must carry
+    * (vec_id, v, nrm); the join-back preserves its other columns. */
+  private def assignedCid(df: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (cents.size <= CentroidExprMaxK)
+      df.withColumn("cid", centroidOrder(cents)(0).getField("cid"))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val a = centroidTopDF(df, cents, 1)
+        .select($"vec_id", $"cids"(0).as("cid"))
+      df.join(a, "vec_id")
+    }
+  }
+
+  /** (qid, cid) probe pairs — the `nprobe` nearest centroids per
+    * query row — dispatching on codebook size like `assignedCid`. */
+  private def probeCids(queries: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)],
+      nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    if (cents.size <= CentroidExprMaxK)
+      queries.withColumn("p", explode(slice(centroidOrder(cents), 1, nprobe)))
+        .select($"vec_id".as("qid"), $"p.cid".as("cid"))
+    else
+      centroidTopDF(queries, cents, nprobe)
+        .select($"vec_id".as("qid"), explode($"cids").as("cid"))
+  }
+
   /** Session-scoped memo of trained codebooks: the Lloyd loop is
     * deterministic (quantized sums, fixed init), so the three
     * consumers (`ivfKmeans`, `ivfKmeansPersisted`, `recall`'s k-means
@@ -1433,8 +1506,7 @@ object Similarity {
     for (_ <- 0 until KmeansIters) {
       val sums = (0 until KmeansDim).map(j =>
         sum(round(element_at($"v", j + 1) * quant).cast("long")).as(s"s$j"))
-      val updated = n
-        .withColumn("cid", centroidOrder(cents)(0).getField("cid"))
+      val updated = assignedCid(n, cents)
         .groupBy($"cid")
         .agg(count(lit(1)).as("cnt"), sums: _*)
         .collect()
@@ -1456,11 +1528,8 @@ object Similarity {
     // cache entry instead of pinning a new one per call
     val n = ivfBase(spark, dir)
     val cents = trainCodebookCached(spark, dir, n)
-    val ranked = n.withColumn("ord", centroidOrder(cents))
-    val asgn = ranked.select($"vec_id", $"ord"(0).getField("cid").as("cid"))
-    val probe = ranked.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("qid"), explode(slice($"ord", 1, 2)).as("p"))
-      .select($"qid", $"p.cid".as("cid"))
+    val asgn = assignedCid(n, cents).select($"vec_id", $"cid")
+    val probe = probeCids(n.filter($"vec_id" % 100 === 0), cents)
     val cand = probe.join(asgn, "cid")
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("nid"))

@@ -28,6 +28,39 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("broadcast-join centroid ranking matches a plain-Scala recomputation") {
+    // The large-codebook assignment shape (centroidTopDF: broadcast
+    // join + bounded TopKPairs heap) must reproduce the literal
+    // expression path's (cs desc, cid asc) ranking bit-for-bit.
+    // 84 centroids (> CentroidExprMaxK) from the corpus itself;
+    // expected ranking recomputed independently in Scala with the
+    // same left-to-right double fold as graft_dot.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = graft.Tables.embeddings(spark, sf())
+      .select($"vec_id", expr(SparkDialect.toDoubleArr("embedding")).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val vecs = rows.collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cents = vecs.filter(_._1 % 6 == 0).sortBy(_._1).toSeq
+    assert(cents.size > 64) // forces the join path at this k
+    val got = Similarity.centroidTopDF(rows, cents, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    vecs.foreach { case (vid, v, nrm) =>
+      val expect = cents
+        .map { case (cid, cv, cnrm) => (dot(v, cv) / (nrm * cnrm), cid) }
+        .sortBy { case (cs, cid) => (-cs, cid) }
+        .take(3).map(_._2)
+      assert(got(vid) == expect, s"vec $vid")
+    }
+  }
+
   test("k-means IVF trains centroids deterministically and improves on init") {
     val a = Similarity.ivfKmeans(spark, sf()).collect()
     val b = Similarity.ivfKmeans(spark, sf()).collect()
