@@ -100,6 +100,7 @@ object SparkEntry {
     "text_curation" -> (TextAnalysis.curation _),
     "text_tfidf" -> (TextAnalysis.tfidf _),
     "text_pack_sequences" -> (TextAnalysis.packSequences _),
+    "text_chunking" -> (TextAnalysis.chunking _),
     "text_contamination" -> (TextAnalysis.contamination _),
     "text_contamination_risk" -> (TextAnalysis.contaminationRisk _),
     "text_weighted_sample" -> (TextAnalysis.weightedSample _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embeddingCosine _),
     "dedup_embedding_lsh" -> (Dedup.embeddingLsh _),
     "dedup_embedding_lsh_scaled" -> (Dedup.embeddingLshScaled _),
+    "dedup_lsh_recall" -> (Dedup.lshRecall _),
     "dedup_semantic" -> (Dedup.semantic _),
     "dedup_report" -> (Dedup.report _),
     "dedup_report_tokens" -> (Dedup.reportTokens _),
@@ -443,6 +445,7 @@ object SparkEntry {
     "text_curation" -> TextAnalysis.curationSql(DuckDialect),
     "text_tfidf" -> TextAnalysis.tfidfSql(DuckDialect),
     "text_pack_sequences" -> TextAnalysis.packSequencesSql(DuckDialect),
+    "text_chunking" -> TextAnalysis.chunkingSql(DuckDialect),
     "text_contamination" -> TextAnalysis.contaminationSql(DuckDialect),
     "text_contamination_risk" -> TextAnalysis.contaminationRiskSql(DuckDialect),
     "text_weighted_sample" -> TextAnalysis.weightedSampleSql(DuckDialect),
@@ -470,6 +473,7 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.embeddingCosineSql(DuckDialect),
     "dedup_embedding_lsh" -> Dedup.embeddingLshSql(DuckDialect),
     "dedup_embedding_lsh_scaled" -> Dedup.embeddingLshScaledSql(DuckDialect),
+    "dedup_lsh_recall" -> Dedup.lshRecallSql(DuckDialect),
     "dedup_semantic" -> Dedup.semanticSql(DuckDialect),
     "dedup_report" -> Dedup.reportSql(DuckDialect),
     "dedup_report_tokens" -> Dedup.reportTokensSql(DuckDialect),

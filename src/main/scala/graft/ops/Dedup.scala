@@ -534,6 +534,37 @@ object Dedup {
     spark.sql(embeddingLshScaledSql(SparkDialect))
   }
 
+  /** Pair-recall report for the two banded embedding near-dup
+    * variants against the exact all-pairs baseline — the measured
+    * answer to "what does banding give up?".  LSH candidates are a
+    * subset of exact pairs by construction (same cos ≥ 0.4 verify),
+    * so recall is a pure count ratio; one row with the three pair
+    * counts and both recalls.  This is the dedup-side analogue of
+    * `sim_recall`: it turns the narrowing tradeoff documented on
+    * `embeddingLshScaledSql` into an observable number a deployment
+    * tracks when it widens bands or tightens bits. */
+  def lshRecallSql(d: SqlDialect): String =
+    s"""SELECT e.exact_pairs, l.lsh_pairs, s.scaled_pairs,
+       |  round(CAST(l.lsh_pairs AS DOUBLE) / e.exact_pairs, 6)
+       |    AS lsh_recall,
+       |  round(CAST(s.scaled_pairs AS DOUBLE) / e.exact_pairs, 6)
+       |    AS scaled_recall
+       |FROM
+       |  (SELECT CAST(count(*) AS BIGINT) AS exact_pairs
+       |   FROM (${embeddingCosineSql(d)}) x) e
+       |CROSS JOIN
+       |  (SELECT CAST(count(*) AS BIGINT) AS lsh_pairs
+       |   FROM (${embeddingLshSql(d)}) y) l
+       |CROSS JOIN
+       |  (SELECT CAST(count(*) AS BIGINT) AS scaled_pairs
+       |   FROM (${embeddingLshScaledSql(d)}) z) s""".stripMargin
+
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    spark.sql(lshRecallSql(SparkDialect))
+  }
+
   private def runDocs(spark: SparkSession, dir: String, sql: String): DataFrame = {
     // InferFiltersFromGenerate substitutes the whole shingle/token
     // expression into a pre-Generate filter (size(...)>0, isnotnull),

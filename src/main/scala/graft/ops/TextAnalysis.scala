@@ -303,6 +303,47 @@ object TextAnalysis {
        |ORDER BY lang, pack_id""".stripMargin
   }
 
+  /** Fixed-window document chunking with overlap — the pretraining /
+    * RAG shard operator: each document becomes ⌈max(0, n−W)/S⌉+1
+    * chunks of ≤`ChunkWindow` tokens on a stride of
+    * `ChunkWindow − ChunkOverlap`, so consecutive chunks share
+    * `ChunkOverlap` tokens and no token is lost.  Emits per chunk the
+    * token span and a 60-bit content hash of the joined token slice —
+    * enough for a downstream exact-dedup over CHUNKS (the shard-level
+    * dedup a pipeline runs after packing) without shipping chunk text
+    * through the comparison.  Chunk count and spans are pure
+    * arithmetic over the token count; the hash is the shared h60 —
+    * deterministic in both engines.  Narrow per-document generate +
+    * projection: no shuffle, embarrassingly parallel at any scale. */
+  val ChunkWindow = 32
+  val ChunkOverlap = 8
+
+  def chunkingSql(d: SqlDialect): String = {
+    val w = ChunkWindow
+    val s = ChunkWindow - ChunkOverlap
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, ${d.tokens("text")} AS toks FROM documents),
+       |n AS (
+       |  SELECT doc_id, lang, toks, ${d.arrSize("toks")} AS n_tok FROM tok),
+       |c AS (
+       |  SELECT doc_id, lang, toks, n_tok,
+       |    (CASE WHEN n_tok <= $w THEN 1
+       |     ELSE 1 + ${d.intDiv(s"(n_tok - $w + $s - 1)", s.toString)}
+       |     END) AS n_chunks
+       |  FROM n),
+       |x AS (
+       |  SELECT doc_id, lang, toks, n_tok,
+       |    ${d.explode(d.sequence0("n_chunks"))} AS chunk_id
+       |  FROM c)
+       |SELECT doc_id, lang, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_id * $s + 1 AS BIGINT) AS start_tok,
+       |  CAST(least($w, n_tok - chunk_id * $s) AS BIGINT) AS n_tok_chunk,
+       |  ${d.h60(d.arrJoin(d.arrSlice("toks", s"chunk_id * $s + 1", w.toString), " "))}
+       |    AS chunk_hash
+       |FROM x
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   /** Deterministic quality-weighted sampling: each document is kept
     * with probability equal to its quality score, decided by comparing
     * a content-independent hash of the doc id (salted so it is
@@ -842,6 +883,8 @@ object TextAnalysis {
     run(spark, dir, tfidfSql(SparkDialect))
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, packSequencesSql(SparkDialect))
+  def chunking(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, chunkingSql(SparkDialect))
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, weightedSampleSql(SparkDialect))
   def repetition(spark: SparkSession, dir: String): DataFrame =

@@ -57,6 +57,8 @@ sealed trait SqlDialect {
   def arrSlice(arr: String, start1: String, len: String): String // 1-based
   def arrMin(arr: String): String
   def arrMax(arr: String): String
+  /** Join a string-array into one string with a separator. */
+  def arrJoin(arr: String, sep: String): String
   def castStr(x: String): String
   /** Explode an array column to rows (select-list position). */
   def explode(arr: String): String
@@ -138,6 +140,8 @@ object SparkDialect extends SqlDialect {
     s"slice($arr, $start1, $len)"
   def arrMin(arr: String): String = s"array_min($arr)"
   def arrMax(arr: String): String = s"array_max($arr)"
+  def arrJoin(arr: String, sep: String): String =
+    s"array_join($arr, '$sep')"
   def castStr(x: String): String = s"CAST($x AS STRING)"
   def explode(arr: String): String = s"explode($arr)"
   def arrOf(items: Seq[String]): String = s"array(${items.mkString(", ")})"
@@ -178,6 +182,8 @@ object DuckDialect extends SqlDialect {
     s"list_slice($arr, $start1, ($start1) + ($len) - 1)"
   def arrMin(arr: String): String = s"list_min($arr)"
   def arrMax(arr: String): String = s"list_max($arr)"
+  def arrJoin(arr: String, sep: String): String =
+    s"array_to_string($arr, '$sep')"
   def castStr(x: String): String = s"CAST($x AS VARCHAR)"
   def explode(arr: String): String = s"unnest($arr)"
   def arrOf(items: Seq[String]): String = s"[${items.mkString(", ")}]"

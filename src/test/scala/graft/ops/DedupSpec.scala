@@ -105,6 +105,19 @@ class DedupSpec extends SparkSuite {
     assert(n == 500L && dupPairs.subsetOf(got))
   }
 
+  test("LSH recall report counts agree with the operators it summarizes") {
+    val r = Dedup.lshRecall(spark, sf()).collect()(0)
+    val exact = Dedup.embeddingCosine(spark, sf()).count()
+    val lsh = Dedup.embeddingLsh(spark, sf()).count()
+    val scaled = Dedup.embeddingLshScaled(spark, sf()).count()
+    assert(r.getAs[Long]("exact_pairs") == exact)
+    assert(r.getAs[Long]("lsh_pairs") == lsh)
+    assert(r.getAs[Long]("scaled_pairs") == scaled)
+    val lr = r.getAs[Double]("lsh_recall")
+    val sr = r.getAs[Double]("scaled_recall")
+    assert(lr > 0.0 && lr <= 1.0 && sr > 0.0 && sr <= 1.0)
+  }
+
   test("embedding cosine near-dup pairs are in range and deduped") {
     val rows = Dedup.embeddingCosine(spark, sf()).collect()
     assert(rows.nonEmpty)

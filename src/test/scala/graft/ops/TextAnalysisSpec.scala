@@ -4,6 +4,41 @@ import graft.SparkSuite
 
 class TextAnalysisSpec extends SparkSuite {
 
+  test("chunking tiles every document with the declared window and stride") {
+    val w = TextAnalysis.ChunkWindow
+    val s = TextAnalysis.ChunkWindow - TextAnalysis.ChunkOverlap
+    val rows = TextAnalysis.chunking(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // independent token counts with the operator's own tokenizer
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.documents(spark, sf()).createOrReplaceTempView("documents")
+    val nToks = spark.sql(
+        "SELECT doc_id, size(graft_tokens(text)) AS n FROM documents")
+      .collect().map(r => r.getAs[Long](0) -> r.getInt(1).toLong).toMap
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == nToks.keySet)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (did, cs) =>
+      val nTok = nToks(did)
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      // contiguous ids from 0; starts advance by the stride
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ==
+        (0L until sorted.length))
+      sorted.foreach { c =>
+        assert(c.getAs[Long]("start_tok") ==
+          c.getAs[Long]("chunk_id") * s + 1)
+        assert(c.getAs[Long]("n_tok_chunk") <= w)
+      }
+      // full coverage: non-final chunks are full windows and the last
+      // chunk ends exactly at the document's final token
+      sorted.init.foreach(c => assert(c.getAs[Long]("n_tok_chunk") == w))
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") +
+        last.getAs[Long]("n_tok_chunk") - 1 == nTok, s"doc $did")
+      // chunk count is the closed-form next-fit count
+      val expected = if (nTok <= w) 1L else 1L + (nTok - w + s - 1) / s
+      assert(sorted.length.toLong == expected, s"doc $did n_tok $nTok")
+    }
+  }
+
   test("token counts cover every doc with sane values") {
     val rows = TextAnalysis.tokenCounts(spark, sf()).collect()
     assert(rows.length == 500)
