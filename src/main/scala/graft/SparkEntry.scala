@@ -101,6 +101,7 @@ object SparkEntry {
     "text_tfidf" -> (TextAnalysis.tfidf _),
     "text_pack_sequences" -> (TextAnalysis.packSequences _),
     "text_chunking" -> (TextAnalysis.chunking _),
+    "text_chunk_dedup" -> (TextAnalysis.chunkDedup _),
     "text_contamination" -> (TextAnalysis.contamination _),
     "text_contamination_risk" -> (TextAnalysis.contaminationRisk _),
     "text_weighted_sample" -> (TextAnalysis.weightedSample _),
@@ -163,6 +164,11 @@ object SparkEntry {
     // retrain/rebuild trigger signal; oracle proves store ≡ assignment
     "sim_index_health" ->
       ((s: SparkSession, d: String) => Similarity.indexHealth(s, d)),
+    // Maintenance decision over the same store (no-op branch at
+    // fixture balance; the rebuild branch is spec-covered on a
+    // deliberately skew-appended store)
+    "sim_index_maintain" ->
+      ((s: SparkSession, d: String) => Similarity.indexMaintain(s, d)),
     // HLL sketch — the estimate is engine-internal, so the oracle
     // checks the exact count + the sketch's verified tolerance bound
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
@@ -446,6 +452,7 @@ object SparkEntry {
     "text_tfidf" -> TextAnalysis.tfidfSql(DuckDialect),
     "text_pack_sequences" -> TextAnalysis.packSequencesSql(DuckDialect),
     "text_chunking" -> TextAnalysis.chunkingSql(DuckDialect),
+    "text_chunk_dedup" -> TextAnalysis.chunkDedupSql(DuckDialect),
     "text_contamination" -> TextAnalysis.contaminationSql(DuckDialect),
     "text_contamination_risk" -> TextAnalysis.contaminationRiskSql(DuckDialect),
     "text_weighted_sample" -> TextAnalysis.weightedSampleSql(DuckDialect),
@@ -501,6 +508,7 @@ object SparkEntry {
       Similarity.ivfKmeansQuantizedRerankSql(DuckDialect),
     "sim_source_coherence" -> Similarity.sourceCoherenceSql(DuckDialect),
     "sim_index_health" -> Similarity.indexHealthSql(DuckDialect),
+    "sim_index_maintain" -> Similarity.indexMaintainSql(DuckDialect),
     "q_approx_distinct" -> Relational.qApproxDistinctOracleSql,
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,
     "q_salted_agg" -> ScalePatterns.qSaltedAggOracleSql,

@@ -894,6 +894,97 @@ object Similarity {
       .orderBy($"cid")
   }
 
+  /** The maintenance decision + rebuild `indexHealth`'s Scaladoc
+    * promises: measure per-list balance over the persisted k-means
+    * store, and when the worst list exceeds `maxBalance` (its probes
+    * read that many × the ideal bytes), retrain a RIGHT-SIZED (√n)
+    * codebook from the store's CURRENT contents — original corpus
+    * plus whatever streaming appends drifted it — and publish a
+    * fresh store under the rebuilt contents' own fingerprint
+    * (build-if-absent, atomic rename: re-running maintenance on the
+    * same drifted store is idempotent, and readers of the old store
+    * are never disturbed — callers re-point, as with every
+    * caller-managed lifecycle here).  Returns a one-row report:
+    * (n_vecs, k, worst_balance, rebuilt, k_after, worst_after).
+    * Balance uses `indexHealth`'s exact expression, so the no-op
+    * branch is oracle-checkable against the raw-embedding SQL chain. */
+  def indexMaintain(spark: SparkSession, dir: String): DataFrame =
+    indexMaintain(spark, dir, None, 3.0)
+
+  def indexMaintain(spark: SparkSession, dir: String,
+      storeBase: Option[String], maxBalance: Double): DataFrame = {
+    import spark.implicits._
+    val n = ivfBase(spark, dir)
+    val cents = trainCodebookCached(spark, dir, n)
+    val store = kmeansStorePath(spark, dir, storeBase, "km", cents)
+    maintainStore(spark, dir, store.toString, storeBase, maxBalance)
+  }
+
+  /** Maintenance over an explicit store path — the streaming-appended
+    * case where the lists have drifted from the corpus the codebook
+    * was trained on. */
+  def maintainStore(spark: SparkSession, dir: String, storePath: String,
+      storeBase: Option[String], maxBalance: Double): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    def worstOf(lists: DataFrame): (Long, Long, Double) = {
+      val h = lists.groupBy(col("cid").cast("long").as("cid"))
+        .agg(count(lit(1)).as("n_vecs"))
+      val t = h.agg(sum($"n_vecs").as("total"), count(lit(1)).as("k"))
+      val r = h.crossJoin(broadcast(t))
+        .agg(max($"total").as("total"), max($"k").as("k"),
+          max(round($"n_vecs".cast("double") * $"k" / $"total", 6))
+            .as("worst"))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    val lists = spark.read.parquet(storePath)
+    val (nVecs, k, worst) = worstOf(lists)
+    if (worst <= maxBalance) {
+      Seq((nVecs, k, worst, false, k, worst))
+        .toDF("n_vecs", "k", "worst_balance", "rebuilt",
+          "k_after", "worst_after")
+    } else {
+      val base = lists.select($"vec_id", $"embedding",
+          expr(SparkDialect.toDoubleArr("embedding")).as("v"))
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      val cents2 = trainCodebook(base, scaledStride(base), 0L)
+      val store2 = indexStorePath(spark, dir, "kmr", storeBase, base)
+      publishIndex(spark, store2) { tmp =>
+        assignedCid(base, cents2)
+          .select($"vec_id", $"embedding", $"cid")
+          .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+      }
+      val (_, k2, worst2) = worstOf(spark.read.parquet(store2.toString))
+      Seq((nVecs, k, worst, true, k2, worst2))
+        .toDF("n_vecs", "k", "worst_balance", "rebuilt",
+          "k_after", "worst_after")
+    }
+  }
+
+  /** Oracle for `indexMaintain`'s no-op branch (the only branch raw
+    * fixture corpora can reach — their km stores are near-balanced):
+    * the same `asgn` chain as `indexHealthSql`, folded to the report
+    * row.  The rebuild branch is spec-covered on a deliberately
+    * skew-appended store. */
+  def indexMaintainSql(d: SqlDialect): String = {
+    s"""WITH ${kmeansCandCtes(d)},
+       |h AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM asgn GROUP BY cid),
+       |t AS (
+       |  SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+       |    CAST(count(*) AS BIGINT) AS k FROM h),
+       |w AS (
+       |  SELECT max(round(CAST(h.n_vecs AS DOUBLE) * t.k / t.total, 6))
+       |    AS worst
+       |  FROM h CROSS JOIN t)
+       |SELECT t.total AS n_vecs, t.k AS k, w.worst AS worst_balance,
+       |  FALSE AS rebuilt, t.k AS k_after, w.worst AS worst_after
+       |FROM t CROSS JOIN w""".stripMargin
+  }
+
   /** Oracle for `indexHealth`: the unrolled k-means chain's `asgn`
     * relation grouped per centroid — no store, pure SQL from raw
     * embeddings. */

@@ -318,7 +318,12 @@ object TextAnalysis {
   val ChunkWindow = 32
   val ChunkOverlap = 8
 
-  def chunkingSql(d: SqlDialect): String = {
+  /** The chunk relation WITHOUT the final sort — stateless and
+    * shuffle-free, so the identical statement also runs over a
+    * STREAMING `documents` view (append mode; global ORDER BY is a
+    * batch-only concept).  `chunkingSql` adds the presentation sort
+    * for the registered batch query. */
+  def chunkingSqlCore(d: SqlDialect): String = {
     val w = ChunkWindow
     val s = ChunkWindow - ChunkOverlap
     s"""WITH tok AS (
@@ -340,9 +345,33 @@ object TextAnalysis {
        |  CAST(least($w, n_tok - chunk_id * $s) AS BIGINT) AS n_tok_chunk,
        |  ${d.h60(d.arrJoin(d.arrSlice("toks", s"chunk_id * $s + 1", w.toString), " "))}
        |    AS chunk_hash
-       |FROM x
-       |ORDER BY doc_id, chunk_id""".stripMargin
+       |FROM x""".stripMargin
   }
+
+  def chunkingSql(d: SqlDialect): String =
+    s"""${chunkingSqlCore(d)}
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Chunk-level redundancy report — the downstream consumer the
+    * chunk hash exists for: per language, how many chunks the corpus
+    * shards into, how many are distinct by content hash, and the
+    * redundant mass an exact chunk-dedup would drop (Σ (f−1) over
+    * hashes with frequency f > 1).  One hash-shuffle over the chunk
+    * relation with map-side combine — scale-safe at any corpus. */
+  def chunkDedupSql(d: SqlDialect): String =
+    s"""WITH g AS (
+       |  SELECT lang, chunk_hash, count(*) AS f
+       |  FROM (${chunkingSqlCore(d)}) ch
+       |  GROUP BY lang, chunk_hash)
+       |SELECT lang,
+       |  CAST(sum(f) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) AS BIGINT) AS n_distinct,
+       |  CAST(sum(CASE WHEN f > 1 THEN f - 1 ELSE 0 END) AS BIGINT)
+       |    AS n_redundant,
+       |  round(CAST(sum(CASE WHEN f > 1 THEN f - 1 ELSE 0 END) AS DOUBLE)
+       |    / sum(f), 6) AS redundancy_ratio
+       |FROM g GROUP BY lang
+       |ORDER BY lang""".stripMargin
 
   /** Deterministic quality-weighted sampling: each document is kept
     * with probability equal to its quality score, decided by comparing
@@ -885,6 +914,8 @@ object TextAnalysis {
     run(spark, dir, packSequencesSql(SparkDialect))
   def chunking(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, chunkingSql(SparkDialect))
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, chunkDedupSql(SparkDialect))
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, weightedSampleSql(SparkDialect))
   def repetition(spark: SparkSession, dir: String): DataFrame =
