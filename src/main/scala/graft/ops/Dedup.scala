@@ -493,17 +493,28 @@ object Dedup {
     }.mkString(",\n    ")
     val bandStrs = (0 until AnnBands).map { b =>
       val cat = (0 until maxBits)
-        .map(r => s"CAST(bit${b * maxBits + r} AS STRING)")
+        .map(r => d.castStr(s"bit${b * maxBits + r}"))
         .mkString(", ")
       s"SELECT vec_id, $b AS band, concat($cat) AS bstr FROM bits"
     }.mkString("\n  UNION ALL\n  ")
+    // nb = clamp(4..16, ceil(log2(n/32))) via an INTEGER threshold
+    // ladder: n ≤ 32·2^b → b.  A float log2 here is an engine parity
+    // trap — Spark computes ln(x)/ln(2), DuckDB calls std::log2, and
+    // at n/32 an exact power of two the quotient form can land one
+    // ulp above the integer and ceil to a different width, silently
+    // changing every band key.  Pure integer comparisons cannot
+    // disagree.
+    val nbLadder = (4 until maxBits)
+      .map(b => s"WHEN count(*) <= ${32L * (1L << b)} THEN $b")
+      .mkString("\n    ")
     s"""WITH e AS (
        |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
        |n AS (
        |  SELECT vec_id, v, sqrt(${d.dot("v", "v")}) AS nrm FROM e),
        |p AS (
-       |  SELECT CAST(greatest(4, least($maxBits,
-       |    ceil(log2(CAST(count(*) AS DOUBLE) / 32.0)))) AS INT) AS nb
+       |  SELECT CAST(CASE
+       |    $nbLadder
+       |    ELSE $maxBits END AS INT) AS nb
        |  FROM n),
        |bits AS (
        |  SELECT vec_id,
@@ -544,10 +555,14 @@ object Dedup {
     * `embeddingLshScaledSql` into an observable number a deployment
     * tracks when it widens bands or tightens bits. */
   def lshRecallSql(d: SqlDialect): String =
+    // greatest(...,1): with zero exact pairs both LSH counts are zero
+    // too (subset), so recall is a defined 0.0 — without the guard
+    // Spark's non-ANSI /0 yields NULL where DuckDB's IEEE division
+    // yields NaN, an engine/oracle mismatch on all-dissimilar corpora
     s"""SELECT e.exact_pairs, l.lsh_pairs, s.scaled_pairs,
-       |  round(CAST(l.lsh_pairs AS DOUBLE) / e.exact_pairs, 6)
+       |  round(CAST(l.lsh_pairs AS DOUBLE) / greatest(e.exact_pairs, 1), 6)
        |    AS lsh_recall,
-       |  round(CAST(s.scaled_pairs AS DOUBLE) / e.exact_pairs, 6)
+       |  round(CAST(s.scaled_pairs AS DOUBLE) / greatest(e.exact_pairs, 1), 6)
        |    AS scaled_recall
        |FROM
        |  (SELECT CAST(count(*) AS BIGINT) AS exact_pairs

@@ -879,19 +879,28 @@ object Similarity {
   def indexHealth(spark: SparkSession, dir: String,
       storeBase: Option[String]): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.functions._
     val n = ivfBase(spark, dir)
     val cents = trainCodebookCached(spark, dir, n)
     val store = kmeansStorePath(spark, dir, storeBase, "km", cents)
-    val lists = spark.read.parquet(store.toString)
+    listHealth(spark.read.parquet(store.toString))
+      .select($"cid", $"n_vecs", $"frac", $"balance").orderBy($"cid")
+  }
+
+  /** Per-list health relation over any `cid=`-partitioned list store —
+    * the ONE definition of the balance expression, shared by
+    * `indexHealth` and `maintainStore`'s fold so the engine and the
+    * `indexHealthSql`/`indexMaintainSql` oracles cannot drift. */
+  private def listHealth(lists: DataFrame): DataFrame = {
+    val spark = lists.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
     val h = lists.groupBy(col("cid").cast("long").as("cid"))
       .agg(count(lit(1)).as("n_vecs"))
     val t = h.agg(sum($"n_vecs").as("total"), count(lit(1)).as("k"))
     h.crossJoin(broadcast(t))
-      .select($"cid", $"n_vecs",
+      .select($"cid", $"n_vecs", $"total", $"k",
         round($"n_vecs".cast("double") / $"total", 6).as("frac"),
         round($"n_vecs".cast("double") * $"k" / $"total", 6).as("balance"))
-      .orderBy($"cid")
   }
 
   /** The maintenance decision + rebuild `indexHealth`'s Scaladoc
@@ -929,13 +938,9 @@ object Similarity {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
     def worstOf(lists: DataFrame): (Long, Long, Double) = {
-      val h = lists.groupBy(col("cid").cast("long").as("cid"))
-        .agg(count(lit(1)).as("n_vecs"))
-      val t = h.agg(sum($"n_vecs").as("total"), count(lit(1)).as("k"))
-      val r = h.crossJoin(broadcast(t))
+      val r = listHealth(lists)
         .agg(max($"total").as("total"), max($"k").as("k"),
-          max(round($"n_vecs".cast("double") * $"k" / $"total", 6))
-            .as("worst"))
+          max($"balance").as("worst"))
         .head()
       (r.getLong(0), r.getLong(1), r.getDouble(2))
     }
@@ -949,9 +954,11 @@ object Similarity {
       val base = lists.select($"vec_id", $"embedding",
           expr(SparkDialect.toDoubleArr("embedding")).as("v"))
         .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-      val cents2 = trainCodebook(base, scaledStride(base), 0L)
       val store2 = indexStorePath(spark, dir, "kmr", storeBase, base)
+      // training lives INSIDE the build closure: the idempotent
+      // re-run (store already published) must not pay the Lloyd loop
       publishIndex(spark, store2) { tmp =>
+        val cents2 = trainCodebook(base, scaledStride(base), 0L)
         assignedCid(base, cents2)
           .select($"vec_id", $"embedding", $"cid")
           .write.mode("overwrite").partitionBy("cid").parquet(tmp)
@@ -1497,8 +1504,16 @@ object Similarity {
     val topk = new graft.functions.TopKPairs(top).toColumn.name("topk")
     rows.select($"vec_id", $"v", $"nrm").join(c)
       .select($"vec_id",
-        call_function("graft_dot", $"v", $"cv")
-          .divide($"nrm" * $"cnrm").as("cs"),
+        // Zero-norm rows or centroids must not reach the division at
+        // all (ANSI sessions throw DIVIDE_BY_ZERO; non-ANSI yields
+        // NULL, which the typed encoder rejects and TopKPairs'
+        // insertion order cannot total-order).  They rank LAST
+        // deterministically instead: cosine ∈ [-1,1], so -2 sorts
+        // below every real score and ties resolve by cid.
+        when($"nrm" * $"cnrm" > 0.0,
+          call_function("graft_dot", $"v", $"cv")
+            .divide($"nrm" * $"cnrm"))
+          .otherwise(lit(-2.0)).as("cs"),
         $"cid")
       .as[(Long, Double, Long)]
       .groupByKey(_._1)

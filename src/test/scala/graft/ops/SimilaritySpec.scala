@@ -61,6 +61,28 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("broadcast-join ranking is deterministic on zero-norm vectors") {
+    // A zero-norm row scores NULL/NaN against every centroid; both
+    // must rank LAST deterministically (mapped to -2 < any cosine),
+    // so ties resolve by cid and the result never depends on
+    // partition or merge order — and the encoder never sees a null.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = graft.ops.TextOps.EmbeddingDim
+    def unit(i: Int): Array[Double] =
+      Array.tabulate(dim)(j => if (j == i % dim) 1.0 else 0.0)
+    val rows = ((0L until 70L).map(i => (i, unit(i.toInt), 1.0)) :+
+        ((99L, Array.fill(dim)(0.0), 0.0)))
+      .toDF("vec_id", "v", "nrm")
+    val cents = (0 until 70).map(i => (i.toLong, unit(i), 1.0))
+    val got = Similarity.centroidTopDF(rows, cents, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    // the zero vector ranks all centroids equal-last: ties by cid
+    assert(got(99L) == Seq(0L, 1L, 2L))
+    // a well-formed vector still ranks its matching centroid first
+    assert(got(5L).head == 5L)
+  }
+
   test("k-means IVF trains centroids deterministically and improves on init") {
     val a = Similarity.ivfKmeans(spark, sf()).collect()
     val b = Similarity.ivfKmeans(spark, sf()).collect()
