@@ -176,6 +176,14 @@ object SparkEntry {
     "q_kmv_distinct" -> (Relational.qKmvDistinct _),
     // Skew-safe salted aggregation ≡ the plain aggregate (the oracle)
     "q_salted_agg" -> (ScalePatterns.qSaltedAgg _),
+    // Retrieval & data-selection wing: lexical BM25, hybrid RRF
+    // fusion (lexical + vector), DSIR importance weights, corpus
+    // data card, k-means cluster-purity audit
+    "text_bm25_topk" -> (Retrieval.bm25 _),
+    "sim_hybrid_rrf" -> (Retrieval.hybridRrf _),
+    "text_dsir_weights" -> (Retrieval.dsirWeights _),
+    "text_corpus_stats" -> (Retrieval.corpusStats _),
+    "sim_cluster_purity" -> (Similarity.clusterPurity _),
     // Multimodal binary-column plumbing
     "mm_inventory" -> (Multimodal.inventory _),
     "mm_video_frames" -> (Multimodal.videoFrames _),
@@ -512,6 +520,11 @@ object SparkEntry {
     "q_approx_distinct" -> Relational.qApproxDistinctOracleSql,
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,
     "q_salted_agg" -> ScalePatterns.qSaltedAggOracleSql,
+    "text_bm25_topk" -> Retrieval.bm25Sql(DuckDialect),
+    "sim_hybrid_rrf" -> Retrieval.hybridRrfSql(DuckDialect),
+    "text_dsir_weights" -> Retrieval.dsirWeightsSql(DuckDialect),
+    "text_corpus_stats" -> Retrieval.corpusStatsSql(DuckDialect),
+    "sim_cluster_purity" -> Similarity.clusterPuritySql(DuckDialect),
     "mm_inventory" -> Multimodal.inventoryOracleSql,
     "mm_video_frames" -> Multimodal.videoFramesOracleSql,
     "mm_image_resize" -> Multimodal.imageResizeOracleSql,

@@ -1,0 +1,306 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Retrieval & data-selection operators over the document corpus — the
+  * query-side counterpart of the dedup/similarity families: lexical
+  * BM25 ranking, hybrid lexical+vector fusion, and DSIR-style
+  * importance weighting for training-data selection.
+  *
+  * Like the rest of the text family (TextAnalysis/Dedup), every
+  * operator is a dialect-parameterized SQL body emitted for Spark (the
+  * engine) and DuckDB (the oracle), built from the portable primitives
+  * in `SqlDialect`: MD5-based 60-bit hashing, identical fold orders,
+  * and µ-quantization of every transcendental (`ln`) before any
+  * cross-row sum, so partial-aggregation order can never change the
+  * result and both engines land on identical grid points.
+  *
+  * The reference pipeline (SURVEY.md §2) has no retrieval surface at
+  * all — these are engine extensions in the same spirit as the
+  * similarity family: the operators a 100 TB training-data platform
+  * runs to mine, select and audit its corpus.
+  */
+object Retrieval {
+
+  /** BM25 parameters — the Robertson/Sparck-Jones defaults. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Reciprocal-rank-fusion constant (the standard k=60 from the
+    * Cormack/Clarke/Buettcher TREC fusion paper). */
+  val RrfK = 60
+
+  /** Retrieval depth fused per modality; final fused cut. */
+  val FuseDepth = 20
+  val TopK = 10
+
+  /** DSIR feature-hash buckets (hashed unigrams). */
+  val DsirBuckets = 4096
+
+  /** Fixed keyword query for the standalone BM25 ranking — terms from
+    * the fixture vocabulary so every term has corpus support. */
+  val QueryTerms: Seq[String] = Seq("spark", "join", "window", "stream", "hash")
+
+  private val Quant = "1000000.0"
+
+  /** Shared lexical-statistics CTE prefix: tokenized docs, per-doc
+    * length, corpus scalars (N, avgdl), term frequencies and document
+    * frequencies.  The `tf`/`df` relations are the classic inverted
+    * index: at scale `tf` is one map-side-combining aggregate over the
+    * exploded postings and `df` a second tiny aggregate; the scalar
+    * `stats` row broadcasts into every consumer. */
+  private def lexCtes(d: SqlDialect): String =
+    s"""t AS (
+       |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
+       |dl AS (
+       |  SELECT doc_id, CAST(${d.arrSize("toks")} AS BIGINT) AS ndl FROM t),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    CAST(sum(ndl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM dl),
+       |tok AS (
+       |  SELECT doc_id, ${d.explode("toks")} AS term FROM t),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term)""".stripMargin
+
+  /** The µ-quantized BM25 idf relation: idf(t) = ln(1 + (N − df + ½)
+    * / (df + ½)), quantized to integer micro-units the instant it
+    * leaves `ln` — the only non-exactly-rounded operation in the whole
+    * scoring chain (IEEE +,−,×,÷ are exactly rounded and run in
+    * identical textual order in both engines; libm `ln` is only
+    * 1-ulp, which the 10⁻⁶ grid absorbs). */
+  private def idfCte(d: SqlDialect): String =
+    s"""idf AS (
+       |  SELECT df.term,
+       |    CAST(round(ln(${d.dlit(1.0)} + (s.n_docs - CAST(df.df AS DOUBLE) + ${d.dlit(0.5)})
+       |      / (CAST(df.df AS DOUBLE) + ${d.dlit(0.5)})) * $Quant) AS BIGINT) AS idf_u
+       |  FROM df CROSS JOIN stats s)""".stripMargin
+
+  /** Per-posting BM25 contribution in integer micro-units.  The term
+    * saturation factor tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is plain
+    * IEEE arithmetic on exactly-representable inputs (tf, dl integers;
+    * avgdl the same one-row double both sides), multiplied by the
+    * already-quantized idf and re-quantized — so per-doc scores are
+    * integer sums, associative under any partial-aggregation order. */
+  private def contribExpr(d: SqlDialect, tfRel: String = "tf"): String = {
+    val tfD = s"CAST($tfRel.tf AS DOUBLE)"
+    val dlD = "CAST(dl.ndl AS DOUBLE)"
+    s"""CAST(round(CAST(i.idf_u AS DOUBLE) * ($tfD * ${d.dlit(K1 + 1.0)})
+       |      / ($tfD + ${d.dlit(K1)} * (${d.dlit(1.0 - B)} + ${d.dlit(B)} * $dlD / s.avgdl))) AS BIGINT)""".stripMargin
+  }
+
+  /** BM25 top-10 for the fixed keyword query — the standard lexical
+    * relevance ranking (Robertson's probabilistic model; the default
+    * first-stage retriever of every RAG / data-mining stack).
+    *
+    * Scale: query terms are a literal array, so `qtf` is the posting
+    * list of |q| terms only — candidate docs are those containing ≥ 1
+    * query term (inverted-index retrieval, never a corpus scan); the
+    * idf/stats sides are tiny broadcasts and the final top-k is one
+    * bounded global sort of the candidate set.  A skew-heavy stopword
+    * query degrades toward a corpus scan exactly as in any search
+    * engine — mitigated upstream by query-term selection, not by the
+    * engine. */
+  def bm25Sql(d: SqlDialect): String = {
+    s"""WITH ${lexCtes(d)},
+       |${idfCte(d)},
+       |qtf AS (
+       |  SELECT doc_id, term, tf FROM tf
+       |  WHERE ${d.containedIn("term", QueryTerms)}),
+       |sc AS (
+       |  SELECT qtf.doc_id,
+       |    ${contribExpr(d, "qtf")} AS c_u
+       |  FROM qtf
+       |  JOIN idf i ON i.term = qtf.term
+       |  JOIN dl ON dl.doc_id = qtf.doc_id
+       |  CROSS JOIN stats s),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_hit_terms, sum(c_u) AS s_u
+       |  FROM sc GROUP BY doc_id),
+       |r AS (
+       |  SELECT doc_id, n_hit_terms, s_u,
+       |    row_number() OVER (ORDER BY s_u DESC, doc_id) AS rn
+       |  FROM agg)
+       |SELECT CAST(rn AS BIGINT) AS rank, doc_id,
+       |  round(CAST(s_u AS DOUBLE) / $Quant, 6) AS bm25,
+       |  CAST(n_hit_terms AS BIGINT) AS n_hit_terms
+       |FROM r WHERE rn <= $TopK
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion: for each query
+    * document (doc_id ≡ 0 mod 100 — the similarity family's standing
+    * query-set convention, and doc_id ≡ vec_id in the fixtures), fuse
+    *  - the VECTOR ranking: exact cosine over the embedding column
+    *    (rank on the 10⁻⁶-rounded score, id tie-break), and
+    *  - the LEXICAL ranking: BM25 with the query document's own terms
+    *    as the query (document-as-query, the standard more-like-this
+    *    shape),
+    * each cut at depth 20, via RRF: score(d) = Σ 1/(60 + rank_m(d))
+    * over the modalities that retrieved d.  RRF needs no score
+    * calibration between modalities — only ranks — which is why it is
+    * the default hybrid fusion in production search systems.
+    *
+    * Both fusion contributions are µ-quantized integers (1/(60+r) on
+    * the 10⁻⁶ grid), so fused scores sort identically in both engines;
+    * ties break on neighbor id.
+    *
+    * Scale: the vector side is the brute-force baseline over a tiny
+    * query set (broadcast q × corpus scan — `sim_ann_*` are the
+    * sub-linear variants of this stage); the lexical side is a
+    * query-term posting join whose query side (|Q| docs × their
+    * distinct terms) broadcasts; fusion itself is a full outer join of
+    * two ≤ |Q|·20-row relations — negligible at any scale. */
+  def hybridRrfSql(d: SqlDialect): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(${d.dot("v", "v")}) AS nrm FROM e),
+       |q AS (
+       |  SELECT vec_id, v, nrm FROM n WHERE vec_id % 100 = 0),
+       |vs AS (
+       |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |    round(${d.dot("q.v", "n.v")} / (q.nrm * n.nrm), 6) AS cs
+       |  FROM q JOIN n ON q.vec_id != n.vec_id),
+       |vr AS (
+       |  SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS vrank
+       |  FROM vs),
+       |vtop AS (
+       |  SELECT qid, nid, vrank FROM vr WHERE vrank <= $FuseDepth),
+       |${lexCtes(d)},
+       |${idfCte(d)},
+       |qt AS (
+       |  SELECT doc_id AS qid, term FROM tf WHERE doc_id % 100 = 0),
+       |ls AS (
+       |  SELECT qt.qid, tf.doc_id AS nid, sum(${contribExpr(d)}) AS s_u
+       |  FROM qt
+       |  JOIN tf ON tf.term = qt.term AND tf.doc_id != qt.qid
+       |  JOIN idf i ON i.term = tf.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats s
+       |  GROUP BY qt.qid, tf.doc_id),
+       |lr AS (
+       |  SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY s_u DESC, nid) AS lrank
+       |  FROM ls),
+       |ltop AS (
+       |  SELECT qid, nid, lrank FROM lr WHERE lrank <= $FuseDepth),
+       |u AS (
+       |  SELECT COALESCE(v.qid, l.qid) AS qid, COALESCE(v.nid, l.nid) AS nid,
+       |    v.vrank AS vrank, l.lrank AS lrank
+       |  FROM vtop v FULL JOIN ltop l ON l.qid = v.qid AND l.nid = v.nid),
+       |f AS (
+       |  SELECT qid, nid, vrank, lrank,
+       |    COALESCE(CAST(round(${d.dlit(1e6)} / ($RrfK + vrank)) AS BIGINT), 0)
+       |      + COALESCE(CAST(round(${d.dlit(1e6)} / ($RrfK + lrank)) AS BIGINT), 0)
+       |      AS rrf_u
+       |  FROM u),
+       |r AS (
+       |  SELECT qid, nid, vrank, lrank, rrf_u,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rrf_u DESC, nid) AS rn
+       |  FROM f)
+       |SELECT qid AS query_id, nid AS neighbor_id,
+       |  round(CAST(rrf_u AS DOUBLE) / $Quant, 6) AS rrf_score,
+       |  CAST(vrank AS BIGINT) AS vec_rank, CAST(lrank AS BIGINT) AS lex_rank,
+       |  CAST(rn AS BIGINT) AS rank
+       |FROM r WHERE rn <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): fit two hashed
+    * bag-of-unigrams models — the TARGET distribution (here the
+    * English subset, standing in for a curated high-quality corpus)
+    * and the RAW distribution (the whole corpus) — over
+    * `DsirBuckets` feature-hash buckets with add-1 smoothing, then
+    * weight every document by its per-token mean log-likelihood
+    * ratio Σ ln p̂_target(f(x)) − ln p̂_raw(f(x)).  Documents that
+    * "read like the target" get high weight; `text_weighted_sample`'s
+    * deterministic sampler consumes exactly this kind of weight
+    * column for the resampling step.
+    *
+    * Every per-bucket log-ratio is µ-quantized BEFORE the per-doc sum
+    * (the `unigram_logprob` discipline), so the result survives any
+    * aggregation order.  Scale: two bucket-count aggregates (≤ 4096
+    * rows each — broadcast), one posting join against the tiny λ
+    * table, one per-doc sum: nothing grows beyond the token count. */
+  def dsirWeightsSql(d: SqlDialect): String = {
+    val b = DsirBuckets
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, ${d.tokens("text")} AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang, ${d.h60("token")} % $b AS fb FROM (
+       |    SELECT doc_id, lang, ${d.explode("toks")} AS token FROM t) x),
+       |ct AS (
+       |  SELECT fb, count(*) AS c FROM f WHERE lang = 'en' GROUP BY fb),
+       |cr AS (
+       |  SELECT fb, count(*) AS c FROM f GROUP BY fb),
+       |nt AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM ct),
+       |nr AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cr),
+       |lam AS (
+       |  SELECT cr.fb,
+       |    CAST(round((ln((CAST(COALESCE(ct.c, 0) AS DOUBLE) + ${d.dlit(1.0)})
+       |        / (nt.n + ${d.dlit(b.toDouble)}))
+       |      - ln((CAST(cr.c AS DOUBLE) + ${d.dlit(1.0)})
+       |        / (nr.n + ${d.dlit(b.toDouble)}))) * $Quant) AS BIGINT) AS l_u
+       |  FROM cr LEFT JOIN ct ON ct.fb = cr.fb
+       |  CROSS JOIN nt CROSS JOIN nr),
+       |s AS (
+       |  SELECT f.doc_id, count(*) AS n_tokens, sum(l.l_u) AS w_u
+       |  FROM f JOIN lam l ON l.fb = f.fb
+       |  GROUP BY f.doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  round(CAST(w_u AS DOUBLE) / ($Quant * n_tokens), 6) AS dsir_logratio
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Corpus data card: one GROUPING SETS pass emitting per-source,
+    * per-language and whole-corpus rows of the statistics a dataset
+    * release documents — document/token counts, exact-duplicate
+    * fraction (on the same whitespace-normalized MD5 the dedup family
+    * keys on), and mean document length.  The `<all>` label marks the
+    * rolled-up dimension.
+    *
+    * Scale: a single aggregation pass; count(DISTINCT md5) expands to
+    * the standard two-phase distinct-aggregate plan, partitioned by
+    * the grouping key — no all-to-one collapse except the final
+    * 1-group rows, whose partial state is one counter per partition. */
+  def corpusStatsSql(d: SqlDialect): String = {
+    val norm = d.reReplace("trim(lower(text))", "\\s+", " ")
+    s"""WITH t AS (
+       |  SELECT source, lang,
+       |    CAST(${d.arrSize(d.tokens("text"))} AS BIGINT) AS n_tok,
+       |    md5($norm) AS tmd5
+       |  FROM documents)
+       |SELECT COALESCE(source, '<all>') AS source,
+       |  COALESCE(lang, '<all>') AS lang,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |  CAST(count(DISTINCT tmd5) AS BIGINT) AS n_distinct_texts,
+       |  round(${d.dlit(1.0)} - CAST(count(DISTINCT tmd5) AS DOUBLE) / count(*), 6)
+       |    AS dup_frac,
+       |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS avg_tokens
+       |FROM t
+       |GROUP BY GROUPING SETS ((source), (lang), ())
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    spark.sql(sql)
+  }
+
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, bm25Sql(SparkDialect))
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, hybridRrfSql(SparkDialect))
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, dsirWeightsSql(SparkDialect))
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, corpusStatsSql(SparkDialect))
+}

@@ -402,6 +402,45 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Cluster quality audit over the TRAINED k-means partition: each
+    * vector's final Lloyd assignment (`kmeansCandCtes`'s `asgn` — the
+    * exact relation the IVF index files by) joined back to the fixture
+    * labels, reporting per-cluster size, majority label and purity.
+    * This is the standard clustering-evaluation projection a curation
+    * pipeline runs before trusting cluster-level decisions (topic
+    * sampling, SemDeDup-style per-cluster pruning, IVF list layout):
+    * a low-purity cluster means the embedding space does not separate
+    * the label structure there.
+    *
+    * Deterministic end-to-end: the Lloyd chain is the µ-quantized
+    * oracle-checked trainer of `sim_ivf_kmeans`, majority ties break
+    * on label.  Scale: one groupBy(cid, label) count over the
+    * assignment relation + a per-cid window over ≤ k·|labels| rows —
+    * nothing grows beyond the (tiny) cluster-label contingency
+    * table. */
+  def clusterPuritySql(d: SqlDialect): String =
+    s"""WITH ${kmeansCandCtes(d)},
+       |j AS (
+       |  SELECT a.cid, e2.label
+       |  FROM asgn a JOIN embeddings e2 ON e2.vec_id = a.vec_id),
+       |cl AS (
+       |  SELECT cid, label, count(*) AS n FROM j GROUP BY cid, label),
+       |tot AS (
+       |  SELECT cid, sum(n) AS sz FROM cl GROUP BY cid),
+       |mj AS (
+       |  SELECT cid, label, n,
+       |    row_number() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rn
+       |  FROM cl)
+       |SELECT t.cid, CAST(t.sz AS BIGINT) AS cluster_size,
+       |  CAST(m.label AS INTEGER) AS majority_label,
+       |  CAST(m.n AS BIGINT) AS majority_n,
+       |  round(CAST(m.n AS DOUBLE) / t.sz, 6) AS purity
+       |FROM tot t JOIN mj m ON m.cid = t.cid AND m.rn = 1
+       |ORDER BY t.cid""".stripMargin
+
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, clusterPuritySql(SparkDialect))
+
   /** ANN recall measurement: per query vector, the fraction of the
     * TRUE cosine top-5 (`topK` restricted to rank ≤ 5 — the exact
     * brute-force baseline) that each approximate variant recovers —
