@@ -180,6 +180,8 @@ object SparkEntry {
     // fusion (lexical + vector), DSIR importance weights, corpus
     // data card, k-means cluster-purity audit
     "text_bm25_topk" -> (Retrieval.bm25 _),
+    "text_bm25_persisted" ->
+      ((s: SparkSession, d: String) => LexIndex.bm25Persisted(s, d)),
     "sim_hybrid_rrf" -> (Retrieval.hybridRrf _),
     "text_dsir_weights" -> (Retrieval.dsirWeights _),
     "text_corpus_stats" -> (Retrieval.corpusStats _),
@@ -521,6 +523,9 @@ object SparkEntry {
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,
     "q_salted_agg" -> ScalePatterns.qSaltedAggOracleSql,
     "text_bm25_topk" -> Retrieval.bm25Sql(DuckDialect),
+    // identical semantics to text_bm25_topk by construction — the
+    // same oracle verifies the persisted-postings serving path
+    "text_bm25_persisted" -> Retrieval.bm25Sql(DuckDialect),
     "sim_hybrid_rrf" -> Retrieval.hybridRrfSql(DuckDialect),
     "text_dsir_weights" -> Retrieval.dsirWeightsSql(DuckDialect),
     "text_corpus_stats" -> Retrieval.corpusStatsSql(DuckDialect),

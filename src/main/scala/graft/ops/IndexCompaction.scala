@@ -50,7 +50,11 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * support), which would surface tmp/trash to readers. */
 object IndexCompaction {
 
-  private val CidPartRx = "^cid=(-?\\d+)$".r
+  // `partCol` generalizes the discipline to any integer-valued
+  // partition column — `cid=` IVF lists and `tshard=` lexical
+  // postings share the lifecycle (the compactor never interprets
+  // rows, only partition directories)
+  private def partRx(partCol: String) = s"^$partCol=(-?\\d+)$$".r
   private val TrashRx = "^_ivfc_trash_(-?\\d+)_([0-9a-f-]+)$".r
 
   private def fsOf(spark: SparkSession, path: String) = {
@@ -75,27 +79,30 @@ object IndexCompaction {
     * the next lifecycle call); assumes a single COMPACTOR per store,
     * like all graft store writers. */
   def compactIndex(spark: SparkSession, indexPath: String,
-                   targetBytes: Long = 128L * 1024 * 1024)
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   partCol: String = "cid")
       : Seq[(String, Int, Int)] =
-    compactIndex(spark, indexPath, targetBytes, () => ())
+    compactIndex(spark, indexPath, targetBytes, () => (), partCol)
 
   /** Test seam: `onBeforeSwap` runs after the tmp build, before the
     * park rename — the widest window a concurrent append can race. */
   private[graft] def compactIndex(spark: SparkSession, indexPath: String,
-      targetBytes: Long, onBeforeSwap: () => Unit)
+      targetBytes: Long, onBeforeSwap: () => Unit,
+      partCol: String)
       : Seq[(String, Int, Int)] = {
     import org.apache.hadoop.fs.Path
     require(targetBytes > 0, "targetBytes must be positive")
     val (fs, root) = fsOf(spark, indexPath)
     if (!fs.exists(root)) return Seq.empty
-    healCrashedSwaps(spark, indexPath)
+    healCrashedSwaps(spark, indexPath, partCol)
     sweepStale(fs, root)
+    val rx = partRx(partCol)
     Option(fs.listStatus(root)).getOrElse(Array.empty).toSeq
-      .filter(d => d.isDirectory && CidPartRx.findFirstIn(d.getPath.getName).nonEmpty)
+      .filter(d => d.isDirectory && rx.findFirstIn(d.getPath.getName).nonEmpty)
       .sortBy(_.getPath.getName)
       .flatMap { d =>
         val dir = d.getPath
-        val cid = dir.getName.stripPrefix("cid=")
+        val cid = dir.getName.stripPrefix(s"$partCol=")
         val snap = listFiles(fs, dir)
         val bytes = snap.map(_.getLen).sum
         val n = targetFiles(bytes, targetBytes)
@@ -158,7 +165,8 @@ object IndexCompaction {
   /** Heal the crash windows (see header).  Idempotent; called by
     * `compactIndex` on entry and callable directly by a store owner
     * before serving if it wants eager repair. */
-  def healCrashedSwaps(spark: SparkSession, indexPath: String): Unit = {
+  def healCrashedSwaps(spark: SparkSession, indexPath: String,
+                       partCol: String = "cid"): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, root) = fsOf(spark, indexPath)
     if (!fs.exists(root)) return
@@ -166,7 +174,7 @@ object IndexCompaction {
       .getOrElse(Array.empty).foreach { t =>
         TrashRx.findFirstMatchIn(t.getPath.getName).foreach { m =>
           val (cid, uuid) = (m.group(1), m.group(2))
-          val live = new Path(root, s"cid=$cid")
+          val live = new Path(root, s"$partCol=$cid")
           val manifest = new Path(root, s"_ivfc_snap_${cid}_$uuid")
           if (!fs.exists(live)) {
             // died between park and publish: the parked dir is the

@@ -66,17 +66,22 @@ object Retrieval {
        |df AS (
        |  SELECT term, count(*) AS df FROM tf GROUP BY term)""".stripMargin
 
-  /** The µ-quantized BM25 idf relation: idf(t) = ln(1 + (N − df + ½)
-    * / (df + ½)), quantized to integer micro-units the instant it
-    * leaves `ln` — the only non-exactly-rounded operation in the whole
-    * scoring chain (IEEE +,−,×,÷ are exactly rounded and run in
-    * identical textual order in both engines; libm `ln` is only
-    * 1-ulp, which the 10⁻⁶ grid absorbs). */
+  /** The µ-quantized BM25 idf: idf(t) = ln(1 + (N − df + ½) / (df +
+    * ½)), quantized to integer micro-units the instant it leaves `ln`
+    * — the only non-exactly-rounded operation in the whole scoring
+    * chain (IEEE +,−,×,÷ are exactly rounded and run in identical
+    * textual order in both engines; libm `ln` is only 1-ulp, which
+    * the 10⁻⁶ grid absorbs).  Column-parameterized so the persisted
+    * serving path (`LexIndex.serve`) runs the very same expression
+    * over its store columns. */
+  private[ops] def idfExpr(d: SqlDialect, nDocs: String, df: String): String =
+    s"""CAST(round(ln(${d.dlit(1.0)} + ($nDocs - CAST($df AS DOUBLE) + ${d.dlit(0.5)})
+       |      / (CAST($df AS DOUBLE) + ${d.dlit(0.5)})) * $Quant) AS BIGINT)""".stripMargin
+
   private def idfCte(d: SqlDialect): String =
     s"""idf AS (
        |  SELECT df.term,
-       |    CAST(round(ln(${d.dlit(1.0)} + (s.n_docs - CAST(df.df AS DOUBLE) + ${d.dlit(0.5)})
-       |      / (CAST(df.df AS DOUBLE) + ${d.dlit(0.5)})) * $Quant) AS BIGINT) AS idf_u
+       |    ${idfExpr(d, "s.n_docs", "df.df")} AS idf_u
        |  FROM df CROSS JOIN stats s)""".stripMargin
 
   /** Per-posting BM25 contribution in integer micro-units.  The term
@@ -84,13 +89,19 @@ object Retrieval {
     * IEEE arithmetic on exactly-representable inputs (tf, dl integers;
     * avgdl the same one-row double both sides), multiplied by the
     * already-quantized idf and re-quantized — so per-doc scores are
-    * integer sums, associative under any partial-aggregation order. */
-  private def contribExpr(d: SqlDialect, tfRel: String = "tf"): String = {
-    val tfD = s"CAST($tfRel.tf AS DOUBLE)"
-    val dlD = "CAST(dl.ndl AS DOUBLE)"
-    s"""CAST(round(CAST(i.idf_u AS DOUBLE) * ($tfD * ${d.dlit(K1 + 1.0)})
-       |      / ($tfD + ${d.dlit(K1)} * (${d.dlit(1.0 - B)} + ${d.dlit(B)} * $dlD / s.avgdl))) AS BIGINT)""".stripMargin
+    * integer sums, associative under any partial-aggregation order.
+    * Column-parameterized for the same `LexIndex.serve` lockstep as
+    * `idfExpr`. */
+  private[ops] def contribCols(d: SqlDialect, idfU: String, tf: String,
+      ndl: String, avgdl: String): String = {
+    val tfD = s"CAST($tf AS DOUBLE)"
+    val dlD = s"CAST($ndl AS DOUBLE)"
+    s"""CAST(round(CAST($idfU AS DOUBLE) * ($tfD * ${d.dlit(K1 + 1.0)})
+       |      / ($tfD + ${d.dlit(K1)} * (${d.dlit(1.0 - B)} + ${d.dlit(B)} * $dlD / $avgdl))) AS BIGINT)""".stripMargin
   }
+
+  private def contribExpr(d: SqlDialect, tfRel: String = "tf"): String =
+    contribCols(d, "i.idf_u", s"$tfRel.tf", "dl.ndl", "s.avgdl")
 
   /** BM25 top-10 for the fixed keyword query — the standard lexical
     * relevance ranking (Robertson's probabilistic model; the default

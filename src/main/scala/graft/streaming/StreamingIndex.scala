@@ -35,6 +35,24 @@ object StreamingIndex {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Same maintenance loop for the LEXICAL postings store: each
+    * micro-batch of (doc_id, text) rows is tokenized and appended as
+    * new posting files in its terms' `tshard=` partitions plus one
+    * stats row (`LexIndex.append`).  The micro-batch id keys the
+    * stats row, so a crash-replayed batch folds to one corpus count
+    * at serve time — the lexical twin of the id-dedup that makes the
+    * IVF replay contract exactly-once at the results level. */
+  def startLex(docs: DataFrame, indexPath: String,
+               trigger: Trigger = Trigger.ProcessingTime(0),
+               checkpoint: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.LexIndex.append(batch.sparkSession, indexPath, batch, s"b$bid")
+      }
+      .trigger(trigger)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Same maintenance loop for the QUANTIZED managed store: each
     * micro-batch appends int8 (code, scale, nrm) rows via
     * `Similarity.ivfQuantizedAppend` — a quarter of the write bytes

@@ -53,7 +53,7 @@ class StreamingIndexCompactSpec extends SparkSuite {
         () => if (fired.compareAndSet(false, true)) {
           input.addData(late.toIndexedSeq: _*)
           q.processAllAvailable()
-        })
+        }, "cid")
       assert(done.nonEmpty, "the fragmented fixture must compact")
       assert(fired.get(), "the race window must have been exercised")
     } finally q.stop()
