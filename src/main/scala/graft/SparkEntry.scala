@@ -183,7 +183,9 @@ object SparkEntry {
     "text_bm25_persisted" ->
       ((s: SparkSession, d: String) => LexIndex.bm25Persisted(s, d)),
     "sim_hybrid_rrf" -> (Retrieval.hybridRrf _),
+    "sim_hybrid_rrf_ann" -> (Retrieval.hybridRrfAnn _),
     "text_dsir_weights" -> (Retrieval.dsirWeights _),
+    "text_dsir_sample" -> (Retrieval.dsirSample _),
     "text_corpus_stats" -> (Retrieval.corpusStats _),
     "sim_cluster_purity" -> (Similarity.clusterPurity _),
     // Multimodal binary-column plumbing
@@ -527,7 +529,9 @@ object SparkEntry {
     // same oracle verifies the persisted-postings serving path
     "text_bm25_persisted" -> Retrieval.bm25Sql(DuckDialect),
     "sim_hybrid_rrf" -> Retrieval.hybridRrfSql(DuckDialect),
+    "sim_hybrid_rrf_ann" -> Retrieval.hybridRrfAnnSql(DuckDialect),
     "text_dsir_weights" -> Retrieval.dsirWeightsSql(DuckDialect),
+    "text_dsir_sample" -> Retrieval.dsirSampleSql(DuckDialect),
     "text_corpus_stats" -> Retrieval.corpusStatsSql(DuckDialect),
     "sim_cluster_purity" -> Similarity.clusterPuritySql(DuckDialect),
     "mm_inventory" -> Multimodal.inventoryOracleSql,

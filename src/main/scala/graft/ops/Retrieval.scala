@@ -182,7 +182,41 @@ object Retrieval {
        |  FROM vs),
        |vtop AS (
        |  SELECT qid, nid, vrank FROM vr WHERE vrank <= $FuseDepth),
-       |${lexCtes(d)},
+       |${lexRankCtes(d)},
+       |${fusionTail(d)}""".stripMargin
+
+  /** `sim_hybrid_rrf` with the SUB-LINEAR vector side: the exact
+    * brute-force cosine ranking is replaced by the trained-k-means
+    * IVF candidate generation (`Similarity.kmeansCandCtes` — the
+    * nprobe=2 probing of `sim_ivf_kmeans`), so the vector modality
+    * scans only the probed lists instead of the corpus.  Fusion,
+    * lexical side and determinism discipline are identical; ANN
+    * ranks can differ from brute-force exactly where the recall
+    * harness (`sim_recall`) quantifies the loss — this variant is
+    * the production shape, `sim_hybrid_rrf` the small-n verify gate,
+    * the same pairing as `dedup_embedding` vs `dedup_embedding_lsh`. */
+  def hybridRrfAnnSql(d: SqlDialect): String =
+    s"""WITH ${Similarity.kmeansCandCtes(d)},
+       |vsc AS (
+       |  SELECT cand.qid, cand.nid,
+       |    round(${d.dot("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS cs
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.qid
+       |  JOIN n x ON x.vec_id = cand.nid),
+       |vr AS (
+       |  SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS vrank
+       |  FROM vsc),
+       |vtop AS (
+       |  SELECT qid, nid, vrank FROM vr WHERE vrank <= $FuseDepth),
+       |${lexRankCtes(d)},
+       |${fusionTail(d)}""".stripMargin
+
+  /** Lexical document-as-query ranking CTEs (query docs ≡ 0 mod 100),
+    * ending in `ltop(qid, nid, lrank)` — shared by both hybrid
+    * variants. */
+  private def lexRankCtes(d: SqlDialect): String =
+    s"""${lexCtes(d)},
        |${idfCte(d)},
        |qt AS (
        |  SELECT doc_id AS qid, term FROM tf WHERE doc_id % 100 = 0),
@@ -199,8 +233,13 @@ object Retrieval {
        |    row_number() OVER (PARTITION BY qid ORDER BY s_u DESC, nid) AS lrank
        |  FROM ls),
        |ltop AS (
-       |  SELECT qid, nid, lrank FROM lr WHERE lrank <= $FuseDepth),
-       |u AS (
+       |  SELECT qid, nid, lrank FROM lr WHERE lrank <= $FuseDepth)""".stripMargin
+
+  /** RRF fusion of `vtop(qid, nid, vrank)` and `ltop(qid, nid,
+    * lrank)` plus the final top-k projection — the closing CTEs of
+    * both hybrid variants. */
+  private def fusionTail(d: SqlDialect): String =
+    s"""u AS (
        |  SELECT COALESCE(v.qid, l.qid) AS qid, COALESCE(v.nid, l.nid) AS nid,
        |    v.vrank AS vrank, l.lrank AS lrank
        |  FROM vtop v FULL JOIN ltop l ON l.qid = v.qid AND l.nid = v.nid),
@@ -238,9 +277,12 @@ object Retrieval {
     * aggregation order.  Scale: two bucket-count aggregates (≤ 4096
     * rows each — broadcast), one posting join against the tiny λ
     * table, one per-doc sum: nothing grows beyond the token count. */
-  def dsirWeightsSql(d: SqlDialect): String = {
+  /** The DSIR model-and-score CTE chain, ending in
+    * `s(doc_id, n_tokens, w_u)` — shared by the weight projection and
+    * the resampling step. */
+  private def dsirCtes(d: SqlDialect): String = {
     val b = DsirBuckets
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, lang, ${d.tokens("text")} AS toks FROM documents),
        |f AS (
        |  SELECT doc_id, lang, ${d.h60("token")} % $b AS fb FROM (
@@ -262,10 +304,45 @@ object Retrieval {
        |s AS (
        |  SELECT f.doc_id, count(*) AS n_tokens, sum(l.l_u) AS w_u
        |  FROM f JOIN lam l ON l.fb = f.fb
-       |  GROUP BY f.doc_id)
+       |  GROUP BY f.doc_id)""".stripMargin
+  }
+
+  def dsirWeightsSql(d: SqlDialect): String =
+    s"""WITH ${dsirCtes(d)}
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        |  round(CAST(w_u AS DOUBLE) / ($Quant * n_tokens), 6) AS dsir_logratio
        |FROM s ORDER BY doc_id""".stripMargin
+
+  /** The RESAMPLING half of DSIR: each document is kept with
+    * probability min(1, r(x)) where r(x) = exp(per-token mean
+    * log-likelihood ratio) — the rejection-sampling acceptance form
+    * of importance resampling — decided by the deterministic salted
+    * coin of `text_weighted_sample` (h60(doc_id·salt) mod 10⁶ against
+    * the µ-quantized probability), so the selection is reproducible
+    * run-to-run and engine-to-engine: no RNG, yet marginally each doc
+    * is kept with exactly the prescribed probability over the salt
+    * space.  Reported per language: how hard the target distribution
+    * reshapes each slice (the en slice keeps the most by
+    * construction; see `dsirWeightsSql`).
+    *
+    * Scale: the per-doc coin and probability are one projection over
+    * the weight relation; the rollup is one tiny aggregate. */
+  def dsirSampleSql(d: SqlDialect): String = {
+    val salted = d.h60(s"${d.castStr("s.doc_id")} || '_dsir'")
+    s"""WITH ${dsirCtes(d)},
+       |p AS (
+       |  SELECT s.doc_id, t2.lang,
+       |    CASE WHEN ($salted % 1000000)
+       |         < least(CAST(${d.dlit(1e6)} AS BIGINT),
+       |             CAST(round(exp(CAST(w_u AS DOUBLE) / ($Quant * n_tokens))
+       |               * $Quant) AS BIGINT))
+       |         THEN 1 ELSE 0 END AS kept
+       |  FROM s JOIN (SELECT doc_id, lang FROM documents) t2
+       |    ON t2.doc_id = s.doc_id)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  round(CAST(sum(kept) AS DOUBLE) / count(*), 6) AS keep_frac
+       |FROM p GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   /** Corpus data card: one GROUPING SETS pass emitting per-source,
@@ -310,6 +387,10 @@ object Retrieval {
     run(spark, dir, bm25Sql(SparkDialect))
   def hybridRrf(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, hybridRrfSql(SparkDialect))
+  def hybridRrfAnn(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, hybridRrfAnnSql(SparkDialect))
+  def dsirSample(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, dsirSampleSql(SparkDialect))
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, dsirWeightsSql(SparkDialect))
   def corpusStats(spark: SparkSession, dir: String): DataFrame =

@@ -255,7 +255,7 @@ object Similarity {
     * `initPred` selects the seed centroids from `n` — the fixed
     * vec_id ≡ 50 (mod 100) picks by default, or the corpus-scaled
     * √n rule of `scaledInitPred`. */
-  private def kmeansCandCtes(d: SqlDialect,
+  private[ops] def kmeansCandCtes(d: SqlDialect,
       initPred: String = "vec_id % 100 = 50"): String = {
     // One Lloyd round: assignments from centroid relation `cPrev` →
     // quantized per-dimension means → centroid relation `cNext`.

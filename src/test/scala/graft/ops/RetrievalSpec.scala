@@ -132,6 +132,59 @@ class RetrievalSpec extends SparkSuite {
     assert(mean(en) > mean(rest))
   }
 
+  test("ANN-fused hybrid keeps the fusion arithmetic exact") {
+    val rows = Retrieval.hybridRrfAnn(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.length == Retrieval.TopK)
+      rs.foreach { r =>
+        val vr = Option(r.getAs[Any]("vec_rank")).map(_.asInstanceOf[Long])
+        val lr = Option(r.getAs[Any]("lex_rank")).map(_.asInstanceOf[Long])
+        assert(vr.nonEmpty || lr.nonEmpty)
+        val exp = (vr.map(v => math.round(1e6 / (Retrieval.RrfK + v))).getOrElse(0L)
+          + lr.map(l => math.round(1e6 / (Retrieval.RrfK + l))).getOrElse(0L)) / 1e6
+        assert(math.abs(r.getAs[Double]("rrf_score") - exp) < 1e-9)
+      }
+    }
+    // the lexical side is identical across variants: any pair ranked
+    // by BOTH variants' lexical modality carries the same lex_rank
+    val lex = Retrieval.hybridRrf(spark, sf()).collect()
+      .flatMap(r => Option(r.getAs[Any]("lex_rank")).map(_.asInstanceOf[Long])
+        .map((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> _))
+      .toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      Option(r.getAs[Any]("lex_rank")).map(_.asInstanceOf[Long]).foreach { lr =>
+        lex.get(k).foreach(expected => assert(expected == lr))
+      }
+    }
+  }
+
+  test("dsir resampling applies the exact acceptance coin per doc") {
+    val weights = Retrieval.dsirWeights(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_logratio"))
+    val langs = graft.Tables.documents(spark, sf())
+      .select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long](0) -> r.getAs[String](1)).toMap
+    val kept = weights.map { case (d, w) =>
+      // the operator quantizes exp BEFORE the coin; mirror it
+      val pU = math.min(1000000L, math.round(math.exp(w) * 1e6))
+      (langs(d), if (h60(s"${d}_dsir") % 1000000L < pU) 1L else 0L)
+    }
+    val exp = kept.groupBy(_._1).map { case (l, xs) =>
+      l -> ((xs.length.toLong, xs.map(_._2).sum))
+    }
+    val got = Retrieval.dsirSample(spark, sf()).collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val (n, k) = exp(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_kept") == k, s"lang ${r.getAs[String]("lang")}")
+      assert(math.abs(r.getAs[Double]("keep_frac")
+        - math.rint(k.toDouble / n * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
   test("corpus stats roll up exactly to the raw counts") {
     val docs = graft.Tables.documents(spark, sf())
       .select("doc_id", "source", "lang").collect()
