@@ -182,6 +182,9 @@ object SparkEntry {
     "text_bm25_topk" -> (Retrieval.bm25 _),
     "text_bm25_persisted" ->
       ((s: SparkSession, d: String) => LexIndex.bm25Persisted(s, d)),
+    "lex_index_health" ->
+      ((s: SparkSession, d: String) => LexIndex.indexHealth(s, d)),
+    "sim_hybrid_recall" -> (Retrieval.hybridRecall _),
     "sim_hybrid_rrf" -> (Retrieval.hybridRrf _),
     "sim_hybrid_rrf_ann" -> (Retrieval.hybridRrfAnn _),
     "text_dsir_weights" -> (Retrieval.dsirWeights _),
@@ -528,6 +531,8 @@ object SparkEntry {
     // identical semantics to text_bm25_topk by construction — the
     // same oracle verifies the persisted-postings serving path
     "text_bm25_persisted" -> Retrieval.bm25Sql(DuckDialect),
+    "lex_index_health" -> Retrieval.lexIndexHealthSql(DuckDialect),
+    "sim_hybrid_recall" -> Retrieval.hybridRecallSql(DuckDialect),
     "sim_hybrid_rrf" -> Retrieval.hybridRrfSql(DuckDialect),
     "sim_hybrid_rrf_ann" -> Retrieval.hybridRrfAnnSql(DuckDialect),
     "text_dsir_weights" -> Retrieval.dsirWeightsSql(DuckDialect),

@@ -145,7 +145,13 @@ object LexIndex {
     bm25Persisted(spark, dir, None)
 
   def bm25Persisted(spark: SparkSession, dir: String,
-                    storeBase: Option[String]): DataFrame = {
+                    storeBase: Option[String]): DataFrame =
+    serve(spark, autoStore(spark, dir, storeBase).toString)
+
+  /** Build-if-absent of the fingerprint-keyed auto store — shared by
+    * the persisted serving path and the shard-health audit. */
+  private def autoStore(spark: SparkSession, dir: String,
+      storeBase: Option[String]): org.apache.hadoop.fs.Path = {
     val docs = graft.Tables.documents(spark, dir)
     val fp = docs.agg(count(lit(1)), max(col("doc_id"))).head()
     require(fp.getLong(0) > 0,
@@ -163,6 +169,36 @@ object LexIndex {
       val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
     }
-    serve(spark, store.toString)
+    store
+  }
+
+  /** Per-shard health over the persisted postings (see
+    * `Retrieval.lexIndexHealthSql` — the oracle recomputing the same
+    * relation from raw documents).  Reads only (doc_id, term, tshard)
+    * — column-pruned — and applies the standing replay dedup so a
+    * streaming-maintained store audits identically. */
+  def indexHealth(spark: SparkSession, dir: String): DataFrame =
+    indexHealth(spark, dir, None)
+
+  def indexHealth(spark: SparkSession, dir: String,
+                  storeBase: Option[String]): DataFrame =
+    healthOf(spark, autoStore(spark, dir, storeBase).toString)
+
+  def healthOf(spark: SparkSession, indexPath: String): DataFrame = {
+    val posts = spark.read
+      .schema("doc_id BIGINT, term STRING, tf BIGINT, ndl BIGINT, tshard BIGINT")
+      .parquet(s"$indexPath/postings")
+      .select("doc_id", "term", "tshard")
+      .dropDuplicates("doc_id", "term")
+    val h = posts.groupBy("tshard")
+      .agg(count(lit(1)).as("n_posts"),
+        countDistinct(col("term")).as("n_terms"))
+    val t = h.agg(sum(col("n_posts")).as("total"), count(lit(1)).as("k"))
+    h.crossJoin(broadcast(t))
+      .select(col("tshard"), col("n_posts"), col("n_terms"),
+        round(col("n_posts").cast("double") / col("total"), 6).as("frac"),
+        round(col("n_posts").cast("double") * col("k") / col("total"), 6)
+          .as("balance"))
+      .orderBy("tshard")
   }
 }

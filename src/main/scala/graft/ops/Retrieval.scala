@@ -376,6 +376,75 @@ object Retrieval {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Hybrid-retrieval divergence harness — `sim_recall`'s discipline
+    * applied to the fused rankings: per query, how much of the exact
+    * hybrid's top-k (brute-force vector modality) the production
+    * hybrid (IVF vector modality) retains.  1.0 means the ANN swap
+    * changed nothing a user would see; the gap is the price of the
+    * sub-linear vector side AT THE FUSION LEVEL, which per-modality
+    * recall (`sim_recall`) cannot read off because RRF can mask or
+    * amplify a vector-rank change.  Like `sim_recall`, a measurement
+    * query: it deliberately pays for both pipelines. */
+  def hybridRecallSql(d: SqlDialect): String =
+    s"""WITH x AS (
+       |  SELECT query_id, neighbor_id FROM (${hybridRrfSql(d)}) hx),
+       |y AS (
+       |  SELECT query_id, neighbor_id FROM (${hybridRrfAnnSql(d)}) hy),
+       |c AS (
+       |  SELECT x.query_id, count(y.neighbor_id) AS n_common
+       |  FROM x LEFT JOIN y
+       |    ON y.query_id = x.query_id AND y.neighbor_id = x.neighbor_id
+       |  GROUP BY x.query_id)
+       |SELECT query_id, CAST(n_common AS BIGINT) AS n_common,
+       |  round(CAST(n_common AS DOUBLE) / ${d.dlit(TopK.toDouble)}, 6)
+       |    AS recall_frac
+       |FROM c ORDER BY query_id""".stripMargin
+
+  /** Per-shard health of the persisted lexical postings index — the
+    * `sim_index_health` projection for the BM25 store: posting and
+    * distinct-term counts per `tshard=` partition, corpus fraction,
+    * and balance (count / ideal-even count).  A hot shard means the
+    * term-hash is colliding a skewed vocabulary slice; serves probing
+    * that shard pay the skew.  Engine side reads ONLY the persisted
+    * store; the oracle recomputes the sharded posting relation from
+    * the raw documents, so a green check proves the store contents
+    * ARE the tokenize→shard semantics. */
+  def lexIndexHealthSql(d: SqlDialect): String =
+    s"""WITH ${lexCtes(d)},
+       |sh AS (
+       |  SELECT doc_id, term, ${d.h60("term")} % ${LexIndex.Shards} AS tshard
+       |  FROM tf),
+       |h AS (
+       |  SELECT tshard, CAST(count(*) AS BIGINT) AS n_posts,
+       |    CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+       |  FROM sh GROUP BY tshard),
+       |tt AS (
+       |  SELECT CAST(sum(n_posts) AS BIGINT) AS total,
+       |    CAST(count(*) AS BIGINT) AS k FROM h)
+       |SELECT h.tshard, h.n_posts, h.n_terms,
+       |  round(CAST(h.n_posts AS DOUBLE) / tt.total, 6) AS frac,
+       |  round(CAST(h.n_posts AS DOUBLE) * tt.k / tt.total, 6) AS balance
+       |FROM h CROSS JOIN tt
+       |ORDER BY h.tshard""".stripMargin
+
+  /** Engine side of `sim_hybrid_recall`: the two hybrid variants
+    * joined in the DataFrame API (top-k sets are |Q|·k rows — the
+    * join is a rounding error next to the pipelines). */
+  def hybridRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ex = hybridRrf(spark, dir).select("query_id", "neighbor_id")
+    val an = hybridRrfAnn(spark, dir).select("query_id", "neighbor_id")
+    val common = ex.join(an, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    ex.select("query_id").distinct()
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).cast("long").as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") / TopK, 6)
+          .as("recall_frac"))
+      .orderBy("query_id")
+  }
+
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir).createOrReplaceTempView("documents")

@@ -438,8 +438,38 @@ object Similarity {
        |FROM tot t JOIN mj m ON m.cid = t.cid AND m.rn = 1
        |ORDER BY t.cid""".stripMargin
 
-  def clusterPurity(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir, clusterPuritySql(SparkDialect))
+  /** Engine side reads the PERSISTED k-means store (the `indexHealth`
+    * pattern — build-if-absent, then one column-pruned scan of the
+    * lists) and joins the labels; the SQL form above recomputes the
+    * whole Lloyd chain from raw embeddings as the oracle, so a green
+    * check proves the persisted lists carry the exact assignment the
+    * audit claims to measure. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val n = ivfBase(spark, dir)
+    val cents = trainCodebookCached(spark, dir, n)
+    val store = kmeansStorePath(spark, dir, None, "km", cents)
+    val asgn = spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, cid BIGINT")
+      .parquet(store.toString)
+      .select($"vec_id", $"cid")
+    val lbl = Tables.embeddings(spark, dir).select($"vec_id", $"label")
+    val cl = asgn.join(lbl, "vec_id")
+      .groupBy($"cid", $"label").agg(count(lit(1)).as("n"))
+    val tot = cl.groupBy($"cid").agg(sum($"n").as("sz"))
+    val mj = cl.withColumn("rn", row_number().over(
+        Window.partitionBy($"cid").orderBy($"n".desc, $"label")))
+      .filter($"rn" === 1)
+    tot.join(mj, "cid")
+      .select($"cid", $"sz".cast("long").as("cluster_size"),
+        $"label".cast("int").as("majority_label"),
+        $"n".cast("long").as("majority_n"),
+        round($"n".cast("double") / $"sz", 6).as("purity"))
+      .orderBy($"cid")
+  }
 
   /** ANN recall measurement: per query vector, the fraction of the
     * TRUE cosine top-5 (`topK` restricted to rank ≤ 5 — the exact

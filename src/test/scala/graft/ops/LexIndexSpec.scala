@@ -60,6 +60,21 @@ class LexIndexSpec extends SparkSuite {
     assert(raw.count() == raw.dropDuplicates("doc_id", "term").count())
   }
 
+  test("shard health audits a replayed store identically") {
+    val path = java.nio.file.Files.createTempDirectory("lexh").toString
+    LexIndex.append(spark, path, docsAll, "b0")
+    val clean = rows(LexIndex.healthOf(spark, path))
+    assert(clean.nonEmpty)
+    // invariants: fractions sum to 1, balance averages to 1
+    val fracs = clean.map(_(3).asInstanceOf[Double])
+    assert(math.abs(fracs.sum - 1.0) < 1e-3)
+    val bals = clean.map(_(4).asInstanceOf[Double])
+    assert(math.abs(bals.sum / bals.length - 1.0) < 1e-3)
+    // replayed postings do not change the audit (dedup shield)
+    LexIndex.append(spark, path, docsAll, "b0")
+    assert(rows(LexIndex.healthOf(spark, path)) == clean)
+  }
+
   test("streaming maintenance converges to the batch build") {
     implicit val sqlCtx = spark.sqlContext
     val full = docsAll.collect().map(r => (r.getLong(0), r.getString(1)))

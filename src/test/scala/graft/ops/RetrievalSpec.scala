@@ -160,6 +160,22 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("hybrid recall is the exact top-k overlap of the two variants") {
+    val ex = Retrieval.hybridRrf(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val an = Retrieval.hybridRrfAnn(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = Retrieval.hybridRecall(spark, sf()).collect()
+    assert(got.map(_.getAs[Long]("query_id")).toSet == ex.map(_._1))
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val expected = ex.filter(_._1 == q).count(an.contains)
+      assert(r.getAs[Long]("n_common") == expected)
+      assert(math.abs(r.getAs[Double]("recall_frac")
+        - expected.toDouble / Retrieval.TopK) < 1e-9)
+    }
+  }
+
   test("dsir resampling applies the exact acceptance coin per doc") {
     val weights = Retrieval.dsirWeights(spark, sf()).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_logratio"))
