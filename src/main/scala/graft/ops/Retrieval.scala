@@ -212,6 +212,14 @@ object Retrieval {
        |${lexRankCtes(d)},
        |${fusionTail(d)}""".stripMargin
 
+  /** Query-term budget for document-as-query retrieval: only the
+    * `MltTerms` highest-tf·idf terms of the query document are
+    * searched — Lucene More-Like-This's "interesting terms" cap.
+    * Bounds the posting-join fan-out per query regardless of document
+    * length, and drops the least-selective (low-idf) terms first —
+    * the ones whose postings are longest and contribute least. */
+  val MltTerms = 8
+
   /** Lexical document-as-query ranking CTEs (query docs ≡ 0 mod 100),
     * ending in `ltop(qid, nid, lrank)` — shared by both hybrid
     * variants. */
@@ -219,7 +227,13 @@ object Retrieval {
     s"""${lexCtes(d)},
        |${idfCte(d)},
        |qt AS (
-       |  SELECT doc_id AS qid, term FROM tf WHERE doc_id % 100 = 0),
+       |  SELECT qid, term FROM (
+       |    SELECT tf.doc_id AS qid, tf.term,
+       |      row_number() OVER (PARTITION BY tf.doc_id
+       |        ORDER BY i.idf_u * tf.tf DESC, tf.term) AS trn
+       |    FROM tf JOIN idf i ON i.term = tf.term
+       |    WHERE tf.doc_id % 100 = 0) z
+       |  WHERE trn <= $MltTerms),
        |ls AS (
        |  SELECT qt.qid, tf.doc_id AS nid, sum(${contribExpr(d)}) AS s_u
        |  FROM qt
