@@ -134,6 +134,78 @@ object StreamingCuration {
         col("text"), col("n_tokens"), col("mean_surprisal"))
   }
 
+  /** DSIR λ model fit on a reference corpus — (fb, l_u) per hashed
+    * feature bucket with the µ-quantized log-likelihood ratio of
+    * `Retrieval.dsirWeightsSql` (target = the English slice), plus
+    * the smoothed default for buckets the corpus never hashed into.
+    * Fit once batch-side, then served into the stream gate below:
+    * the fit-batch / score-stream split the surprisal gate uses —
+    * selection models are trained offline and applied online. */
+  def dsirModel(corpus: DataFrame): (DataFrame, Long) = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val b = graft.ops.Retrieval.DsirBuckets
+    val f = corpus.select(col("lang"),
+      expr(s"explode(${SparkDialect.tokens("text")})").as("token"))
+      .select(col("lang"), expr(s"graft_h60(token) % $b").as("fb"))
+    val cr = f.groupBy("fb").agg(count(lit(1)).as("c"))
+    val ct = f.filter(col("lang") === "en")
+      .groupBy("fb").agg(count(lit(1)).as("ct"))
+    val totals = cr.agg(sum(col("c"))).head().getLong(0).toDouble
+    val totalT = f.filter(col("lang") === "en").count().toDouble
+    val lam = cr.join(ct, Seq("fb"), "left")
+      .select(col("fb"),
+        round((log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0)
+            / lit(totalT + b))
+          - log((col("c").cast("double") + 1.0) / lit(totals + b))) * 1e6)
+          .cast("long").as("l_u"))
+    // add-1 smoothing value for a bucket with zero evidence on both
+    // sides — what an unseen (out-of-vocabulary) bucket scores
+    val oovQ = math.round((math.log(1.0 / (totalT + b))
+      - math.log(1.0 / (totals + b))) * 1e6)
+    (lam, oovQ)
+  }
+
+  /** DSIR acceptance gate for the live feed — the streaming form of
+    * `text_dsir_sample`: the (tiny, broadcast) λ model joins each
+    * document's hashed token buckets, a windowed per-doc aggregation
+    * sums the quantized log-ratios, and the deterministic salted coin
+    * keeps the doc with probability min(1, exp(mean log-ratio)).
+    * Buckets absent from the model score the add-1 prior's log-ratio
+    * ln((Nr+B)/(Nt+B)) (`oovQ` from `dsirModel`) — the batch
+    * formula's zero-evidence limit: bounded, deterministic, never a
+    * crash or a silent drop.  Same µ-quantized integer arithmetic as
+    * the batch operator — the spec pins kept sets equal given the
+    * same frozen model. */
+  def dsirGate(docs: DataFrame, model: DataFrame, oovQ: Long,
+               watermark: String = "30 days",
+               windowDur: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.functions._
+    val b = graft.ops.Retrieval.DsirBuckets
+    val coin = SparkDialect.h60(s"${SparkDialect.castStr("doc_id")} || '_dsir'")
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .select(col("doc_id"), col("ingest_ts"),
+        expr(s"explode(${SparkDialect.tokens("text")})").as("token"))
+      .select(col("doc_id"), col("ingest_ts"),
+        expr(s"graft_h60(token) % $b").as("fb"))
+      .join(broadcast(model), Seq("fb"), "left")
+      .select(col("doc_id"), col("ingest_ts"),
+        coalesce(col("l_u"), lit(oovQ)).as("q"))
+      .groupBy(window(col("ingest_ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("q")).as("w_u"))
+      .withColumn("p_u", least(lit(1000000L),
+        expr("CAST(round(exp(CAST(w_u AS DOUBLE) / (1000000.0D * n_tokens))"
+          + " * 1000000.0D) AS BIGINT)")))
+      .filter(expr(s"($coin % 1000000) < p_u"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("n_tokens"),
+        round(col("w_u").cast("double") / (lit(1e6) * col("n_tokens")), 6)
+          .as("dsir_logratio"))
+  }
+
   /** The COMPOSED curation DAG as one streaming job: quality gate →
     * PII redaction → surprisal gate → near-dup dedup, append mode end
     * to end.  Stage order mirrors the batch pipeline: quality scores

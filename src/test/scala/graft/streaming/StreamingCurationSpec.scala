@@ -145,4 +145,53 @@ class StreamingCurationSpec extends SparkSuite {
       .collect()
     assert(tight.length < batchScores.size && tight.nonEmpty)
   }
+
+  test("dsir gate keeps exactly the batch sampler's documents") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def flushTs = new java.sql.Timestamp(t0.getTime + 60L * 86400L * 1000L)
+    val corpus = graft.Tables.documents(spark, sf())
+    val (model, oovQ) = StreamingCuration.dsirModel(corpus)
+    val m = model.cache()
+
+    // batch expectation: the weight operator's logratio + the exact
+    // acceptance coin of text_dsir_sample
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val weights = graft.ops.Retrieval.dsirWeights(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_logratio"))
+      .toMap
+    val expKept = weights.filter { case (d, w) =>
+      val pU = math.min(1000000L, math.round(math.exp(w) * 1e6))
+      h60(s"${d}_dsir") % 1000000L < pU
+    }
+
+    val rows = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), t0, r.getString(1)))
+    val (r1, r2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingCuration.dsirGate(
+        input.toDS().toDF("doc_id", "ingest_ts", "text"), m, oovQ)
+      .writeStream.format("memory").queryName("dsir_gated")
+      .outputMode("append").start()
+    try {
+      input.addData(r1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(r2.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(Seq((9001L, flushTs, "flush one"))); q.processAllAvailable()
+      input.addData(Seq((9002L, flushTs, "flush two"))); q.processAllAvailable()
+      val streamed = spark.table("dsir_gated")
+        .filter($"doc_id" < 9000L)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Double]("dsir_logratio")).toMap
+      assert(streamed.keySet == expKept.keySet, "kept set == batch sampler")
+      // and the reported logratio is the weight operator's, exactly
+      streamed.foreach { case (d, w) =>
+        assert(math.abs(w - weights(d)) < 1e-9, s"doc $d")
+      }
+    } finally q.stop()
+  }
 }
