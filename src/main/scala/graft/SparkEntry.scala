@@ -190,6 +190,7 @@ object SparkEntry {
     "text_dsir_weights" -> (Retrieval.dsirWeights _),
     "text_dsir_sample" -> (Retrieval.dsirSample _),
     "text_corpus_stats" -> (Retrieval.corpusStats _),
+    "text_k_anonymity" -> (Retrieval.kAnonymity _),
     "sim_cluster_purity" -> (Similarity.clusterPurity _),
     // Multimodal binary-column plumbing
     "mm_inventory" -> (Multimodal.inventory _),
@@ -538,6 +539,7 @@ object SparkEntry {
     "text_dsir_weights" -> Retrieval.dsirWeightsSql(DuckDialect),
     "text_dsir_sample" -> Retrieval.dsirSampleSql(DuckDialect),
     "text_corpus_stats" -> Retrieval.corpusStatsSql(DuckDialect),
+    "text_k_anonymity" -> Retrieval.kAnonymitySql(DuckDialect),
     "sim_cluster_purity" -> Similarity.clusterPuritySql(DuckDialect),
     "mm_inventory" -> Multimodal.inventoryOracleSql,
     "mm_video_frames" -> Multimodal.videoFramesOracleSql,

@@ -385,6 +385,37 @@ object Retrieval {
        |FROM p GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** k-anonymity audit over the corpus's quasi-identifiers — the
+    * privacy-release check that complements the PII scan (`text_pii`
+    * finds direct identifiers; this finds documents REIDENTIFIABLE by
+    * attribute combination): every (source, lang, length-bucket)
+    * equivalence class of size < k is a re-identification risk for
+    * its members.  Reported per source: class count, how many classes
+    * are below the bar, the smallest class, and the member count at
+    * risk — the table a release review signs off on.
+    *
+    * Scale: one groupBy over the quasi-identifier tuple (map-side
+    * combining; class count bounded by the attribute product, not the
+    * corpus) and a per-source rollup of the class relation. */
+  def kAnonymitySql(d: SqlDialect, k: Int = 5): String =
+    s"""WITH t AS (
+       |  SELECT source, lang,
+       |    ${d.intDiv(s"CAST(${d.arrSize(d.tokens("text"))} AS BIGINT)", "32")}
+       |      AS len_bucket
+       |  FROM documents),
+       |cls AS (
+       |  SELECT source, lang, len_bucket, count(*) AS sz
+       |  FROM t GROUP BY source, lang, len_bucket)
+       |SELECT source,
+       |  count(*) AS n_classes,
+       |  CAST(sum(CASE WHEN sz < $k THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_small_classes,
+       |  CAST(min(sz) AS BIGINT) AS min_class_size,
+       |  CAST(sum(CASE WHEN sz < $k THEN sz ELSE 0 END) AS BIGINT)
+       |    AS n_at_risk
+       |FROM cls GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** Corpus data card: one GROUPING SETS pass emitting per-source,
     * per-language and whole-corpus rows of the statistics a dataset
     * release documents — document/token counts, exact-duplicate
@@ -504,4 +535,6 @@ object Retrieval {
     run(spark, dir, dsirWeightsSql(SparkDialect))
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, corpusStatsSql(SparkDialect))
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, kAnonymitySql(SparkDialect))
 }

@@ -222,6 +222,29 @@ class RetrievalSpec extends SparkSuite {
     assert(tot.getAs[Double]("dup_frac") >= 0.0 && tot.getAs[Double]("dup_frac") < 1.0)
   }
 
+  test("k-anonymity classes partition the corpus with exact counts") {
+    val docs = graft.Tables.documents(spark, sf()).collect()
+    val toks = tokensByDoc
+    val classes = docs.groupBy { r =>
+      (r.getAs[String]("source"), r.getAs[String]("lang"),
+        toks(r.getAs[Long]("doc_id")).size / 32)
+    }.map { case (_, xs) => xs.length }
+    val rows = Retrieval.kAnonymity(spark, sf()).collect()
+    // class counts roll up to the corpus; per-source figures exact
+    assert(rows.map(_.getAs[Long]("n_classes")).sum == classes.size)
+    val bySource = docs.groupBy(_.getAs[String]("source"))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val cls = bySource(src).groupBy { x =>
+        (x.getAs[String]("lang"), toks(x.getAs[Long]("doc_id")).size / 32)
+      }.map(_._2.length)
+      assert(r.getAs[Long]("n_classes") == cls.size)
+      assert(r.getAs[Long]("min_class_size") == cls.min)
+      assert(r.getAs[Long]("n_small_classes") == cls.count(_ < 5))
+      assert(r.getAs[Long]("n_at_risk") == cls.filter(_ < 5).sum)
+    }
+  }
+
   test("cluster purity covers every vector with exact ratios") {
     val nVec = graft.Tables.embeddings(spark, sf()).count()
     val rows = Similarity.clusterPurity(spark, sf()).collect()
