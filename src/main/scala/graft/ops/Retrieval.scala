@@ -527,8 +527,51 @@ object Retrieval {
     run(spark, dir, bm25Sql(SparkDialect))
   def hybridRrf(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, hybridRrfSql(SparkDialect))
-  def hybridRrfAnn(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir, hybridRrfAnnSql(SparkDialect))
+
+  /** Engine side of `sim_hybrid_rrf_ann`: the vector modality is
+    * SERVED FROM the persisted trained-k-means store
+    * (`Similarity.kmeansStoreTopN` — build-if-absent, partition-
+    * pruned probes) instead of re-deriving the Lloyd chain, and the
+    * fusion runs in the DataFrame API over the two tiny rank
+    * relations.  The single-statement SQL (`hybridRrfAnnSql`), which
+    * recomputes everything from raw tables, stays as the oracle — a
+    * green check proves the store-served candidates and the
+    * from-scratch chain agree end-to-end. */
+  def hybridRrfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val vtop = Similarity.kmeansStoreTopN(spark, dir, FuseDepth)
+    val ltop = run(spark, dir,
+      s"WITH ${lexRankCtes(SparkDialect)} SELECT qid, nid, lrank FROM ltop")
+    fuse(vtop, ltop)
+  }
+
+  /** DataFrame twin of `fusionTail` — identical µ-quantized RRF
+    * arithmetic and tie-breaks over (qid, nid, vrank) ⋈ (qid, nid,
+    * lrank). */
+  private def fuse(vtop: DataFrame, ltop: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val u = vtop.as("v")
+      .join(ltop.as("l"),
+        col("v.qid") === col("l.qid") && col("v.nid") === col("l.nid"),
+        "full")
+      .select(coalesce(col("v.qid"), col("l.qid")).as("qid"),
+        coalesce(col("v.nid"), col("l.nid")).as("nid"),
+        col("v.vrank").as("vrank"), col("l.lrank").as("lrank"))
+    u.withColumn("rrf_u",
+        coalesce(expr(s"CAST(round(1000000.0D / ($RrfK + vrank)) AS BIGINT)"),
+          lit(0L))
+          + coalesce(expr(s"CAST(round(1000000.0D / ($RrfK + lrank)) AS BIGINT)"),
+            lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rrf_u").desc, col("nid"))))
+      .filter(col("rn") <= TopK)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        round(col("rrf_u").cast("double") / 1e6, 6).as("rrf_score"),
+        col("vrank").cast("long").as("vec_rank"),
+        col("lrank").cast("long").as("lex_rank"),
+        col("rn").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
   def dsirSample(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, dsirSampleSql(SparkDialect))
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =

@@ -1096,6 +1096,47 @@ object Similarity {
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
   }
 
+  /** Per-query top-`topn` candidates (qid, nid, vrank) served from
+    * the persisted trained-k-means store — the vector modality of
+    * `Retrieval.hybridRrfAnn`.  Ranks use the hybrid's discipline
+    * (cosine rounded to the 10⁻⁶ grid BEFORE ranking, nid
+    * tie-break), identical to `kmeansCandCtes` + ranking in the
+    * oracle SQL; serving from the store instead of re-deriving the
+    * Lloyd chain per reference is what keeps the hybrid's vector
+    * side at store-serve cost. */
+  private[ops] def kmeansStoreTopN(spark: SparkSession, dir: String,
+      topn: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val n = ivfBase(spark, dir)
+    val cents = trainCodebookCached(spark, dir, n)
+    val store = kmeansStorePath(spark, dir, None, "km", cents)
+    val probe = probeCids(n.filter($"vec_id" % 100 === 0), cents)
+    val queries = n.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val probedCids = probe.select($"cid").distinct().as[Long].collect().sorted
+    val lists = spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, cid BIGINT")
+      .parquet(store.toString)
+      .filter($"cid".isin(probedCids: _*))
+      .select($"vec_id", $"cid",
+        expr(SparkDialect.toDoubleArr("embedding")).as("nv"))
+      .withColumn("nn", expr("sqrt(graft_dot(nv, nv))"))
+    lists.join(broadcast(probe), "cid")
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"), $"nv", $"nn")
+      .dropDuplicates("qid", "nid")
+      .join(broadcast(queries), "qid")
+      .select($"qid", $"nid",
+        round(expr("graft_dot(qv, nv)").divide($"qn" * $"nn"), 6).as("cs"))
+      .withColumn("vrank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cs".desc, $"nid")))
+      .filter($"vrank" <= topn)
+      .select($"qid", $"nid", $"vrank".cast("long").as("vrank"))
+  }
+
   /** `ivfQuantizedPersisted`'s int8 store and serving over the
     * TRAINED k-means codebook — the full production combination:
     * train once (deterministic µ-quantized Lloyd), persist
