@@ -233,4 +233,35 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.substring(0, genIdx).contains("filter") ||
       p.substring(genIdx).contains("filter(sequence"), p.take(1500))
   }
+
+  test("bm25 reads only doc_id and text; idf/stats sides broadcast") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(1500))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), "idf/stats must broadcast")
+  }
+
+  test("persisted bm25 serve prunes to the query terms' shards") {
+    val q = SparkEntry.queries("text_bm25_persisted")(spark, sf())
+    q.count() // materialize (and build the store if absent)
+    val p = q.queryExecution.executedPlan.toString
+    // the shard set is a literal in the scan's partition filters, so
+    // unqueried tshard= directories are never opened
+    assert(p.contains("PartitionFilters") && p.contains("tshard"),
+      p.take(2000))
+    // and the term equality reaches the parquet row groups
+    assert(p.contains("PushedFilters") && p.contains("In(term"),
+      p.take(2000))
+  }
+
+  test("dsir weights join the lambda table broadcast, never shuffled") {
+    val q = SparkEntry.queries("text_dsir_weights")(spark, sf())
+    q.count()
+    val nodes = planSubtree(q.queryExecution.executedPlan).map(_.nodeName)
+    assert(nodes.exists(_.contains("BroadcastHashJoin")),
+      s"lambda join must broadcast in: ${nodes.distinct}")
+    assert(!nodes.exists(_.contains("SortMergeJoin")),
+      "a 4096-bucket dim table must never shuffle the postings")
+  }
 }
