@@ -192,6 +192,9 @@ object SparkEntry {
     "text_corpus_stats" -> (Retrieval.corpusStats _),
     "text_k_anonymity" -> (Retrieval.kAnonymity _),
     "sim_cluster_purity" -> (Similarity.clusterPurity _),
+    "sim_cluster_sample" -> (Similarity.clusterSample _),
+    "text_chunk_bm25" -> (Retrieval.chunkBm25 _),
+    "text_mixture_temperature" -> (TextAnalysis.mixtureTemperature _),
     // Multimodal binary-column plumbing
     "mm_inventory" -> (Multimodal.inventory _),
     "mm_video_frames" -> (Multimodal.videoFrames _),
@@ -541,6 +544,10 @@ object SparkEntry {
     "text_corpus_stats" -> Retrieval.corpusStatsSql(DuckDialect),
     "text_k_anonymity" -> Retrieval.kAnonymitySql(DuckDialect),
     "sim_cluster_purity" -> Similarity.clusterPuritySql(DuckDialect),
+    "sim_cluster_sample" -> Similarity.clusterSampleSql(DuckDialect),
+    "text_chunk_bm25" -> Retrieval.chunkBm25Sql(DuckDialect),
+    "text_mixture_temperature" ->
+      TextAnalysis.mixtureTemperatureSql(DuckDialect),
     "mm_inventory" -> Multimodal.inventoryOracleSql,
     "mm_video_frames" -> Multimodal.videoFramesOracleSql,
     "mm_image_resize" -> Multimodal.imageResizeOracleSql,

@@ -142,6 +142,89 @@ object Retrieval {
        |ORDER BY rank""".stripMargin
   }
 
+  /** Passage-level BM25 — `text_bm25_topk` re-run at CHUNK
+    * granularity: the corpus is sharded by `TextAnalysis`'s
+    * fixed-window chunker (window `ChunkWindow`, overlap
+    * `ChunkOverlap` — the same spans `text_chunking` emits), each
+    * chunk becomes a retrieval unit with its own length
+    * normalization, and the fixed keyword query ranks chunks.  This
+    * is the production RAG retrieval shape: documents are too coarse
+    * to feed a context window, so the index unit is the passage, and
+    * the hit carries (doc_id, chunk_id) so the caller can fetch the
+    * exact span.  Corpus statistics (N, avgdl, df) are chunk-level —
+    * the standard choice when the passage store IS the index.
+    *
+    * Determinism: the identical integer µ-quantized BM25 chain as
+    * `bm25Sql` (quantized idf, re-quantized per-posting
+    * contributions, integer per-chunk sums); chunk membership is pure
+    * arithmetic over the token count.  Scale: chunking is a narrow
+    * per-document generate (no shuffle); tf/df are map-side-combining
+    * aggregates over the chunk postings; the query-term filter prunes
+    * candidates to chunks containing ≥ 1 query term exactly as in the
+    * document-level operator — never a corpus scan. */
+  def chunkBm25Sql(d: SqlDialect): String = {
+    val w = TextAnalysis.ChunkWindow
+    val s = TextAnalysis.ChunkWindow - TextAnalysis.ChunkOverlap
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
+       |nq AS (
+       |  SELECT doc_id, toks, ${d.arrSize("toks")} AS n_tok FROM tok0),
+       |cdef AS (
+       |  SELECT doc_id, toks, n_tok,
+       |    (CASE WHEN n_tok <= $w THEN 1
+       |     ELSE 1 + ${d.intDiv(s"(n_tok - $w + $s - 1)", s.toString)}
+       |     END) AS n_chunks
+       |  FROM nq),
+       |cx AS (
+       |  SELECT doc_id, toks,
+       |    ${d.explode(d.sequence0("n_chunks"))} AS chunk_id
+       |  FROM cdef),
+       |c AS (
+       |  SELECT doc_id, chunk_id,
+       |    ${d.arrSlice("toks", s"chunk_id * $s + 1", w.toString)} AS ctoks
+       |  FROM cx),
+       |dl AS (
+       |  SELECT doc_id, chunk_id, CAST(${d.arrSize("ctoks")} AS BIGINT) AS ndl
+       |  FROM c),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    CAST(sum(ndl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM dl),
+       |tokc AS (
+       |  SELECT doc_id, chunk_id, ${d.explode("ctoks")} AS term FROM c),
+       |tf AS (
+       |  SELECT doc_id, chunk_id, term, count(*) AS tf
+       |  FROM tokc GROUP BY doc_id, chunk_id, term),
+       |df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |idf AS (
+       |  SELECT df.term, ${idfExpr(d, "s.n_docs", "df.df")} AS idf_u
+       |  FROM df CROSS JOIN stats s),
+       |qtf AS (
+       |  SELECT doc_id, chunk_id, term, tf FROM tf
+       |  WHERE ${d.containedIn("term", QueryTerms)}),
+       |sc AS (
+       |  SELECT qtf.doc_id, qtf.chunk_id,
+       |    ${contribCols(d, "i.idf_u", "qtf.tf", "dl.ndl", "s.avgdl")} AS c_u
+       |  FROM qtf
+       |  JOIN idf i ON i.term = qtf.term
+       |  JOIN dl ON dl.doc_id = qtf.doc_id AND dl.chunk_id = qtf.chunk_id
+       |  CROSS JOIN stats s),
+       |agg AS (
+       |  SELECT doc_id, chunk_id, count(*) AS n_hit_terms, sum(c_u) AS s_u
+       |  FROM sc GROUP BY doc_id, chunk_id),
+       |r AS (
+       |  SELECT doc_id, chunk_id, n_hit_terms, s_u,
+       |    row_number() OVER (ORDER BY s_u DESC, doc_id, chunk_id) AS rn
+       |  FROM agg)
+       |SELECT CAST(rn AS BIGINT) AS rank, doc_id,
+       |  CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  round(CAST(s_u AS DOUBLE) / $Quant, 6) AS bm25,
+       |  CAST(n_hit_terms AS BIGINT) AS n_hit_terms
+       |FROM r WHERE rn <= $TopK
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion: for each query
     * document (doc_id ≡ 0 mod 100 — the similarity family's standing
     * query-set convention, and doc_id ≡ vec_id in the fixtures), fuse
@@ -525,6 +608,8 @@ object Retrieval {
 
   def bm25(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, bm25Sql(SparkDialect))
+  def chunkBm25(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, chunkBm25Sql(SparkDialect))
   def hybridRrf(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, hybridRrfSql(SparkDialect))
 

@@ -471,6 +471,71 @@ object Similarity {
       .orderBy($"cid")
   }
 
+  /** Closing CTEs of the cluster-balanced sample, over whatever
+    * `asgn(vec_id, cid)` relation precedes them: per-cluster quota
+    * Q = ⌈n / (5·k)⌉ (a 20 % corpus budget split evenly over the k
+    * non-empty clusters — all-integer arithmetic), members ranked
+    * inside each cluster by a salted content-independent hash of the
+    * vector id (ties impossible in expectation, id tie-break pinned
+    * anyway), rank ≤ Q kept. */
+  private def clusterSampleTail(d: SqlDialect): String = {
+    val salted = d.h60(s"${d.castStr("a.vec_id")} || '_cbs'")
+    s"""qn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(DISTINCT cid) AS BIGINT) AS k
+       |  FROM asgn),
+       |rk AS (
+       |  SELECT a.vec_id, a.cid,
+       |    row_number() OVER (PARTITION BY a.cid
+       |      ORDER BY $salted, a.vec_id) AS prn
+       |  FROM asgn a)
+       |SELECT r.cid, r.vec_id, CAST(r.prn AS BIGINT) AS pick_rank
+       |FROM rk r CROSS JOIN qn
+       |WHERE r.prn <= ${d.intDiv("(qn.n + 5 * qn.k - 1)", "(5 * qn.k)")}
+       |ORDER BY r.cid, pick_rank""".stripMargin
+  }
+
+  /** Cluster-balanced diversity sampling over the trained k-means
+    * partition — the data-selection move cluster structure exists
+    * for (DeepMind's SemDeDup/D4 lineage: sample evenly across
+    * semantic clusters instead of i.i.d., so head topics stop
+    * drowning tail topics): each non-empty cluster contributes up to
+    * Q = ⌈n/(5k)⌉ members (a 20 % corpus budget, evenly split), and
+    * WHICH members is decided by the deterministic salted-hash rank —
+    * reproducible run-to-run and engine-to-engine, no RNG.  A cluster
+    * smaller than its quota is taken whole: the per-cluster shortfall
+    * stays visible to the caller (pick_rank < Q rows missing) rather
+    * than silently re-allocated to big clusters, which would re-skew
+    * exactly what the balanced sample exists to fix.
+    *
+    * Scale: the rank window partitions by `cid` — the persisted
+    * store's own partition key, so rows are already co-located by the
+    * index layout; the quota is a 1-row broadcast.  Nothing grows
+    * beyond the assignment relation. */
+  def clusterSampleSql(d: SqlDialect): String =
+    s"""WITH ${kmeansCandCtes(d)},
+       |${clusterSampleTail(d)}""".stripMargin
+
+  /** Engine side of `sim_cluster_sample`: the assignment relation is
+    * READ FROM the persisted trained-k-means store (build-if-absent —
+    * the `clusterPurity` pattern) instead of re-deriving the Lloyd
+    * chain; the oracle recomputes training from raw embeddings, so a
+    * green check proves the store-served sample is the from-scratch
+    * sample. */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val n = ivfBase(spark, dir)
+    val cents = trainCodebookCached(spark, dir, n)
+    val store = kmeansStorePath(spark, dir, None, "km", cents)
+    spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, cid BIGINT")
+      .parquet(store.toString)
+      .select($"vec_id", $"cid")
+      .createOrReplaceTempView("asgn")
+    spark.sql(s"WITH ${clusterSampleTail(SparkDialect)}")
+  }
+
   /** ANN recall measurement: per query vector, the fraction of the
     * TRUE cosine top-5 (`topK` restricted to rank ≤ 5 — the exact
     * brute-force baseline) that each approximate variant recovers —

@@ -489,6 +489,70 @@ object TextAnalysis {
        |ORDER BY lang""".stripMargin
   }
 
+  /** Exponent for the temperature-scaled mixture: XLM-R's α = 0.7
+    * (Conneau et al. 2020 sample languages ∝ qᵢ^α; mT5 uses the
+    * sharper α = 0.3).  α < 1 flattens the head and upweights tail
+    * languages; α = 1 is natural sampling, α → 0 the equal-share
+    * degenerate case `text_mixture_plan` models. */
+  val MixtureAlpha = 0.7
+
+  /** Temperature-scaled mixture plan (the XLM-R / mT5 sampling rule,
+    * UniMax's point of comparison): language shares ∝ qᵢ^α where
+    * qᵢ is the natural token share and α = `MixtureAlpha` < 1 — the
+    * head is flattened, the tail upweighted, natural ordering
+    * preserved (unlike equal-share).  Reports, per language, the
+    * natural share, the temperature share, and the sampling rate /
+    * expected tokens that realize the temperature mixture under the
+    * same half-corpus token budget as `text_mixture_plan` (rates cap
+    * at 1.0; an over-asked tail language is taken whole and the
+    * shortfall stays visible rather than re-allocated).
+    *
+    * Determinism discipline for the one transcendental chain: qᵢ is a
+    * ratio of identical BIGINTs (exactly-rounded division → identical
+    * doubles), ln(qᵢ) is µ-quantized the instant it leaves libm, the
+    * ×α runs on the quantized grid point, and exp's 1-ulp noise
+    * on a value ≤ 1 is ~10⁻¹⁶ — absorbed by the 10⁻⁶ re-quantization
+    * (the `dsirSampleSql` exp discipline).  Shares are then ratios of
+    * integer weight sums: exact.
+    *
+    * Scale: identical shape to `text_mixture_plan` — one per-language
+    * aggregate, two 1-row broadcasts; scan-bound at any corpus. */
+  def mixtureTemperatureSql(d: SqlDialect): String = {
+    val quant = d.dlit(1e6)
+    val alpha = d.dlit(MixtureAlpha)
+    // w_u = round(exp(alpha * round(ln(q)*1e6)/1e6) * 1e6): the
+    // µ-quantized q^α in integer micro-units.
+    val wU =
+      s"""CAST(round(exp($alpha *
+         |      CAST(CAST(round(ln(CAST(l.lang_tokens AS DOUBLE) / g.total_tokens)
+         |        * $quant) AS BIGINT) AS DOUBLE) / $quant) * $quant) AS BIGINT)""".stripMargin
+    val rate =
+      s"""least(${d.dlit(1.0)},
+         |    CAST(w.total_tokens AS DOUBLE) / 2
+         |      * (CAST(w.w_u AS DOUBLE) / tw.tw) / w.lang_tokens)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT lang, CAST(${d.arrSize(d.tokens("text"))} AS BIGINT) AS ntok
+       |  FROM documents),
+       |l AS (
+       |  SELECT lang, CAST(sum(ntok) AS BIGINT) AS lang_tokens
+       |  FROM t GROUP BY lang),
+       |g AS (
+       |  SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM l),
+       |w AS (
+       |  SELECT l.lang, l.lang_tokens, g.total_tokens, $wU AS w_u
+       |  FROM l CROSS JOIN g),
+       |tw AS (
+       |  SELECT CAST(sum(w_u) AS BIGINT) AS tw FROM w)
+       |SELECT w.lang, w.lang_tokens,
+       |  round(CAST(w.lang_tokens AS DOUBLE) / w.total_tokens, 6)
+       |    AS natural_share,
+       |  round(CAST(w.w_u AS DOUBLE) / tw.tw, 6) AS temp_share,
+       |  round($rate, 6) AS sample_rate,
+       |  CAST(round($rate * w.lang_tokens, 0) AS BIGINT) AS expected_tokens
+       |FROM w CROSS JOIN tw
+       |ORDER BY lang""".stripMargin
+  }
+
   /** Corpus-wide duplicated-span measurement in the style of Lee et
     * al. 2021 ("Deduplicating Training Data Makes Language Models
     * Better", arXiv:2107.06499): per document, the fraction of token
@@ -922,6 +986,8 @@ object TextAnalysis {
     run(spark, dir, repetitionSql(SparkDialect))
   def mixturePlan(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, mixturePlanSql(SparkDialect))
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, mixtureTemperatureSql(SparkDialect))
   def dupSpans(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, dupSpansSql(SparkDialect))
   def pii(spark: SparkSession, dir: String): DataFrame =

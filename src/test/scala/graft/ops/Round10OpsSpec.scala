@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.SparkSuite
+
+/** Independent verification of the round-10 additions: passage-level
+  * BM25, the temperature-scaled mixture, and cluster-balanced
+  * sampling — each recomputed in plain Scala from the raw fixture
+  * tables (third implementation besides engine and DuckDB oracle). */
+class Round10OpsSpec extends SparkSuite {
+
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private def tokensByDoc: Map[Long, Seq[String]] = {
+    graft.Tables.documents(spark, sf()).createOrReplaceTempView("documents")
+    spark.sql("SELECT doc_id, graft_tokens(text) AS toks FROM documents")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1))
+      .toMap
+  }
+
+  test("chunk-level BM25 matches an independent in-memory recomputation") {
+    val w = TextAnalysis.ChunkWindow
+    val s = TextAnalysis.ChunkWindow - TextAnalysis.ChunkOverlap
+    val chunks: Seq[((Long, Long), Seq[String])] =
+      tokensByDoc.toSeq.flatMap { case (d, ts) =>
+        val nc = if (ts.size <= w) 1 else 1 + (ts.size - w + s - 1) / s
+        (0 until nc).map(ci => (d, ci.toLong) -> ts.slice(ci * s, ci * s + w))
+      }
+    val n = chunks.size.toDouble
+    val avgdl = chunks.map(_._2.size.toLong).sum.toDouble / chunks.size
+    val tf = chunks.flatMap { case (key, ts) =>
+      ts.groupBy(identity).map { case (t, xs) => (key, t, xs.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val idfU = df.map { case (t, f) =>
+      t -> math.round(math.log(1.0 + (n - f + 0.5) / (f + 0.5)) * 1e6)
+    }
+    val dl = chunks.map { case (key, ts) => key -> ts.size.toDouble }.toMap
+    val qs = Retrieval.QueryTerms.toSet
+    val scores = tf.filter(x => qs(x._2)).groupBy(_._1).map { case (key, xs) =>
+      val su = xs.map { case (_, t, f) =>
+        math.round(idfU(t).toDouble * (f * (Retrieval.K1 + 1.0)) /
+          (f + Retrieval.K1 *
+            (1.0 - Retrieval.B + Retrieval.B * dl(key) / avgdl)))
+      }.sum
+      (key, xs.size.toLong, su)
+    }.toSeq
+    val expTop = scores
+      .sortBy { case ((d, c), _, su) => (-su, d, c) }.take(10)
+    val got = Retrieval.chunkBm25(spark, sf()).collect()
+    assert(got.length == expTop.length)
+    got.zip(expTop).zipWithIndex.foreach {
+      case ((r, ((d, c), nh, su)), i) =>
+        assert(r.getAs[Long]("rank") == i + 1)
+        assert(r.getAs[Long]("doc_id") == d)
+        assert(r.getAs[Long]("chunk_id") == c)
+        assert(r.getAs[Long]("n_hit_terms") == nh)
+        assert(math.abs(r.getAs[Double]("bm25") - su / 1e6) < 1e-6)
+    }
+  }
+
+  test("temperature mixture matches independent shares and caps rates") {
+    val toks = tokensByDoc
+    graft.Tables.documents(spark, sf()).createOrReplaceTempView("documents")
+    val langOf = spark.sql("SELECT doc_id, lang FROM documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val langTokens = toks.toSeq
+      .groupBy { case (d, _) => langOf(d) }
+      .map { case (l, xs) => l -> xs.map(_._2.size.toLong).sum }
+    val total = langTokens.values.sum
+    val alpha = TextAnalysis.MixtureAlpha
+    val wU = langTokens.map { case (l, nt) =>
+      val lnQ = math.round(math.log(nt.toDouble / total) * 1e6) / 1e6
+      l -> math.round(math.exp(alpha * lnQ) * 1e6)
+    }
+    val tw = wU.values.sum.toDouble
+    val got = TextAnalysis.mixtureTemperature(spark, sf()).collect()
+    assert(got.map(_.getAs[String]("lang")).toSeq ==
+      langTokens.keys.toSeq.sorted)
+    got.foreach { r =>
+      val l = r.getAs[String]("lang")
+      assert(r.getAs[Long]("lang_tokens") == langTokens(l))
+      val expShare = wU(l) / tw
+      assert(math.abs(r.getAs[Double]("temp_share") - expShare) < 1e-6)
+      val expRate = math.min(1.0, total / 2.0 * expShare / langTokens(l))
+      assert(math.abs(r.getAs[Double]("sample_rate") - expRate) < 1e-5)
+      assert(r.getAs[Double]("sample_rate") <= 1.0)
+    }
+    // temperature flattens: every below-natural-share language gains
+    val shares = got.map(r => (r.getAs[Double]("natural_share"),
+      r.getAs[Double]("temp_share")))
+    shares.filter(_._1 < shares.map(_._1).max).foreach { case (nat, tmp) =>
+      assert(tmp >= nat - 1e-9,
+        s"tail language lost share under temperature: $nat -> $tmp")
+    }
+  }
+
+  test("cluster-balanced sample takes min(size, quota) lowest-hash members") {
+    import spark.implicits._
+    val sample = Similarity.clusterSample(spark, sf()).collect()
+    // reload the assignment exactly as the engine serves it
+    val asgn = spark.table("asgn").as[(Long, Long)].collect()
+    val n = asgn.length.toLong
+    val k = asgn.map(_._2).distinct.length.toLong
+    val q = (n + 5 * k - 1) / (5 * k)
+    val byCluster = asgn.groupBy(_._2)
+    val expected = byCluster.toSeq.flatMap { case (cid, xs) =>
+      xs.map(_._1).sortBy(v => (h60(s"${v}_cbs"), v)).take(q.toInt)
+        .zipWithIndex.map { case (v, i) => (cid, v, i + 1L) }
+    }.toSet
+    assert(sample.length == expected.size)
+    sample.foreach { r =>
+      assert(expected((r.getAs[Long]("cid"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("pick_rank"))))
+    }
+    // every cluster contributes exactly min(size, quota)
+    val perCluster = sample.groupBy(_.getAs[Long]("cid"))
+    byCluster.foreach { case (cid, xs) =>
+      assert(perCluster(cid).length == math.min(xs.length.toLong, q))
+    }
+  }
+}
