@@ -193,6 +193,7 @@ object SparkEntry {
     "text_k_anonymity" -> (Retrieval.kAnonymity _),
     "sim_cluster_purity" -> (Similarity.clusterPurity _),
     "sim_cluster_sample" -> (Similarity.clusterSample _),
+    "sim_cluster_sample_scaled" -> (Similarity.clusterSampleScaled _),
     "text_chunk_bm25" -> (Retrieval.chunkBm25 _),
     "text_mixture_temperature" -> (TextAnalysis.mixtureTemperature _),
     // Multimodal binary-column plumbing
@@ -545,6 +546,8 @@ object SparkEntry {
     "text_k_anonymity" -> Retrieval.kAnonymitySql(DuckDialect),
     "sim_cluster_purity" -> Similarity.clusterPuritySql(DuckDialect),
     "sim_cluster_sample" -> Similarity.clusterSampleSql(DuckDialect),
+    "sim_cluster_sample_scaled" ->
+      Similarity.clusterSampleScaledSql(DuckDialect),
     "text_chunk_bm25" -> Retrieval.chunkBm25Sql(DuckDialect),
     "text_mixture_temperature" ->
       TextAnalysis.mixtureTemperatureSql(DuckDialect),

@@ -34,12 +34,31 @@ object SinkRetention {
 
   private val PartRx = s"^$DateCol=(\\d{4}-\\d{2}-\\d{2})$$".r
 
-  /** Append `df` to `path` partitioned by the capture date. */
+  /** Append `df` to `path` partitioned by the capture date.
+    *
+    * Fails fast if the target carries a streaming file-sink
+    * `_spark_metadata` log (a sink written by an older deployment's
+    * `format("parquet").writeStream`): Spark resolves reads of such a
+    * directory THROUGH the manifest, so rows appended here would be
+    * invisible to every reader and aged out by no one — silent loss
+    * disguised as an empty query.  The one-line migration is to move
+    * the legacy files aside (or delete the `_spark_metadata` dir
+    * after confirming its files are re-ingested).  One `exists` call
+    * per append — noise next to the write job it guards. */
   def appendDated(df: DataFrame, path: String,
-                  format: String = "parquet"): Unit =
+                  format: String = "parquet"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p),
+      s"$path carries a streaming file-sink _spark_metadata log; " +
+        "rows appended outside the manifest would be invisible to " +
+        "readers. Migrate the legacy sink (move its files aside or " +
+        "remove _spark_metadata after re-ingesting) before appending.")
     df.withColumn(DateCol, current_date())
       .write.mode(SaveMode.Append).partitionBy(DateCol)
       .format(format).save(path)
+  }
 
   /** Drop `sink_date=` partitions strictly older than `olderThan`.
     * Returns the dropped partition names; absent paths and foreign

@@ -303,6 +303,26 @@ object Dedup {
         .filter("simhash IS NOT NULL")
     }
 
+  /** Drop over-cap (band, key) buckets BEFORE a banded self-join —
+    * the ONE statement of the band-bucket degradation bound (see
+    * TextOps.MaxBandBucket), shared by the SimHash, MinHash and
+    * incremental candidate paths so a change to the cap semantics
+    * cannot leave one path diverged.  The count window shuffles on
+    * the same (band, key) key the downstream join needs, so the
+    * exchange is shared; an adversarial bucket of f ≫ cap members
+    * costs O(f) here instead of O(f²) in the join.  Dropped mass is
+    * observable via the cap-report operators. */
+  private def cappedBands(bands: DataFrame, keyCol: String,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    bands
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col(keyCol))))
+      .filter(col("df") <= cap)
+      .drop("df")
+  }
+
   private def simhashVerifiedPairsPlan(spark: SparkSession, sig: DataFrame,
       maxBucket: Int = MaxBandBucket): DataFrame = {
     import spark.implicits._
@@ -318,12 +338,7 @@ object Dedup {
     // `simhashCapReport` is the observable receipt.  The fixture
     // maxima are far below the default cap, so oracle results carry
     // no cap effect (proven by the green suite).
-    val bands = bands0
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"band", $"bval")))
-      .filter($"df" <= maxBucket)
-      .drop("df")
+    val bands = cappedBands(bands0, "bval", maxBucket)
     // Hamming filter BEFORE the pair distinct: signature bits correlate
     // strongly on a same-vocabulary corpus, so band buckets are large
     // and the self-join emits millions of candidate pairs — the ≤5-bit
@@ -707,18 +722,7 @@ object Dedup {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val d = SparkDialect
-    // Bounded-bucket degradation: drop over-cap band buckets BEFORE
-    // the self-join — the window shuffles on the same (band, bkey)
-    // key the join needs, so the exchange is shared, and an
-    // adversarial bucket of f ≫ cap members costs O(f) here instead
-    // of O(f²) downstream (see TextOps.MaxBandBucket; dropped mass is
-    // observable via minhashCapReport).
-    val bands = bandsOf(sig)
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"band", $"bkey")))
-      .filter($"df" <= maxBucket)
-      .drop("df")
+    val bands = cappedBands(bandsOf(sig), "bkey", maxBucket)
     val cand = bands.as("a")
       .join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
@@ -1300,12 +1304,7 @@ object Dedup {
     val batchSig = RelationCache.cached(spark, s"mh_sig_inc:$dir") {
       minhashSigFrom(grams.filter($"doc_id" >= splitId))
     }
-    val batchBands = bandsOf(batchSig)
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"band", $"bkey")))
-      .filter($"df" <= cap)
-      .drop("df")
+    val batchBands = cappedBands(bandsOf(batchSig), "bkey", cap)
     val storeBands = spark.read.parquet(s"$store/bands")
       .filter($"bdf" <= cap)
       .select($"doc_id", $"band".cast("int").as("band"), $"bkey")

@@ -38,8 +38,13 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * Every entry point first heals crash windows: a trash dir with no
   * live partition is renamed back whole (crash between 4 and 5 — late
   * appends were inside it, nothing lost); a trash dir WITH a live
-  * partition has its non-manifest files rescued per step 6 and is
-  * then dropped (crash between 5 and 7).  If the manifest is missing
+  * partition whose build tmp STILL EXISTS means the live dir was
+  * recreated by a concurrent appender before the crashed publish —
+  * the parked files are the only copy and are merged back whole; a
+  * trash dir with a live partition and no tmp has its non-manifest
+  * files rescued per step 6 and is then dropped (crash between 5 and
+  * 7 — after first pulling up a nested publish shell if the rename
+  * raced a recreated dir).  If the manifest is missing
   * the heal conservatively moves ALL parked files back into the live
   * dir: that can only duplicate rows, never lose them, and both serve
   * paths dedup candidates by id before ranking — so the worst crash
@@ -176,11 +181,38 @@ object IndexCompaction {
           val (cid, uuid) = (m.group(1), m.group(2))
           val live = new Path(root, s"$partCol=$cid")
           val manifest = new Path(root, s"_ivfc_snap_${cid}_$uuid")
+          val tmp = new Path(root, s"_ivfc_tmp_${cid}_$uuid")
           if (!fs.exists(live)) {
             // died between park and publish: the parked dir is the
             // whole partition, late appends included — restore whole
             fs.rename(t.getPath, live)
+          } else if (fs.exists(tmp)) {
+            // live EXISTS but the build tmp was never published: a
+            // concurrent appender recreated the partition between
+            // park and publish, then the compactor died.  The parked
+            // dir is the pre-compaction truth — live-dir existence
+            // alone would misread this as the post-publish window and
+            // delete the only copy of every manifest-claimed file.
+            // Merge ALL parked files into the live dir (append file
+            // names are job-UUID-unique, so no clobber; duplicates
+            // are serve-safe, loss is not) and drop the unpublished
+            // compacted copy — the partition just compacts again.
+            listFiles(fs, t.getPath).foreach(f =>
+              fs.rename(f.getPath, new Path(live, f.getPath.getName)))
+            fs.delete(t.getPath, true)
+            fs.delete(tmp, true)
           } else {
+            // publish happened (tmp is gone).  If it raced a
+            // recreated live dir, posix rename nested the compacted
+            // files inside a hidden shell — pull them up before
+            // touching the trash, or the claimed originals would be
+            // dropped while their replacement stays invisible.
+            val nested = new Path(live, tmp.getName)
+            if (fs.exists(nested)) {
+              listFiles(fs, nested).foreach(f =>
+                fs.rename(f.getPath, new Path(live, f.getPath.getName)))
+              fs.delete(nested, true)
+            }
             // died between publish and trash delete: rescue anything
             // the manifest doesn't claim, then drop the stale copy.
             // No manifest → move EVERYTHING back (duplicates are

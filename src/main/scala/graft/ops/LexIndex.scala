@@ -84,14 +84,20 @@ object LexIndex {
     * serve-side dedups collapse the doubles. */
   def append(spark: SparkSession, indexPath: String, newDocs: DataFrame,
              batchId: String): Unit = {
-    val tok = tokenized(newDocs)
-    postingsOf(tok)
-      .write.mode("append").partitionBy("tshard")
-      .parquet(s"$indexPath/postings")
-    tok.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("ndl")), lit(0L)).as("sum_dl"))
-      .select(lit(batchId).as("batch_id"), col("n_docs"), col("sum_dl"))
-      .write.mode("append").parquet(s"$indexPath/stats")
+    // cache across the two write actions: tokenization dominates the
+    // append cost and would otherwise run twice per batch (the stats
+    // partials cannot be derived from the postings — a zero-token
+    // document has no posting rows but still counts toward N)
+    val tok = tokenized(newDocs).persist()
+    try {
+      postingsOf(tok)
+        .write.mode("append").partitionBy("tshard")
+        .parquet(s"$indexPath/postings")
+      tok.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("ndl")), lit(0L)).as("sum_dl"))
+        .select(lit(batchId).as("batch_id"), col("n_docs"), col("sum_dl"))
+        .write.mode("append").parquet(s"$indexPath/stats")
+    } finally tok.unpersist()
   }
 
   /** BM25 top-k served from a persisted index — the exact arithmetic
@@ -190,15 +196,12 @@ object LexIndex {
       .parquet(s"$indexPath/postings")
       .select("doc_id", "term", "tshard")
       .dropDuplicates("doc_id", "term")
-    val h = posts.groupBy("tshard")
-      .agg(count(lit(1)).as("n_posts"),
-        countDistinct(col("term")).as("n_terms"))
-    val t = h.agg(sum(col("n_posts")).as("total"), count(lit(1)).as("k"))
-    h.crossJoin(broadcast(t))
+    // the shared frac/balance fold — ONE definition across the IVF
+    // and lexical stores (see Similarity.listHealth)
+    Similarity.listHealth(posts, "tshard", "n_posts",
+        Seq(countDistinct(col("term")).as("n_terms")))
       .select(col("tshard"), col("n_posts"), col("n_terms"),
-        round(col("n_posts").cast("double") / col("total"), 6).as("frac"),
-        round(col("n_posts").cast("double") * col("k") / col("total"), 6)
-          .as("balance"))
+        col("frac"), col("balance"))
       .orderBy("tshard")
   }
 }

@@ -163,35 +163,16 @@ object Retrieval {
     * candidates to chunks containing ≥ 1 query term exactly as in the
     * document-level operator — never a corpus scan. */
   def chunkBm25Sql(d: SqlDialect): String = {
-    val w = TextAnalysis.ChunkWindow
-    val s = TextAnalysis.ChunkWindow - TextAnalysis.ChunkOverlap
-    s"""WITH tok0 AS (
-       |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
-       |nq AS (
-       |  SELECT doc_id, toks, ${d.arrSize("toks")} AS n_tok FROM tok0),
-       |cdef AS (
-       |  SELECT doc_id, toks, n_tok,
-       |    (CASE WHEN n_tok <= $w THEN 1
-       |     ELSE 1 + ${d.intDiv(s"(n_tok - $w + $s - 1)", s.toString)}
-       |     END) AS n_chunks
-       |  FROM nq),
-       |cx AS (
-       |  SELECT doc_id, toks,
-       |    ${d.explode(d.sequence0("n_chunks"))} AS chunk_id
-       |  FROM cdef),
-       |c AS (
-       |  SELECT doc_id, chunk_id,
-       |    ${d.arrSlice("toks", s"chunk_id * $s + 1", w.toString)} AS ctoks
-       |  FROM cx),
+    s"""WITH ${TextAnalysis.chunkRelCtes(d)},
        |dl AS (
        |  SELECT doc_id, chunk_id, CAST(${d.arrSize("ctoks")} AS BIGINT) AS ndl
-       |  FROM c),
+       |  FROM chunks),
        |stats AS (
        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
        |    CAST(sum(ndl) AS DOUBLE) / count(*) AS avgdl
        |  FROM dl),
        |tokc AS (
-       |  SELECT doc_id, chunk_id, ${d.explode("ctoks")} AS term FROM c),
+       |  SELECT doc_id, chunk_id, ${d.explode("ctoks")} AS term FROM chunks),
        |tf AS (
        |  SELECT doc_id, chunk_id, term, count(*) AS tf
        |  FROM tokc GROUP BY doc_id, chunk_id, term),

@@ -522,12 +522,27 @@ object Similarity {
     * chain; the oracle recomputes training from raw embeddings, so a
     * green check proves the store-served sample is the from-scratch
     * sample. */
-  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+  def clusterSample(spark: SparkSession, dir: String): DataFrame =
+    clusterSampleOver(spark, dir, "km",
+      trainCodebookCached(spark, dir, ivfBase(spark, dir)))
+
+  /** `sim_cluster_sample` over the CORPUS-SCALED (√n-nlist) trained
+    * partition — the production pairing, for the same reason as
+    * `ivfKmeansScaled`: the fixed seed rule's k ∝ n codebook training
+    * dominates the whole operator at 100× (measured 1 231 s, ~95 % of
+    * it the k = 2 000 Lloyd chain), while the √n codebook keeps the
+    * training + assignment cost near-flat per decade.  Sampling
+    * semantics are IDENTICAL — quota ⌈n/5k⌉ just sees the scaled k —
+    * and the oracle recomputes the scaled Lloyd chain end-to-end. */
+  def clusterSampleScaled(spark: SparkSession, dir: String): DataFrame =
+    clusterSampleOver(spark, dir, "kmsc",
+      trainScaledCodebookCached(spark, dir, ivfBase(spark, dir)))
+
+  private def clusterSampleOver(spark: SparkSession, dir: String,
+      tag: String, cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val n = ivfBase(spark, dir)
-    val cents = trainCodebookCached(spark, dir, n)
-    val store = kmeansStorePath(spark, dir, None, "km", cents)
+    val store = kmeansStorePath(spark, dir, None, tag, cents)
     spark.read
       .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, cid BIGINT")
       .parquet(store.toString)
@@ -535,6 +550,13 @@ object Similarity {
       .createOrReplaceTempView("asgn")
     spark.sql(s"WITH ${clusterSampleTail(SparkDialect)}")
   }
+
+  /** Oracle of `sim_cluster_sample_scaled`: the √n-seeded Lloyd chain
+    * (`scaledInitPred`) recomputed from raw embeddings, then the same
+    * sampling tail. */
+  def clusterSampleScaledSql(d: SqlDialect): String =
+    s"""WITH ${kmeansCandCtes(d, scaledInitPred(d))},
+       |${clusterSampleTail(d)}""".stripMargin
 
   /** ANN recall measurement: per query vector, the fraction of the
     * TRUE cosine top-5 (`topK` restricted to rank ≤ 5 — the exact
@@ -1020,21 +1042,28 @@ object Similarity {
       .select($"cid", $"n_vecs", $"frac", $"balance").orderBy($"cid")
   }
 
-  /** Per-list health relation over any `cid=`-partitioned list store —
-    * the ONE definition of the balance expression, shared by
-    * `indexHealth` and `maintainStore`'s fold so the engine and the
-    * `indexHealthSql`/`indexMaintainSql` oracles cannot drift. */
-  private def listHealth(lists: DataFrame): DataFrame = {
+  /** Per-partition health relation over any integer-partitioned list
+    * store — the ONE definition of the frac/balance expressions,
+    * shared by `indexHealth`, `maintainStore`'s fold AND the lexical
+    * store's `LexIndex.healthOf` (partCol "tshard") so the engine and
+    * the `indexHealthSql`/`indexMaintainSql`/`lexIndexHealthSql`
+    * oracles cannot drift.  `extra` adds per-partition aggregates
+    * (e.g. the lexical store's distinct-term count) next to the row
+    * count. */
+  private[ops] def listHealth(lists: DataFrame, partCol: String = "cid",
+      countAlias: String = "n_vecs",
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val spark = lists.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val h = lists.groupBy(col("cid").cast("long").as("cid"))
-      .agg(count(lit(1)).as("n_vecs"))
-    val t = h.agg(sum($"n_vecs").as("total"), count(lit(1)).as("k"))
+    val h = lists.groupBy(col(partCol).cast("long").as(partCol))
+      .agg(count(lit(1)).as(countAlias), extra: _*)
+    val t = h.agg(sum(col(countAlias)).as("total"), count(lit(1)).as("k"))
     h.crossJoin(broadcast(t))
-      .select($"cid", $"n_vecs", $"total", $"k",
-        round($"n_vecs".cast("double") / $"total", 6).as("frac"),
-        round($"n_vecs".cast("double") * $"k" / $"total", 6).as("balance"))
+      .withColumn("frac",
+        round(col(countAlias).cast("double") / $"total", 6))
+      .withColumn("balance",
+        round(col(countAlias).cast("double") * $"k" / $"total", 6))
   }
 
   /** The maintenance decision + rebuild `indexHealth`'s Scaladoc

@@ -323,29 +323,44 @@ object TextAnalysis {
     * STREAMING `documents` view (append mode; global ORDER BY is a
     * batch-only concept).  `chunkingSql` adds the presentation sort
     * for the registered batch query. */
-  def chunkingSqlCore(d: SqlDialect): String = {
+  /** The chunk-definition CTE chain — the ONE statement of the chunk
+    * arithmetic (count CASE, stride, slice bounds), shared by the
+    * chunking/chunk-dedup family here and the passage-level retrieval
+    * in `Retrieval.chunkBm25Sql`, so the spans a retrieval hit names
+    * can never drift from the spans the dedup report counts.  Ends in
+    * `chunks(doc_id, lang, chunk_id, n_tok, ctoks)`. */
+  private[ops] def chunkRelCtes(d: SqlDialect): String = {
     val w = ChunkWindow
     val s = ChunkWindow - ChunkOverlap
-    s"""WITH tok AS (
+    s"""ctok AS (
        |  SELECT doc_id, lang, ${d.tokens("text")} AS toks FROM documents),
-       |n AS (
-       |  SELECT doc_id, lang, toks, ${d.arrSize("toks")} AS n_tok FROM tok),
-       |c AS (
+       |cn AS (
+       |  SELECT doc_id, lang, toks, ${d.arrSize("toks")} AS n_tok FROM ctok),
+       |cdef AS (
        |  SELECT doc_id, lang, toks, n_tok,
        |    (CASE WHEN n_tok <= $w THEN 1
        |     ELSE 1 + ${d.intDiv(s"(n_tok - $w + $s - 1)", s.toString)}
        |     END) AS n_chunks
-       |  FROM n),
-       |x AS (
+       |  FROM cn),
+       |cx AS (
        |  SELECT doc_id, lang, toks, n_tok,
        |    ${d.explode(d.sequence0("n_chunks"))} AS chunk_id
-       |  FROM c)
+       |  FROM cdef),
+       |chunks AS (
+       |  SELECT doc_id, lang, chunk_id, n_tok,
+       |    ${d.arrSlice("toks", s"chunk_id * $s + 1", w.toString)} AS ctoks
+       |  FROM cx)""".stripMargin
+  }
+
+  def chunkingSqlCore(d: SqlDialect): String = {
+    val w = ChunkWindow
+    val s = ChunkWindow - ChunkOverlap
+    s"""WITH ${chunkRelCtes(d)}
        |SELECT doc_id, lang, CAST(chunk_id AS BIGINT) AS chunk_id,
        |  CAST(chunk_id * $s + 1 AS BIGINT) AS start_tok,
        |  CAST(least($w, n_tok - chunk_id * $s) AS BIGINT) AS n_tok_chunk,
-       |  ${d.h60(d.arrJoin(d.arrSlice("toks", s"chunk_id * $s + 1", w.toString), " "))}
-       |    AS chunk_hash
-       |FROM x""".stripMargin
+       |  ${d.h60(d.arrJoin("ctoks", " "))} AS chunk_hash
+       |FROM chunks""".stripMargin
   }
 
   def chunkingSql(d: SqlDialect): String =

@@ -41,8 +41,19 @@ object StreamingIngest {
     * stream needs its schema up front, so probe the directory once
     * with a static read — one footer read at stream build time, not
     * per micro-batch.  Either way downstream sees `ts: TimestampType`
-    * at micros precision, identical to the batch loader. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    * at micros precision, identical to the batch loader.
+    *
+    * A stream started on an EMPTY directory has nothing to probe, and
+    * a file stream cannot change schema after start — the format is
+    * pinned for the stream's lifetime.  `tsFormat` makes that pin
+    * explicit: "auto" (probe, falling back to the nanos-Long raw
+    * schema when the dir is empty — the standing fixture generation),
+    * or "nanos"/"micros" to declare the expected generation up front.
+    * A caller whose producer writes the NTZ-micros generation into a
+    * not-yet-populated dir MUST pass "micros", or the first arriving
+    * file fails the pinned Long reader at micro-batch time. */
+  def readEvents(spark: SparkSession, dir: String,
+                 tsFormat: String = "auto"): DataFrame = {
     // Same fail-fast guard as Tables.events: on a session not built via
     // GraftSession/Verify a nanos-format stream would otherwise die at
     // start with an opaque Spark nanos-timestamp error.
@@ -50,11 +61,22 @@ object StreamingIngest {
       spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "session must set spark.sql.legacy.parquet.nanosAsLong=true " +
         "(GraftSession.build does) - events*.parquet may be TIMESTAMP(NANOS)")
-    val probed =
-      try Some(spark.read.option("pathGlobFilter", "events*.parquet")
-            .parquet(dir).schema)
-      catch { case _: Exception => None } // empty dir: stream starts before files
-    val schema = probed.getOrElse(eventSchema)
+    val ntzSchema = StructType(eventSchema.map(f =>
+      if (f.name == "ts")
+        f.copy(dataType = org.apache.spark.sql.types.TimestampNTZType)
+      else f))
+    val schema = tsFormat match {
+      case "nanos" => eventSchema
+      case "micros" => ntzSchema
+      case "auto" =>
+        val probed =
+          try Some(spark.read.option("pathGlobFilter", "events*.parquet")
+                .parquet(dir).schema)
+          catch { case _: Exception => None } // empty dir: starts before files
+        probed.getOrElse(eventSchema)
+      case other => throw new IllegalArgumentException(
+        s"tsFormat must be auto|nanos|micros, got '$other'")
+    }
     val raw = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events*.parquet")

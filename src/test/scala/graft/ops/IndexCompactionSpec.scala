@@ -123,4 +123,67 @@ class IndexCompactionSpec extends SparkSuite {
       "the superseded copy must not be restored")
     assert(!root.listFiles().exists(_.getName.startsWith("_ivfc_")))
   }
+
+  test("appender-recreated live dir + unpublished tmp: parked files merge back whole") {
+    val path = fragmentedStore(quantized = false)
+    val root = new java.io.File(path)
+    val part = root.listFiles().filter(_.getName.startsWith("cid=")).head
+    val cid = part.getName.stripPrefix("cid=")
+    val parked = part.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")).map(_.getName)
+    // simulate: compactor parked the partition and DIED before
+    // publish (tmp still at the root), then a concurrent appender
+    // recreated the live dir with one new file
+    assert(part.renameTo(
+      new java.io.File(root, s"_ivfc_trash_${cid}_feedface")))
+    val trash = new java.io.File(root, s"_ivfc_trash_${cid}_feedface")
+    val live = new java.io.File(root, s"cid=$cid")
+    assert(live.mkdir())
+    java.nio.file.Files.copy(
+      trash.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath,
+      new java.io.File(live, "appended-after-park.parquet").toPath)
+    val tmp = new java.io.File(root, s"_ivfc_tmp_${cid}_feedface")
+    assert(tmp.mkdir())
+    java.nio.file.Files.write(
+      new java.io.File(tmp, "unpublished.parquet").toPath,
+      Array.empty[Byte])
+    java.nio.file.Files.write(
+      new java.io.File(root, s"_ivfc_snap_${cid}_feedface").toPath,
+      parked.sorted.mkString("\n").getBytes("UTF-8"))
+    IndexCompaction.healCrashedSwaps(spark, path)
+    // EVERY parked file survives — live-dir existence alone must not
+    // be read as "publish happened" when the tmp is still unpublished
+    parked.foreach(n => assert(new java.io.File(live, n).isFile,
+      s"parked file $n must be merged back"))
+    assert(new java.io.File(live, "appended-after-park.parquet").isFile)
+    assert(!root.listFiles().exists(_.getName.startsWith("_ivfc_")))
+  }
+
+  test("publish raced a recreated live dir: nested shell pulled up before trash drop") {
+    val path = fragmentedStore(quantized = false)
+    val root = new java.io.File(path)
+    val part = root.listFiles().filter(_.getName.startsWith("cid=")).head
+    val cid = part.getName.stripPrefix("cid=")
+    val donor = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+    // simulate: publish renamed tmp INSIDE a recreated live dir (the
+    // posix nested-rename hazard), then the compactor died before the
+    // nested fix-up and trash delete
+    val shell = new java.io.File(part, s"_ivfc_tmp_${cid}_0ddba11")
+    assert(shell.mkdir())
+    java.nio.file.Files.copy(donor.toPath,
+      new java.io.File(shell, "compacted.parquet").toPath)
+    val trash = new java.io.File(root, s"_ivfc_trash_${cid}_0ddba11")
+    assert(trash.mkdir())
+    java.nio.file.Files.copy(donor.toPath,
+      new java.io.File(trash, "old-claimed.parquet").toPath)
+    java.nio.file.Files.write(
+      new java.io.File(root, s"_ivfc_snap_${cid}_0ddba11").toPath,
+      "old-claimed.parquet".getBytes("UTF-8"))
+    IndexCompaction.healCrashedSwaps(spark, path)
+    assert(new java.io.File(part, "compacted.parquet").isFile,
+      "the published copy must be pulled out of the nested shell")
+    assert(!new java.io.File(part, "old-claimed.parquet").exists())
+    assert(!new java.io.File(part, s"_ivfc_tmp_${cid}_0ddba11").exists())
+    assert(!root.listFiles().exists(_.getName.startsWith("_ivfc_")))
+  }
 }
