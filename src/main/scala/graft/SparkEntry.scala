@@ -187,6 +187,7 @@ object SparkEntry {
     "sim_hybrid_recall" -> (Retrieval.hybridRecall _),
     "sim_hybrid_rrf" -> (Retrieval.hybridRrf _),
     "sim_hybrid_rrf_ann" -> (Retrieval.hybridRrfAnn _),
+    "sim_hybrid_rrf_ann_scaled" -> (Retrieval.hybridRrfAnnScaled _),
     "text_dsir_weights" -> (Retrieval.dsirWeights _),
     "text_dsir_sample" -> (Retrieval.dsirSample _),
     "text_corpus_stats" -> (Retrieval.corpusStats _),
@@ -540,6 +541,8 @@ object SparkEntry {
     "sim_hybrid_recall" -> Retrieval.hybridRecallSql(DuckDialect),
     "sim_hybrid_rrf" -> Retrieval.hybridRrfSql(DuckDialect),
     "sim_hybrid_rrf_ann" -> Retrieval.hybridRrfAnnSql(DuckDialect),
+    "sim_hybrid_rrf_ann_scaled" ->
+      Retrieval.hybridRrfAnnScaledSql(DuckDialect),
     "text_dsir_weights" -> Retrieval.dsirWeightsSql(DuckDialect),
     "text_dsir_sample" -> Retrieval.dsirSampleSql(DuckDialect),
     "text_corpus_stats" -> Retrieval.corpusStatsSql(DuckDialect),

@@ -260,7 +260,21 @@ object Retrieval {
     * the production shape, `sim_hybrid_rrf` the small-n verify gate,
     * the same pairing as `dedup_embedding` vs `dedup_embedding_lsh`. */
   def hybridRrfAnnSql(d: SqlDialect): String =
-    s"""WITH ${Similarity.kmeansCandCtes(d)},
+    hybridAnnSqlOver(d, Similarity.kmeansCandCtes(d))
+
+  /** `sim_hybrid_rrf_ann` with the √n-SCALED trained codebook on the
+    * vector side — the pairing that survives corpus growth: the
+    * fixed-seed codebook's k ∝ n training dominates the whole hybrid
+    * at 100× (SCALING.md: 542 s, ~all of it the k = 2 000 Lloyd
+    * chain + its store), while the scaled family keeps training and
+    * probing near-flat per decade.  Lexical side, fusion and
+    * determinism discipline identical; only the candidate CTEs swap
+    * seeding. */
+  def hybridRrfAnnScaledSql(d: SqlDialect): String =
+    hybridAnnSqlOver(d, Similarity.kmeansCandCtesScaled(d))
+
+  private def hybridAnnSqlOver(d: SqlDialect, candCtes: String): String =
+    s"""WITH $candCtes,
        |vsc AS (
        |  SELECT cand.qid, cand.nid,
        |    round(${d.dot("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS cs
@@ -605,6 +619,16 @@ object Retrieval {
     * from-scratch chain agree end-to-end. */
   def hybridRrfAnn(spark: SparkSession, dir: String): DataFrame = {
     val vtop = Similarity.kmeansStoreTopN(spark, dir, FuseDepth)
+    val ltop = run(spark, dir,
+      s"WITH ${lexRankCtes(SparkDialect)} SELECT qid, nid, lrank FROM ltop")
+    fuse(vtop, ltop)
+  }
+
+  /** Engine side of `sim_hybrid_rrf_ann_scaled`: vector candidates
+    * from the persisted √n-scaled store, lexical side and fusion
+    * shared verbatim with the fixed variant. */
+  def hybridRrfAnnScaled(spark: SparkSession, dir: String): DataFrame = {
+    val vtop = Similarity.kmeansStoreTopNScaled(spark, dir, FuseDepth)
     val ltop = run(spark, dir,
       s"WITH ${lexRankCtes(SparkDialect)} SELECT qid, nid, lrank FROM ltop")
     fuse(vtop, ltop)

@@ -343,6 +343,11 @@ object Similarity {
     "vec_id % (SELECT greatest(1, CAST(floor(CAST(count(*) AS DOUBLE)" +
       " / floor(sqrt(CAST(count(*) AS DOUBLE)))) AS BIGINT)) FROM n) = 0"
 
+  /** `kmeansCandCtes` with the corpus-scaled √n seeding — for
+    * consumers outside this object (the scaled hybrid's oracle). */
+  private[ops] def kmeansCandCtesScaled(d: SqlDialect): String =
+    kmeansCandCtes(d, scaledInitPred(d))
+
   /** Oracle/engine-spec form of `ivfKmeansScaled`: `ivfKmeansSql`
     * with the corpus-scaled √n seeding — the Lloyd chain, nprobe=2
     * probing and exact scoring are unchanged. */
@@ -1199,14 +1204,26 @@ object Similarity {
     * Lloyd chain per reference is what keeps the hybrid's vector
     * side at store-serve cost. */
   private[ops] def kmeansStoreTopN(spark: SparkSession, dir: String,
-      topn: Int): DataFrame = {
+      topn: Int): DataFrame =
+    kmeansStoreTopNOver(spark, dir, topn, "km",
+      trainCodebookCached(spark, dir, ivfBase(spark, dir)))
+
+  /** `kmeansStoreTopN` over the √n-scaled codebook/store — the vector
+    * modality of `Retrieval.hybridRrfAnnScaled`. */
+  private[ops] def kmeansStoreTopNScaled(spark: SparkSession, dir: String,
+      topn: Int): DataFrame =
+    kmeansStoreTopNOver(spark, dir, topn, "kmsc",
+      trainScaledCodebookCached(spark, dir, ivfBase(spark, dir)))
+
+  private def kmeansStoreTopNOver(spark: SparkSession, dir: String,
+      topn: Int, tag: String,
+      cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val n = ivfBase(spark, dir)
-    val cents = trainCodebookCached(spark, dir, n)
-    val store = kmeansStorePath(spark, dir, None, "km", cents)
+    val store = kmeansStorePath(spark, dir, None, tag, cents)
     val probe = probeCids(n.filter($"vec_id" % 100 === 0), cents)
     val queries = n.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
