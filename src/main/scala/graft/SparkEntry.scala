@@ -189,6 +189,7 @@ object SparkEntry {
     "sim_hybrid_rrf_ann" -> (Retrieval.hybridRrfAnn _),
     "sim_hybrid_rrf_ann_scaled" -> (Retrieval.hybridRrfAnnScaled _),
     "text_dsir_weights" -> (Retrieval.dsirWeights _),
+    "text_quality_classifier" -> (Retrieval.qualityClassifier _),
     "text_dsir_sample" -> (Retrieval.dsirSample _),
     "text_corpus_stats" -> (Retrieval.corpusStats _),
     "text_k_anonymity" -> (Retrieval.kAnonymity _),
@@ -544,6 +545,8 @@ object SparkEntry {
     "sim_hybrid_rrf_ann_scaled" ->
       Retrieval.hybridRrfAnnScaledSql(DuckDialect),
     "text_dsir_weights" -> Retrieval.dsirWeightsSql(DuckDialect),
+    "text_quality_classifier" ->
+      Retrieval.qualityClassifierSql(DuckDialect),
     "text_dsir_sample" -> Retrieval.dsirSampleSql(DuckDialect),
     "text_corpus_stats" -> Retrieval.corpusStatsSql(DuckDialect),
     "text_k_anonymity" -> Retrieval.kAnonymitySql(DuckDialect),

@@ -463,6 +463,156 @@ object Retrieval {
        |FROM p GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Learning rate for the quality classifier — natural-units scale
+    * on the mean-token-weight logit; 8.0 gives visible class
+    * separation within the 3 unrolled epochs (spec-asserted). */
+  val ClfLr = 8.0
+
+  /** Unrolled full-batch epochs of the classifier.  Like the Lloyd
+    * rounds of the k-means family: fixed, small, and written out so
+    * ONE SQL statement recomputes the whole training from the raw
+    * corpus in either engine. */
+  val ClfEpochs = 3
+
+  /** Per-document feature relation of the classifier: hashed-unigram
+    * term frequencies over `DsirBuckets` buckets — the same feature
+    * map as DSIR (fastText-style hashed bag of words). */
+  private def clfTfbSql(d: SqlDialect): String =
+    s"""SELECT doc_id, fb, count(*) AS tf FROM (
+       |    SELECT doc_id, ${d.h60("token")} % $DsirBuckets AS fb FROM (
+       |      SELECT doc_id, ${d.explode("toks")} AS token FROM (
+       |        SELECT doc_id, ${d.tokens("text")} AS toks
+       |        FROM documents) tt) tx) tz
+       |  GROUP BY doc_id, fb""".stripMargin
+
+  /** Per-document label/length relation: y = 1 for the English slice
+    * (the curated-corpus stand-in, DSIR's target split), token count
+    * for the mean-logit normalization.  Zero-token docs carry no
+    * features and are excluded from training and scoring. */
+  private def clfDocSql(d: SqlDialect): String =
+    s"""SELECT doc_id, lang, y_u, n_tok FROM (
+       |    SELECT doc_id, lang,
+       |      CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS BIGINT)
+       |        AS y_u,
+       |      CAST(${d.arrSize("toks")} AS BIGINT) AS n_tok FROM (
+       |      SELECT doc_id, lang, ${d.tokens("text")} AS toks
+       |      FROM documents) td) tn
+       |  WHERE n_tok > 0""".stripMargin
+
+  /** The classifier's training + scoring chain over `docRel(doc_id,
+    * lang, y_u, n_tok)` and `tfbRel(doc_id, fb, tf)` — shared by the
+    * single-statement oracle (relations inlined) and the engine path
+    * (relations cached once as temp views; the statement references
+    * them ~7 times and SQL CTEs inline per reference in BOTH
+    * engines).
+    *
+    * Arithmetic discipline, so training is deterministic under any
+    * partial-aggregation order: labels/probabilities live on the 10⁻⁶
+    * integer grid (y_u, p_u), residuals are integer differences, each
+    * per-posting gradient contribution round(r_u·tf/n_tok) is an
+    * integer, bucket gradients are integer sums (associative), and
+    * each weight step round(g·lr/n) re-lands on the grid.  The only
+    * transcendental is the sigmoid's exp, taken on identical doubles
+    * in both engines and re-quantized immediately — the
+    * `unigram_logprob`/DSIR rule applied to a trained model. */
+  private def clfTailCtes(d: SqlDialect, docRel: String,
+      tfbRel: String): String = {
+    val lr = d.dlit(ClfLr)
+    val q = d.dlit(1e6)
+    def pU(sU: String, nTok: String): String =
+      s"""CAST(round($q / (${d.dlit(1.0)}
+         |      + exp(-(CAST($sU AS DOUBLE) / (CAST($nTok AS DOUBLE) * $q))))) AS BIGINT)""".stripMargin
+    def gradCte(i: Int): String =
+      s"""g$i AS (
+         |  SELECT t.fb,
+         |    CAST(sum(CAST(round(CAST(r.r_u AS DOUBLE) * t.tf / dd.n_tok)
+         |      AS BIGINT)) AS BIGINT) AS g
+         |  FROM $tfbRel t
+         |  JOIN r$i r ON r.doc_id = t.doc_id
+         |  JOIN $docRel dd ON dd.doc_id = t.doc_id
+         |  GROUP BY t.fb)""".stripMargin
+    def scoreCte(name: String, wRel: String): String =
+      s"""$name AS (
+         |  SELECT dd.doc_id, dd.y_u, dd.n_tok,
+         |    COALESCE(CAST(sum(w.w_u * t.tf) AS BIGINT), 0) AS s_u
+         |  FROM $docRel dd
+         |  JOIN $tfbRel t ON t.doc_id = dd.doc_id
+         |  LEFT JOIN $wRel w ON w.fb = t.fb
+         |  GROUP BY dd.doc_id, dd.y_u, dd.n_tok)""".stripMargin
+    val later = (2 to ClfEpochs).map { i =>
+      s"""${scoreCte(s"s$i", s"w${i - 1}")},
+         |r$i AS (
+         |  SELECT doc_id, y_u - ${pU("s_u", "n_tok")} AS r_u FROM s$i),
+         |${gradCte(i)},
+         |w$i AS (
+         |  SELECT g.fb,
+         |    COALESCE(w.w_u, CAST(0 AS BIGINT))
+         |      + CAST(round(CAST(g.g AS DOUBLE) * $lr / nd.n) AS BIGINT)
+         |      AS w_u
+         |  FROM g$i g LEFT JOIN w${i - 1} w ON w.fb = g.fb
+         |  CROSS JOIN nd)""".stripMargin
+    }.mkString(",\n")
+    s"""nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $docRel),
+       |r1 AS (
+       |  SELECT doc_id, y_u - CAST(500000 AS BIGINT) AS r_u FROM $docRel),
+       |${gradCte(1)},
+       |w1 AS (
+       |  SELECT g1.fb,
+       |    CAST(round(CAST(g1.g AS DOUBLE) * $lr / nd.n) AS BIGINT) AS w_u
+       |  FROM g1 CROSS JOIN nd),
+       |$later,
+       |${scoreCte("sfin", s"w$ClfEpochs")},
+       |pfin AS (
+       |  SELECT doc_id, ${pU("s_u", "n_tok")} AS prob_u FROM sfin)
+       |SELECT dd.lang, count(*) AS n_docs,
+       |  round(CAST(sum(p.prob_u) AS DOUBLE) / (count(*) * $q), 6)
+       |    AS mean_prob,
+       |  CAST(sum(CASE WHEN p.prob_u > 500000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_above
+       |FROM pfin p JOIN $docRel dd ON dd.doc_id = p.doc_id
+       |GROUP BY dd.lang
+       |ORDER BY dd.lang""".stripMargin
+  }
+
+  /** Trainable quality classifier — the GPT-3/PaLM-style
+    * curated-vs-raw filter (Brown et al. 2020 §A: a linear classifier
+    * over hashed features scores every raw document by its
+    * resemblance to the curated corpus; documents are then kept by
+    * score): a logistic model over hashed-unigram features, trained
+    * IN the engine by `ClfEpochs` unrolled full-batch
+    * gradient-descent epochs (the Lloyd-rounds move applied to GD),
+    * English slice as the curated stand-in, reported as per-language
+    * mean probability and above-0.5 counts.  Complements DSIR: same
+    * features, but a DISCRIMINATIVE model — where DSIR reweights by a
+    * generative likelihood ratio, this trains the decision boundary
+    * the production filters actually ship.
+    *
+    * Scale: per epoch, one posting join (token-mass linear) and one
+    * ≤`DsirBuckets`-row gradient aggregate that broadcasts back —
+    * the model never leaves broadcast size, and epochs are a small
+    * constant.  The engine caches the feature/label relations once;
+    * the oracle recomputes everything from raw text in one
+    * statement. */
+  def qualityClassifierSql(d: SqlDialect): String =
+    s"""WITH doc AS (
+       |  ${clfDocSql(d)}),
+       |tfb AS (
+       |  ${clfTfbSql(d)}),
+       |${clfTailCtes(d, "doc", "tfb")}""".stripMargin
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    RelationCache.cached(spark, s"clf_doc:$dir") {
+      spark.sql(clfDocSql(SparkDialect))
+    }.createOrReplaceTempView("clf_doc")
+    RelationCache.cached(spark, s"clf_tfb:$dir") {
+      spark.sql(clfTfbSql(SparkDialect))
+    }.createOrReplaceTempView("clf_tfb")
+    spark.sql(
+      s"WITH ${clfTailCtes(SparkDialect, "clf_doc", "clf_tfb")}")
+  }
+
   /** k-anonymity audit over the corpus's quasi-identifiers — the
     * privacy-release check that complements the PII scan (`text_pii`
     * finds direct identifiers; this finds documents REIDENTIFIABLE by

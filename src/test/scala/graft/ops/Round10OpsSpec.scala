@@ -99,6 +99,69 @@ class Round10OpsSpec extends SparkSuite {
     }
   }
 
+  test("quality classifier matches an independent in-memory GD recomputation") {
+    val toks = tokensByDoc
+    graft.Tables.documents(spark, sf()).createOrReplaceTempView("documents")
+    val langOf = spark.sql("SELECT doc_id, lang FROM documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val b = Retrieval.DsirBuckets
+    val docs = toks.filter(_._2.nonEmpty).toSeq.map { case (id, ts) =>
+      val tf = ts.groupBy(t => h60(t) % b)
+        .map { case (fb, xs) => fb -> xs.size.toLong }
+      (id, if (langOf(id) == "en") 1000000L else 0L, ts.size.toLong, tf)
+    }
+    val n = docs.size.toLong
+    // BigDecimal HALF_UP = round half away from zero — the semantics
+    // of SQL round() in BOTH engines (negative residual halves must
+    // round down, where Scala's math.round would round toward +inf)
+    def grad(rU: Map[Long, Long]): Map[Long, Long] =
+      docs.flatMap { case (id, _, nTok, tf) =>
+        tf.map { case (fb, f) =>
+          fb -> BigDecimal(rU(id).toDouble * f / nTok)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+      }.groupBy(_._1).map { case (fb, xs) => fb -> xs.map(_._2).sum }
+    def pU(sU: Long, nTok: Long): Long =
+      BigDecimal(1e6 / (1.0 + math.exp(-(sU.toDouble / (nTok * 1e6)))))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var w = Map.empty[Long, Long]
+    var rU = docs.map { case (id, yU, _, _) => id -> (yU - 500000L) }.toMap
+    for (_ <- 1 to Retrieval.ClfEpochs) {
+      val g = grad(rU)
+      w = g.map { case (fb, gv) =>
+        fb -> (w.getOrElse(fb, 0L) +
+          BigDecimal(gv.toDouble * Retrieval.ClfLr / n)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+      rU = docs.map { case (id, yU, nTok, tf) =>
+        val sU = tf.map { case (fb, f) => w.getOrElse(fb, 0L) * f }.sum
+        id -> (yU - pU(sU, nTok))
+      }.toMap
+    }
+    val probs = docs.map { case (id, _, nTok, tf) =>
+      val sU = tf.map { case (fb, f) => w.getOrElse(fb, 0L) * f }.sum
+      (id, pU(sU, nTok))
+    }
+    val byLang = probs.groupBy { case (id, _) => langOf(id) }
+    val got = Retrieval.qualityClassifier(spark, sf()).collect()
+    assert(got.map(_.getAs[String]("lang")).toSeq == byLang.keys.toSeq.sorted)
+    got.foreach { r =>
+      val l = r.getAs[String]("lang")
+      val ps = byLang(l).map(_._2)
+      assert(r.getAs[Long]("n_docs") == ps.size.toLong)
+      assert(math.abs(r.getAs[Double]("mean_prob")
+        - ps.sum.toDouble / (ps.size * 1e6)) < 1e-6)
+      assert(r.getAs[Long]("n_above") == ps.count(_ > 500000L).toLong)
+    }
+    // the trained model separates the classes: the target slice's
+    // mean probability strictly exceeds every other language's
+    val meanOf = got.map(r =>
+      r.getAs[String]("lang") -> r.getAs[Double]("mean_prob")).toMap
+    meanOf.filter(_._1 != "en").values.foreach(m =>
+      assert(meanOf("en") > m,
+        s"classifier failed to separate: en=${meanOf("en")} vs $m"))
+  }
+
   test("cluster-balanced sample takes min(size, quota) lowest-hash members") {
     import spark.implicits._
     val sample = Similarity.clusterSample(spark, sf()).collect()
