@@ -477,26 +477,28 @@ object Retrieval {
   /** Per-document feature relation of the classifier: hashed-unigram
     * term frequencies over `DsirBuckets` buckets — the same feature
     * map as DSIR (fastText-style hashed bag of words). */
-  private def clfTfbSql(d: SqlDialect): String =
+  private def clfTfbSql(d: SqlDialect,
+      src: String = "documents"): String =
     s"""SELECT doc_id, fb, count(*) AS tf FROM (
        |    SELECT doc_id, ${d.h60("token")} % $DsirBuckets AS fb FROM (
        |      SELECT doc_id, ${d.explode("toks")} AS token FROM (
        |        SELECT doc_id, ${d.tokens("text")} AS toks
-       |        FROM documents) tt) tx) tz
+       |        FROM $src) tt) tx) tz
        |  GROUP BY doc_id, fb""".stripMargin
 
   /** Per-document label/length relation: y = 1 for the English slice
     * (the curated-corpus stand-in, DSIR's target split), token count
     * for the mean-logit normalization.  Zero-token docs carry no
     * features and are excluded from training and scoring. */
-  private def clfDocSql(d: SqlDialect): String =
+  private def clfDocSql(d: SqlDialect,
+      src: String = "documents"): String =
     s"""SELECT doc_id, lang, y_u, n_tok FROM (
        |    SELECT doc_id, lang,
        |      CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS BIGINT)
        |        AS y_u,
        |      CAST(${d.arrSize("toks")} AS BIGINT) AS n_tok FROM (
        |      SELECT doc_id, lang, ${d.tokens("text")} AS toks
-       |      FROM documents) td) tn
+       |      FROM $src) td) tn
        |  WHERE n_tok > 0""".stripMargin
 
   /** The classifier's training + scoring chain over `docRel(doc_id,
@@ -515,13 +517,19 @@ object Retrieval {
     * transcendental is the sigmoid's exp, taken on identical doubles
     * in both engines and re-quantized immediately — the
     * `unigram_logprob`/DSIR rule applied to a trained model. */
-  private def clfTailCtes(d: SqlDialect, docRel: String,
+  /** µ-quantized sigmoid of the mean-token logit — shared by every
+    * scoring site (training epochs, final scoring, and the streaming
+    * gate's frozen-model scorer). */
+  private[ops] def clfPU(d: SqlDialect, sU: String, nTok: String): String =
+    s"""CAST(round(${d.dlit(1e6)} / (${d.dlit(1.0)}
+       |      + exp(-(CAST($sU AS DOUBLE) / (CAST($nTok AS DOUBLE) * ${d.dlit(1e6)}))))) AS BIGINT)""".stripMargin
+
+  /** Training CTEs only — `nd, r1, g1, w1, …, w$ClfEpochs`; append a
+    * SELECT over `w$ClfEpochs` to extract the frozen model (the
+    * fit-batch half of the streaming gate). */
+  private[ops] def clfTrainCtes(d: SqlDialect, docRel: String,
       tfbRel: String): String = {
     val lr = d.dlit(ClfLr)
-    val q = d.dlit(1e6)
-    def pU(sU: String, nTok: String): String =
-      s"""CAST(round($q / (${d.dlit(1.0)}
-         |      + exp(-(CAST($sU AS DOUBLE) / (CAST($nTok AS DOUBLE) * $q))))) AS BIGINT)""".stripMargin
     def gradCte(i: Int): String =
       s"""g$i AS (
          |  SELECT t.fb,
@@ -531,18 +539,10 @@ object Retrieval {
          |  JOIN r$i r ON r.doc_id = t.doc_id
          |  JOIN $docRel dd ON dd.doc_id = t.doc_id
          |  GROUP BY t.fb)""".stripMargin
-    def scoreCte(name: String, wRel: String): String =
-      s"""$name AS (
-         |  SELECT dd.doc_id, dd.y_u, dd.n_tok,
-         |    COALESCE(CAST(sum(w.w_u * t.tf) AS BIGINT), 0) AS s_u
-         |  FROM $docRel dd
-         |  JOIN $tfbRel t ON t.doc_id = dd.doc_id
-         |  LEFT JOIN $wRel w ON w.fb = t.fb
-         |  GROUP BY dd.doc_id, dd.y_u, dd.n_tok)""".stripMargin
     val later = (2 to ClfEpochs).map { i =>
-      s"""${scoreCte(s"s$i", s"w${i - 1}")},
+      s"""${clfScoreCte(d, s"s$i", s"w${i - 1}", docRel, tfbRel)},
          |r$i AS (
-         |  SELECT doc_id, y_u - ${pU("s_u", "n_tok")} AS r_u FROM s$i),
+         |  SELECT doc_id, y_u - ${clfPU(d, "s_u", "n_tok")} AS r_u FROM s$i),
          |${gradCte(i)},
          |w$i AS (
          |  SELECT g.fb,
@@ -560,10 +560,26 @@ object Retrieval {
        |  SELECT g1.fb,
        |    CAST(round(CAST(g1.g AS DOUBLE) * $lr / nd.n) AS BIGINT) AS w_u
        |  FROM g1 CROSS JOIN nd),
-       |$later,
-       |${scoreCte("sfin", s"w$ClfEpochs")},
+       |$later""".stripMargin
+  }
+
+  private def clfScoreCte(d: SqlDialect, name: String, wRel: String,
+      docRel: String, tfbRel: String): String =
+    s"""$name AS (
+       |  SELECT dd.doc_id, dd.y_u, dd.n_tok,
+       |    COALESCE(CAST(sum(w.w_u * t.tf) AS BIGINT), 0) AS s_u
+       |  FROM $docRel dd
+       |  JOIN $tfbRel t ON t.doc_id = dd.doc_id
+       |  LEFT JOIN $wRel w ON w.fb = t.fb
+       |  GROUP BY dd.doc_id, dd.y_u, dd.n_tok)""".stripMargin
+
+  private def clfTailCtes(d: SqlDialect, docRel: String,
+      tfbRel: String): String = {
+    val q = d.dlit(1e6)
+    s"""${clfTrainCtes(d, docRel, tfbRel)},
+       |${clfScoreCte(d, "sfin", s"w$ClfEpochs", docRel, tfbRel)},
        |pfin AS (
-       |  SELECT doc_id, ${pU("s_u", "n_tok")} AS prob_u FROM sfin)
+       |  SELECT doc_id, ${clfPU(d, "s_u", "n_tok")} AS prob_u FROM sfin)
        |SELECT dd.lang, count(*) AS n_docs,
        |  round(CAST(sum(p.prob_u) AS DOUBLE) / (count(*) * $q), 6)
        |    AS mean_prob,
@@ -572,6 +588,26 @@ object Retrieval {
        |FROM pfin p JOIN $docRel dd ON dd.doc_id = p.doc_id
        |GROUP BY dd.lang
        |ORDER BY dd.lang""".stripMargin
+  }
+
+  /** Fit-batch half of the streaming classifier gate: train the
+    * `ClfEpochs`-epoch model on a STATIC corpus (arbitrary DataFrame
+    * with doc_id/lang/text) and return the frozen weight relation
+    * (fb, w_u) — ≤ `DsirBuckets` rows, broadcastable.  Training on
+    * the fixture `documents` table yields bit-identical weights to
+    * the ones `text_quality_classifier` trains (same CTE text over
+    * the same relations). */
+  def clfModel(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    corpus.createOrReplaceTempView("clf_train_src")
+    spark.sql(clfDocSql(SparkDialect, "clf_train_src"))
+      .createOrReplaceTempView("clf_doc_m")
+    spark.sql(clfTfbSql(SparkDialect, "clf_train_src"))
+      .createOrReplaceTempView("clf_tfb_m")
+    spark.sql(
+      s"""WITH ${clfTrainCtes(SparkDialect, "clf_doc_m", "clf_tfb_m")}
+         |SELECT fb, w_u FROM w$ClfEpochs""".stripMargin)
   }
 
   /** Trainable quality classifier — the GPT-3/PaLM-style

@@ -206,6 +206,54 @@ object StreamingCuration {
           .as("dsir_logratio"))
   }
 
+  /** Quality-classifier gate for the live feed — the frozen-model
+    * (fit-batch / score-stream) application of
+    * `text_quality_classifier`: the trained weight relation
+    * (`Retrieval.clfModel`, ≤ 4096 rows) broadcast-joins each
+    * document's hashed token buckets, a windowed per-doc aggregation
+    * sums the integer weights, and the µ-quantized sigmoid keeps the
+    * doc iff p > 0.5 — the decision boundary the batch operator
+    * trains, applied online.  Buckets the model never saw weigh 0
+    * (an untrained feature is no evidence either way).  Zero-token
+    * docs carry no features and never reach the gate, matching the
+    * batch operator's n_tok > 0 scope.  Same integer arithmetic as
+    * the batch scorer — the spec pins kept sets equal given the same
+    * frozen model.
+    *
+    * `minProbU` is the operating point on the 10⁻⁶ grid (default the
+    * conventional 0.5).  Production filters tune this against a
+    * validation set — GPT-3's filter effectively sampled by score
+    * rather than hard-thresholding at 0.5 — and a corpus whose
+    * features barely separate the classes (e.g. the shared-vocabulary
+    * fixture, where every p sits just below 0.5) keeps nothing at the
+    * default: an honest model outcome, not a gate defect. */
+  def clfGate(docs: DataFrame, model: DataFrame,
+              minProbU: Long = 500000L,
+              watermark: String = "30 days",
+              windowDur: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.functions._
+    val b = graft.ops.Retrieval.DsirBuckets
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .select(col("doc_id"), col("ingest_ts"),
+        expr(s"explode(${SparkDialect.tokens("text")})").as("token"))
+      .select(col("doc_id"), col("ingest_ts"),
+        expr(s"graft_h60(token) % $b").as("fb"))
+      .join(broadcast(model), Seq("fb"), "left")
+      .select(col("doc_id"), col("ingest_ts"),
+        coalesce(col("w_u"), lit(0L)).as("w"))
+      .groupBy(window(col("ingest_ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("s_u"))
+      .withColumn("prob_u", expr(
+        "CAST(round(1000000.0D / (1.0D + exp(-(CAST(s_u AS DOUBLE)"
+          + " / (CAST(n_tokens AS DOUBLE) * 1000000.0D))))) AS BIGINT)"))
+      .filter(col("prob_u") > minProbU)
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("n_tokens"),
+        round(col("prob_u").cast("double") / 1e6, 6).as("clf_prob"))
+  }
+
   /** The COMPOSED curation DAG as one streaming job: quality gate →
     * PII redaction → surprisal gate → near-dup dedup, append mode end
     * to end.  Stage order mirrors the batch pipeline: quality scores

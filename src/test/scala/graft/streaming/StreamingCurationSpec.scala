@@ -194,4 +194,65 @@ class StreamingCurationSpec extends SparkSuite {
       }
     } finally q.stop()
   }
+
+  test("classifier gate keeps exactly the frozen model's above-threshold documents") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def flushTs = new java.sql.Timestamp(t0.getTime + 60L * 86400L * 1000L)
+    val corpus = graft.Tables.documents(spark, sf())
+    val model = graft.ops.Retrieval.clfModel(corpus).cache()
+
+    // batch expectation: score every doc with the SAME frozen weights
+    // in plain Scala (integer sum + µ-quantized sigmoid, HALF_UP)
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val w = model.collect()
+      .map(r => r.getAs[Long]("fb") -> r.getAs[Long]("w_u")).toMap
+    val b = graft.ops.Retrieval.DsirBuckets
+    corpus.createOrReplaceTempView("documents")
+    val toks = spark.sql(
+        "SELECT doc_id, graft_tokens(text) AS t FROM documents")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1))
+    val pUs = toks.filter(_._2.nonEmpty).map { case (d, ts) =>
+      val sU = ts.map(t => w.getOrElse(h60(t) % b, 0L)).sum
+      d -> BigDecimal(1e6 / (1.0 + math.exp(-(sU.toDouble / (ts.size * 1e6)))))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    // a mid-distribution operating point so BOTH gate branches are
+    // exercised on this weak-feature fixture (see clfGate's scaladoc:
+    // at the default 0.5 every doc here sits below the bar)
+    val thrU = (pUs.map(_._2).min + pUs.map(_._2).max) / 2
+    val expKept = pUs.filter(_._2 > thrU).toMap
+    assert(expKept.nonEmpty && expKept.size < pUs.size,
+      "threshold must split the corpus")
+
+    val rows = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), t0, r.getString(1)))
+    val (r1, r2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingCuration.clfGate(
+        input.toDS().toDF("doc_id", "ingest_ts", "text"), model, thrU)
+      .writeStream.format("memory").queryName("clf_gated")
+      .outputMode("append").start()
+    try {
+      input.addData(r1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(r2.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(Seq((9001L, flushTs, "flush one"))); q.processAllAvailable()
+      input.addData(Seq((9002L, flushTs, "flush two"))); q.processAllAvailable()
+      val streamed = spark.table("clf_gated")
+        .filter($"doc_id" < 9000L)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Double]("clf_prob")).toMap
+      assert(streamed.nonEmpty, "gate must keep some documents")
+      assert(streamed.keySet == expKept.keySet,
+        "kept set == frozen-model batch scorer")
+      streamed.foreach { case (d, p) =>
+        assert(math.abs(p - expKept(d) / 1e6) < 1e-9, s"doc $d")
+      }
+    } finally q.stop()
+  }
 }
