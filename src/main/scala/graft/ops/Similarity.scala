@@ -195,9 +195,11 @@ object Similarity {
     * rank only candidates there.  At 100 TB the assign step is a
     * broadcast map over the scan and each query touches ~2/5 of the
     * data — with real k-means centroids, a tunable fraction. */
-  def ivfSql(d: SqlDialect): String = {
-    s"""WITH ${baseCtes(d)},
-       |c AS (
+  /** Fixed-pick IVF coarse quantizer ending in `cand(qid, nid)` —
+    * shared by `ivfSql` and the PQ-ADC variant (`ivfAdcSql`), which
+    * differ only in how candidates are SCORED. */
+  private def ivfCandCtes(d: SqlDialect): String =
+    s"""c AS (
        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
        |  WHERE vec_id % 100 = 50),
        |asgn0 AS (
@@ -213,7 +215,11 @@ object Similarity {
        |  WHERE vec_id % 100 = 0 AND crn <= 2),
        |cand AS (
        |  SELECT p.qid, a.vec_id AS nid
-       |  FROM probe p JOIN asgn a ON a.cid = p.cid AND a.vec_id != p.qid),
+       |  FROM probe p JOIN asgn a ON a.cid = p.cid AND a.vec_id != p.qid)""".stripMargin
+
+  def ivfSql(d: SqlDialect): String = {
+    s"""WITH ${baseCtes(d)},
+       |${ivfCandCtes(d)},
        |sc AS (
        |  SELECT cand.qid, cand.nid,
        |    ${d.dot("q.v", "x.v")} / (q.nrm * x.nrm) AS cs
@@ -226,6 +232,117 @@ object Similarity {
        |  FROM sc)
        |SELECT qid AS query_id, nid AS neighbor_id,
        |  round(cs, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+       |FROM r WHERE rn <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Product-quantization geometry: dim 64 = `PqM` × `PqSubDim`
+    * subspaces, `PqK` codewords per subspace → a vector's code is
+    * `PqM` 4-bit ids = 4 bytes, a 64× compression over the float
+    * payload (SQ8's int8 codes are 4×).  This is the FAISS-IVFPQ
+    * storage shape — the index format trillion-vector deployments
+    * actually ship. */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqK = 16
+
+  /** IVF + product quantization with asymmetric distance computation
+    * (ADC) — Jégou et al. 2011 ("Product Quantization for Nearest
+    * Neighbor Search"): each database vector is stored as `PqM`
+    * per-subspace codeword ids; a query is NOT quantized, and scores
+    * candidates by Σₛ ⟨q_s, codeword(s, code_s)⟩ — the inner product
+    * against the RECONSTRUCTED vector, normalized by the
+    * reconstruction's norm for a cosine-comparable score.
+    *
+    * Codebooks here are SAMPLED, not trained: per subspace, the
+    * codewords are the sub-vectors of `PqK` stride-spread seed
+    * vectors (rank-stride over vec_id — deterministic, no RNG, no
+    * Lloyd).  Sampled codebooks are the classic cheap baseline; the
+    * per-subspace k-means upgrade reuses this operator's exact
+    * serving arithmetic (assignment argmin and ADC are
+    * codebook-agnostic), the way `sim_ivf_kmeans` upgrades
+    * `sim_ann_ivf`'s coarse stage.
+    *
+    * Determinism: assignment is an L2 argmin over exactly-rounded
+    * double arithmetic on identical inputs (ties → smallest codeword
+    * id); the two cross-row sums of doubles (reconstruction norm,
+    * ADC inner product — `PqM` rows each) are µ-quantized per-term
+    * and summed as integers, so partial-aggregation order cannot
+    * move them.  Coarse candidates are `ivfSql`'s fixed-pick
+    * nprobe=2 chain, so the approximation delta vs `sim_ann_ivf` is
+    * exactly the PQ scoring noise.
+    *
+    * Scale: codes are 4 bytes/vector (the point of PQ); the codebook
+    * is `PqM`·`PqK` tiny arrays — broadcast; assignment is one
+    * n×(`PqM`·`PqK`) narrow comparison pass; serving touches only
+    * probed candidates.  At 100 TB the codes+codebook persist in the
+    * `cid=`-partitioned store exactly like the SQ8 payload
+    * (`sim_ann_ivf_pq`) — same lifecycle, quarter the bytes again. */
+  def ivfAdcSql(d: SqlDialect): String = {
+    val q = d.dlit(1e6)
+    def l2(a: String, b: String): String =
+      s"(${d.dot(a, a)} - 2 * ${d.dot(a, b)} + ${d.dot(b, b)})"
+    s"""WITH ${baseCtes(d)},
+       |${ivfCandCtes(d)},
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM n),
+       |st AS (
+       |  SELECT ${d.intDiv(s"(nv + ${PqK - 1})", PqK.toString)} AS stride
+       |  FROM cnt),
+       |sd AS (
+       |  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS r FROM n),
+       |seeds AS (
+       |  SELECT ${d.intDiv("(sd.r - 1)", "st.stride")} AS j, sd.v
+       |  FROM sd CROSS JOIN st
+       |  WHERE (sd.r - 1) % st.stride = 0),
+       |sx AS (
+       |  SELECT ${d.explode(d.sequence0(PqM.toString))} AS s),
+       |cb AS (
+       |  SELECT sx.s, seeds.j,
+       |    ${d.arrSlice("seeds.v", s"sx.s * $PqSubDim + 1", PqSubDim.toString)}
+       |      AS cw
+       |  FROM seeds CROSS JOIN sx),
+       |sub AS (
+       |  SELECT n.vec_id, sx.s,
+       |    ${d.arrSlice("n.v", s"sx.s * $PqSubDim + 1", PqSubDim.toString)}
+       |      AS sv
+       |  FROM n CROSS JOIN sx),
+       |codes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT sub.vec_id, sub.s, cb.j,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${l2("sub.sv", "cb.cw")}, cb.j) AS rn
+       |    FROM sub JOIN cb ON cb.s = sub.s) z
+       |  WHERE rn = 1),
+       |rn0 AS (
+       |  SELECT a.vec_id,
+       |    CAST(sum(CAST(round(${d.dot("cb.cw", "cb.cw")} * $q) AS BIGINT))
+       |      AS BIGINT) AS nrm2_u
+       |  FROM codes a JOIN cb ON cb.s = a.s AND cb.j = a.code
+       |  GROUP BY a.vec_id),
+       |vnrm AS (
+       |  SELECT vec_id, sqrt(CAST(nrm2_u AS DOUBLE) / $q) AS rnrm
+       |  FROM rn0 WHERE nrm2_u > 0),
+       |adc AS (
+       |  SELECT cand.qid, cand.nid,
+       |    CAST(sum(CAST(round(${d.dot("qs.sv", "cb.cw")} * $q) AS BIGINT))
+       |      AS BIGINT) AS ip_u
+       |  FROM cand
+       |  JOIN codes a ON a.vec_id = cand.nid
+       |  JOIN cb ON cb.s = a.s AND cb.j = a.code
+       |  JOIN sub qs ON qs.vec_id = cand.qid AND qs.s = a.s
+       |  GROUP BY cand.qid, cand.nid),
+       |sc AS (
+       |  SELECT adc.qid, adc.nid,
+       |    (CAST(ip_u AS DOUBLE) / $q) / (q.nrm * v.rnrm) AS cs
+       |  FROM adc
+       |  JOIN n q ON q.vec_id = adc.qid
+       |  JOIN vnrm v ON v.vec_id = adc.nid),
+       |r AS (
+       |  SELECT qid, nid, cs,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+       |  FROM sc)
+       |SELECT qid AS query_id, nid AS neighbor_id,
+       |  round(cs, 6) AS approx_cosine, CAST(rn AS BIGINT) AS rank
        |FROM r WHERE rn <= 5
        |ORDER BY query_id, rank""".stripMargin
   }
@@ -1659,6 +1776,8 @@ object Similarity {
     run(spark, dir, annLshSql(SparkDialect))
   def ivf(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, ivfSql(SparkDialect))
+  def ivfAdc(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, ivfAdcSql(SparkDialect))
 
   /** Engine-side k-means IVF: the single-statement SQL form (kept as
     * the oracle) inlines the whole Lloyd chain at every reference, so

@@ -162,6 +162,62 @@ class Round10OpsSpec extends SparkSuite {
         s"classifier failed to separate: en=${meanOf("en")} vs $m"))
   }
 
+  test("IVF-ADC scores match an independent PQ reconstruction recompute") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf())
+      .select(col("vec_id"),
+        expr(SparkDialect.toDoubleArr("embedding")).as("v"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val m = Similarity.PqM; val sd = Similarity.PqSubDim
+    val k = Similarity.PqK
+    val stride = (emb.length + k - 1) / k
+    val seeds = emb.zipWithIndex.collect {
+      case ((_, v), r) if r % stride == 0 => (r / stride, v)
+    }
+    def cw(s: Int, j: Int): Array[Double] =
+      seeds.find(_._1 == j).get._2.slice(s * sd, s * sd + sd)
+    def codesOf(v: Array[Double]): Array[Int] =
+      (0 until m).map { s =>
+        val sub = v.slice(s * sd, s * sd + sd)
+        (0 until seeds.length).minBy { j =>
+          val c = cw(s, j)
+          (dot(sub, sub) - 2 * dot(sub, c) + dot(c, c), j)
+        }
+      }.toArray
+    def uq(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vecOf = emb.toMap
+    val got = Similarity.ivfAdc(spark, sf()).collect()
+    assert(got.nonEmpty)
+    // every query returns a dense rank 1..k sequence
+    got.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+    }
+    // every reported score is the PQ-reconstruction cosine, recomputed
+    // from raw embeddings + the sampled codebook independently
+    got.foreach { r =>
+      val q = vecOf(r.getAs[Long]("query_id"))
+      val n = vecOf(r.getAs[Long]("neighbor_id"))
+      val codes = codesOf(n)
+      val ipU = (0 until m).map(s =>
+        uq(dot(q.slice(s * sd, s * sd + sd), cw(s, codes(s))))).sum
+      val nrm2U = (0 until m).map(s =>
+        uq(dot(cw(s, codes(s)), cw(s, codes(s))))).sum
+      val cs = (ipU / 1e6) /
+        (math.sqrt(dot(q, q)) * math.sqrt(nrm2U / 1e6))
+      assert(math.abs(r.getAs[Double]("approx_cosine") - cs) < 2e-6,
+        s"row $r expected $cs")
+    }
+  }
+
   test("cluster-balanced sample takes min(size, quota) lowest-hash members") {
     import spark.implicits._
     val sample = Similarity.clusterSample(spark, sf()).collect()
