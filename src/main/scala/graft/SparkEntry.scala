@@ -195,6 +195,7 @@ object SparkEntry {
     "text_k_anonymity" -> (Retrieval.kAnonymity _),
     "sim_cluster_purity" -> (Similarity.clusterPurity _),
     "sim_ann_ivf_adc" -> (Similarity.ivfAdc _),
+    "sim_adc_recall" -> (Similarity.adcRecall _),
     "sim_cluster_sample" -> (Similarity.clusterSample _),
     "sim_cluster_sample_scaled" -> (Similarity.clusterSampleScaled _),
     "text_chunk_bm25" -> (Retrieval.chunkBm25 _),
@@ -553,6 +554,7 @@ object SparkEntry {
     "text_k_anonymity" -> Retrieval.kAnonymitySql(DuckDialect),
     "sim_cluster_purity" -> Similarity.clusterPuritySql(DuckDialect),
     "sim_ann_ivf_adc" -> Similarity.ivfAdcSql(DuckDialect),
+    "sim_adc_recall" -> Similarity.adcRecallSql(DuckDialect),
     "sim_cluster_sample" -> Similarity.clusterSampleSql(DuckDialect),
     "sim_cluster_sample_scaled" ->
       Similarity.clusterSampleScaledSql(DuckDialect),

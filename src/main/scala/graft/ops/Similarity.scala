@@ -347,6 +347,31 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Recall harness for the ADC path — `sim_recall`'s discipline for
+    * the PQ serving mode: per query, the fraction of the TRUE cosine
+    * top-5 (brute-force) that ADC scoring over 4-byte codes recovers.
+    * Quantifies BOTH losses at once (coarse nprobe=2 candidate loss +
+    * PQ reconstruction noise) so the 64×-compression trade is an
+    * oracle-checked number, not a prose claim.  A measurement query:
+    * it deliberately pays for both pipelines. */
+  def adcRecallSql(d: SqlDialect): String =
+    s"""WITH x AS (
+       |  SELECT query_id, neighbor_id FROM (${topKSql(d)}) tx
+       |  WHERE rank <= 5),
+       |y AS (
+       |  SELECT query_id, neighbor_id FROM (${ivfAdcSql(d)}) ty),
+       |c AS (
+       |  SELECT x.query_id, count(y.neighbor_id) AS n_common
+       |  FROM x LEFT JOIN y
+       |    ON y.query_id = x.query_id AND y.neighbor_id = x.neighbor_id
+       |  GROUP BY x.query_id)
+       |SELECT query_id, CAST(n_common AS BIGINT) AS n_common,
+       |  round(CAST(n_common AS DOUBLE) / ${d.dlit(5.0)}, 6) AS recall_frac
+       |FROM c ORDER BY query_id""".stripMargin
+
+  def adcRecall(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, adcRecallSql(SparkDialect))
+
   /** IVF with TRAINED centroids: spherical k-means (cosine Lloyd
     * iterations) instead of ivfSql's fixed picks, then the same
     * nprobe=2 search.  Fully oracle-checked despite float centroids:
