@@ -600,14 +600,29 @@ object Retrieval {
   def clfModel(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    corpus.createOrReplaceTempView("clf_train_src")
-    spark.sql(clfDocSql(SparkDialect, "clf_train_src"))
-      .createOrReplaceTempView("clf_doc_m")
-    spark.sql(clfTfbSql(SparkDialect, "clf_train_src"))
-      .createOrReplaceTempView("clf_tfb_m")
-    spark.sql(
-      s"""WITH ${clfTrainCtes(SparkDialect, "clf_doc_m", "clf_tfb_m")}
-         |SELECT fb, w_u FROM w$ClfEpochs""".stripMargin)
+    // per-call view names: a second fit in the same session (another
+    // corpus, another thread) must not clobber this one's relations
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (src, docV, tfbV) =
+      (s"clf_src_$tag", s"clf_doc_$tag", s"clf_tfb_$tag")
+    corpus.createOrReplaceTempView(src)
+    try {
+      spark.sql(clfDocSql(SparkDialect, src)).createOrReplaceTempView(docV)
+      spark.sql(clfTfbSql(SparkDialect, src)).createOrReplaceTempView(tfbV)
+      // materialize: the model is <= DsirBuckets rows BY DESIGN, and a
+      // stream-static join re-evaluates its static side every
+      // micro-batch — returning the lazy 3-epoch training plan would
+      // re-train per batch.  Collect once, hand back a local relation:
+      // frozen in cost, not just in value.
+      val rows = spark.sql(
+          s"""WITH ${clfTrainCtes(SparkDialect, docV, tfbV)}
+             |SELECT fb, w_u FROM w$ClfEpochs""".stripMargin)
+        .collect().toIndexedSeq
+      import spark.implicits._
+      rows.map(r => (r.getAs[Long]("fb"), r.getAs[Long]("w_u")))
+        .toDF("fb", "w_u")
+    } finally
+      Seq(src, docV, tfbV).foreach(spark.catalog.dropTempView(_))
   }
 
   /** Trainable quality classifier — the GPT-3/PaLM-style

@@ -243,7 +243,10 @@ object Similarity {
     * storage shape — the index format trillion-vector deployments
     * actually ship. */
   val PqM = 8
-  val PqSubDim = 8
+  /** Derived from the single-sourced embedding width so a dim change
+    * fails loudly in `ivfAdcSql`'s require instead of silently
+    * slicing a truncated prefix. */
+  val PqSubDim: Int = EmbeddingDim / PqM
   val PqK = 16
 
   /** IVF + product quantization with asymmetric distance computation
@@ -279,6 +282,10 @@ object Similarity {
     * `cid=`-partitioned store exactly like the SQ8 payload
     * (`sim_ann_ivf_pq`) — same lifecycle, quarter the bytes again. */
   def ivfAdcSql(d: SqlDialect): String = {
+    require(PqM * PqSubDim == EmbeddingDim,
+      s"PQ geometry ${PqM}x$PqSubDim must cover the embedding width " +
+        s"$EmbeddingDim exactly - a partial cover silently scores a " +
+        "truncated prefix")
     val q = d.dlit(1e6)
     def l2(a: String, b: String): String =
       s"(${d.dot(a, a)} - 2 * ${d.dot(a, b)} + ${d.dot(b, b)})"
@@ -361,12 +368,13 @@ object Similarity {
        |y AS (
        |  SELECT query_id, neighbor_id FROM (${ivfAdcSql(d)}) ty),
        |c AS (
-       |  SELECT x.query_id, count(y.neighbor_id) AS n_common
+       |  SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_true,
+       |    count(y.neighbor_id) AS n_common
        |  FROM x LEFT JOIN y
        |    ON y.query_id = x.query_id AND y.neighbor_id = x.neighbor_id
        |  GROUP BY x.query_id)
        |SELECT query_id, CAST(n_common AS BIGINT) AS n_common,
-       |  round(CAST(n_common AS DOUBLE) / ${d.dlit(5.0)}, 6) AS recall_frac
+       |  round(CAST(n_common AS DOUBLE) / n_true, 6) AS recall_frac
        |FROM c ORDER BY query_id""".stripMargin
 
   def adcRecall(spark: SparkSession, dir: String): DataFrame =
