@@ -196,6 +196,7 @@ object SparkEntry {
     "sim_cluster_purity" -> (Similarity.clusterPurity _),
     "sim_ann_ivf_adc" -> (Similarity.ivfAdc _),
     "sim_adc_recall" -> (Similarity.adcRecall _),
+    "sim_ivf_adc_trained" -> (Similarity.ivfAdcTrained _),
     "sim_cluster_sample" -> (Similarity.clusterSample _),
     "sim_cluster_sample_scaled" -> (Similarity.clusterSampleScaled _),
     "text_chunk_bm25" -> (Retrieval.chunkBm25 _),
@@ -555,6 +556,7 @@ object SparkEntry {
     "sim_cluster_purity" -> Similarity.clusterPuritySql(DuckDialect),
     "sim_ann_ivf_adc" -> Similarity.ivfAdcSql(DuckDialect),
     "sim_adc_recall" -> Similarity.adcRecallSql(DuckDialect),
+    "sim_ivf_adc_trained" -> Similarity.ivfAdcTrainedSql(DuckDialect),
     "sim_cluster_sample" -> Similarity.clusterSampleSql(DuckDialect),
     "sim_cluster_sample_scaled" ->
       Similarity.clusterSampleScaledSql(DuckDialect),

@@ -281,17 +281,13 @@ object Similarity {
     * probed candidates.  At 100 TB the codes+codebook persist in the
     * `cid=`-partitioned store exactly like the SQ8 payload
     * (`sim_ann_ivf_pq`) — same lifecycle, quarter the bytes again. */
-  def ivfAdcSql(d: SqlDialect): String = {
-    require(PqM * PqSubDim == EmbeddingDim,
-      s"PQ geometry ${PqM}x$PqSubDim must cover the embedding width " +
-        s"$EmbeddingDim exactly - a partial cover silently scores a " +
-        "truncated prefix")
-    val q = d.dlit(1e6)
-    def l2(a: String, b: String): String =
-      s"(${d.dot(a, a)} - 2 * ${d.dot(a, b)} + ${d.dot(b, b)})"
-    s"""WITH ${baseCtes(d)},
-       |${ivfCandCtes(d)},
-       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM n),
+  private def pqL2(d: SqlDialect)(a: String, b: String): String =
+    s"(${d.dot(a, a)} - 2 * ${d.dot(a, b)} + ${d.dot(b, b)})"
+
+  /** Shared PQ prologue: sampled seed codebook `cb0(s, j, cw)` and
+    * the per-vector subspace relation `sub(vec_id, s, sv)`. */
+  private def pqCommonCtes(d: SqlDialect): String =
+    s"""cnt AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM n),
        |st AS (
        |  SELECT ${d.intDiv(s"(nv + ${PqK - 1})", PqK.toString)} AS stride
        |  FROM cnt),
@@ -303,7 +299,7 @@ object Similarity {
        |  WHERE (sd.r - 1) % st.stride = 0),
        |sx AS (
        |  SELECT ${d.explode(d.sequence0(PqM.toString))} AS s),
-       |cb AS (
+       |cb0 AS (
        |  SELECT sx.s, seeds.j,
        |    ${d.arrSlice("seeds.v", s"sx.s * $PqSubDim + 1", PqSubDim.toString)}
        |      AS cw
@@ -312,19 +308,52 @@ object Similarity {
        |  SELECT n.vec_id, sx.s,
        |    ${d.arrSlice("n.v", s"sx.s * $PqSubDim + 1", PqSubDim.toString)}
        |      AS sv
-       |  FROM n CROSS JOIN sx),
-       |codes AS (
+       |  FROM n CROSS JOIN sx)""".stripMargin
+
+  /** Per-(vector, subspace) nearest-codeword assignment against
+    * `cbRel` — L2 argmin, tie to the smallest codeword id. */
+  private def pqAssignCte(d: SqlDialect, name: String,
+      cbRel: String): String =
+    s"""$name AS (
        |  SELECT vec_id, s, j AS code FROM (
        |    SELECT sub.vec_id, sub.s, cb.j,
        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
-       |        ORDER BY ${l2("sub.sv", "cb.cw")}, cb.j) AS rn
-       |    FROM sub JOIN cb ON cb.s = sub.s) z
-       |  WHERE rn = 1),
-       |rn0 AS (
+       |        ORDER BY ${pqL2(d)("sub.sv", "cb.cw")}, cb.j) AS rn
+       |    FROM sub JOIN $cbRel cb ON cb.s = sub.s) z
+       |  WHERE rn = 1)""".stripMargin
+
+  /** One per-subspace Lloyd round: assignments in `codesRel` →
+    * µ-quantized per-dimension means → codebook `cb$i(s, j, cw)`.
+    * Subspace `s` is just a grouping key, so ALL `PqM` codebooks
+    * train in one CTE pair; a codeword that attracts no vectors
+    * drops out of the next codebook (the standard empty-cluster
+    * behavior of the k-means family here). */
+  private def pqLloydCtes(d: SqlDialect, i: Int,
+      codesRel: String): String = {
+    val q = d.dlit(1e6)
+    val sums = (0 until PqSubDim).map(j =>
+      s"sum(CAST(round(${d.arrAt("sub.sv", (j + 1).toString)} * $q) AS BIGINT)) AS s$j")
+      .mkString(", ")
+    val comps = (0 until PqSubDim).map(j =>
+      s"CAST(s$j AS DOUBLE) / ($q * cnt)")
+    s"""u$i AS (
+       |  SELECT a.s, a.code AS j, count(*) AS cnt, $sums
+       |  FROM $codesRel a
+       |  JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s
+       |  GROUP BY a.s, a.code),
+       |cb$i AS (
+       |  SELECT s, j, ${d.arrOf(comps)} AS cw FROM u$i)""".stripMargin
+  }
+
+  /** ADC scoring + top-5 over final `codesRel`/`cbRel`. */
+  private def pqAdcTail(d: SqlDialect, codesRel: String,
+      cbRel: String): String = {
+    val q = d.dlit(1e6)
+    s"""rn0 AS (
        |  SELECT a.vec_id,
        |    CAST(sum(CAST(round(${d.dot("cb.cw", "cb.cw")} * $q) AS BIGINT))
        |      AS BIGINT) AS nrm2_u
-       |  FROM codes a JOIN cb ON cb.s = a.s AND cb.j = a.code
+       |  FROM $codesRel a JOIN $cbRel cb ON cb.s = a.s AND cb.j = a.code
        |  GROUP BY a.vec_id),
        |vnrm AS (
        |  SELECT vec_id, sqrt(CAST(nrm2_u AS DOUBLE) / $q) AS rnrm
@@ -334,8 +363,8 @@ object Similarity {
        |    CAST(sum(CAST(round(${d.dot("qs.sv", "cb.cw")} * $q) AS BIGINT))
        |      AS BIGINT) AS ip_u
        |  FROM cand
-       |  JOIN codes a ON a.vec_id = cand.nid
-       |  JOIN cb ON cb.s = a.s AND cb.j = a.code
+       |  JOIN $codesRel a ON a.vec_id = cand.nid
+       |  JOIN $cbRel cb ON cb.s = a.s AND cb.j = a.code
        |  JOIN sub qs ON qs.vec_id = cand.qid AND qs.s = a.s
        |  GROUP BY cand.qid, cand.nid),
        |sc AS (
@@ -354,27 +383,81 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  private def requirePqGeometry(): Unit =
+    require(PqM * PqSubDim == EmbeddingDim,
+      s"PQ geometry ${PqM}x$PqSubDim must cover the embedding width " +
+        s"$EmbeddingDim exactly - a partial cover silently scores a " +
+        "truncated prefix")
+
+  def ivfAdcSql(d: SqlDialect): String = {
+    requirePqGeometry()
+    s"""WITH ${baseCtes(d)},
+       |${ivfCandCtes(d)},
+       |${pqCommonCtes(d)},
+       |${pqAssignCte(d, "codes", "cb0")},
+       |${pqAdcTail(d, "codes", "cb0")}""".stripMargin
+  }
+
+  /** Lloyd rounds for the TRAINED PQ codebooks. */
+  val PqIters = 2
+
+  /** The full IVFPQ: `ivfAdcSql` with per-subspace k-means-TRAINED
+    * codebooks — `PqIters` Lloyd rounds refine the sampled seeds
+    * before vectors are coded, the exact configuration FAISS ships as
+    * IVFPQ.  Because subspace id is just a grouping key, all `PqM`
+    * codebooks train simultaneously: each round is ONE assignment CTE
+    * plus ONE µ-quantized per-dimension mean aggregate (the
+    * `sim_ivf_kmeans` integer-sum discipline at subvector width), so
+    * codebook training costs the same order as coding itself.
+    * Assignment, ADC arithmetic and candidates are shared verbatim
+    * with the sampled variant — the recall delta between the two IS
+    * the value of training the codebooks, measurable per query. */
+  def ivfAdcTrainedSql(d: SqlDialect): String = {
+    requirePqGeometry()
+    val rounds = (1 to PqIters).map { i =>
+      s"""${pqAssignCte(d, s"a${i - 1}", s"cb${i - 1}")},
+         |${pqLloydCtes(d, i, s"a${i - 1}")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${baseCtes(d)},
+       |${ivfCandCtes(d)},
+       |${pqCommonCtes(d)},
+       |$rounds,
+       |${pqAssignCte(d, "codes", s"cb$PqIters")},
+       |${pqAdcTail(d, "codes", s"cb$PqIters")}""".stripMargin
+  }
+
   /** Recall harness for the ADC path — `sim_recall`'s discipline for
     * the PQ serving mode: per query, the fraction of the TRUE cosine
     * top-5 (brute-force) that ADC scoring over 4-byte codes recovers.
     * Quantifies BOTH losses at once (coarse nprobe=2 candidate loss +
     * PQ reconstruction noise) so the 64×-compression trade is an
-    * oracle-checked number, not a prose claim.  A measurement query:
-    * it deliberately pays for both pipelines. */
+    * oracle-checked number, not a prose claim — for the sampled AND
+    * the Lloyd-trained codebooks side by side, so the value of
+    * training is itself a measured per-query delta.  A measurement
+    * query: it deliberately pays for all three pipelines. */
   def adcRecallSql(d: SqlDialect): String =
     s"""WITH x AS (
        |  SELECT query_id, neighbor_id FROM (${topKSql(d)}) tx
        |  WHERE rank <= 5),
        |y AS (
        |  SELECT query_id, neighbor_id FROM (${ivfAdcSql(d)}) ty),
+       |z AS (
+       |  SELECT query_id, neighbor_id FROM (${ivfAdcTrainedSql(d)}) tz),
        |c AS (
        |  SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_true,
-       |    count(y.neighbor_id) AS n_common
-       |  FROM x LEFT JOIN y
+       |    count(y.neighbor_id) AS n_common,
+       |    count(z.neighbor_id) AS n_common_trained
+       |  FROM x
+       |  LEFT JOIN y
        |    ON y.query_id = x.query_id AND y.neighbor_id = x.neighbor_id
+       |  LEFT JOIN z
+       |    ON z.query_id = x.query_id AND z.neighbor_id = x.neighbor_id
        |  GROUP BY x.query_id)
        |SELECT query_id, CAST(n_common AS BIGINT) AS n_common,
-       |  round(CAST(n_common AS DOUBLE) / n_true, 6) AS recall_frac
+       |  round(CAST(n_common AS DOUBLE) / n_true, 6) AS recall_frac,
+       |  CAST(n_common_trained AS BIGINT) AS n_common_trained,
+       |  round(CAST(n_common_trained AS DOUBLE) / n_true, 6)
+       |    AS recall_trained
        |FROM c ORDER BY query_id""".stripMargin
 
   def adcRecall(spark: SparkSession, dir: String): DataFrame =
@@ -1811,6 +1894,8 @@ object Similarity {
     run(spark, dir, ivfSql(SparkDialect))
   def ivfAdc(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, ivfAdcSql(SparkDialect))
+  def ivfAdcTrained(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, ivfAdcTrainedSql(SparkDialect))
 
   /** Engine-side k-means IVF: the single-statement SQL form (kept as
     * the oracle) inlines the whole Lloyd chain at every reference, so

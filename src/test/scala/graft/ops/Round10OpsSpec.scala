@@ -218,6 +218,73 @@ class Round10OpsSpec extends SparkSuite {
     }
   }
 
+  test("trained IVFPQ matches an independent per-subspace Lloyd recompute") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf())
+      .select(col("vec_id"),
+        expr(SparkDialect.toDoubleArr("embedding")).as("v"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def uq(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val m = Similarity.PqM; val sd = Similarity.PqSubDim
+    val k = Similarity.PqK
+    val stride = (emb.length + k - 1) / k
+    // cb: Map[(s, j) -> codeword]
+    var cb: Map[(Int, Long), Array[Double]] =
+      emb.zipWithIndex.collect {
+        case ((_, v), r) if r % stride == 0 =>
+          (0 until m).map(s =>
+            (s, (r / stride).toLong) -> v.slice(s * sd, s * sd + sd))
+      }.flatten.toMap
+    def assign(cbNow: Map[(Int, Long), Array[Double]])
+        : Map[(Long, Int), Long] =
+      emb.flatMap { case (id, v) =>
+        (0 until m).map { s =>
+          val sub = v.slice(s * sd, s * sd + sd)
+          val j = cbNow.keys.filter(_._1 == s).map(_._2).toSeq.sorted
+            .minBy { j =>
+              val c = cbNow((s, j))
+              (dot(sub, sub) - 2 * dot(sub, c) + dot(c, c), j)
+            }
+          (id, s) -> j
+        }
+      }.toMap
+    for (_ <- 1 to Similarity.PqIters) {
+      val a = assign(cb)
+      cb = a.toSeq.groupBy { case ((_, s), j) => (s, j) }
+        .map { case ((s, j), members) =>
+          val subs = members.map { case ((id, _), _) =>
+            emb.find(_._1 == id).get._2.slice(s * sd, s * sd + sd) }
+          val cnt = subs.size
+          (s, j) -> (0 until sd).map(d =>
+            subs.map(x => uq(x(d))).sum.toDouble / (1e6 * cnt)).toArray
+        }
+    }
+    val codes = assign(cb)
+    val vecOf = emb.toMap
+    val got = Similarity.ivfAdcTrained(spark, sf()).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val q = vecOf(r.getAs[Long]("query_id"))
+      val nid = r.getAs[Long]("neighbor_id")
+      val ipU = (0 until m).map(s =>
+        uq(dot(q.slice(s * sd, s * sd + sd), cb((s, codes((nid, s))))))).sum
+      val nrm2U = (0 until m).map { s =>
+        val c = cb((s, codes((nid, s)))); uq(dot(c, c))
+      }.sum
+      val cs = (ipU / 1e6) /
+        (math.sqrt(dot(q, q)) * math.sqrt(nrm2U / 1e6))
+      assert(math.abs(r.getAs[Double]("approx_cosine") - cs) < 2e-6,
+        s"row $r expected $cs")
+    }
+  }
+
   test("cluster-balanced sample takes min(size, quota) lowest-hash members") {
     import spark.implicits._
     val sample = Similarity.clusterSample(spark, sf()).collect()
