@@ -112,7 +112,12 @@ object SparkEntry {
     "text_curation_log" -> (TextAnalysis.curationLog _),
     "text_curation_log_full" -> (TextAnalysis.curationLogFull _),
     "text_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
+    "text_bigram_logprob" -> (TextFilters.bigramLogprob _),
     "text_novelty" -> (TextAnalysis.novelty _),
+    // Rule-based curation filters + frequency sketch (TextFilters)
+    "text_gopher_rules" -> (TextFilters.gopherRules _),
+    "text_heavy_hitters" -> (TextFilters.heavyHitters _),
+    "text_shard_plan" -> (TextFilters.shardPlan _),
     "q_ts_correlation" -> (Temporal.tsCorrelation _),
     "q_anomaly" -> (Temporal.anomaly _),
     // Deduplication family
@@ -488,7 +493,11 @@ object SparkEntry {
     "text_curation_log" -> TextAnalysis.curationLogSql(DuckDialect),
     "text_curation_log_full" -> TextAnalysis.curationLogFullSql(DuckDialect),
     "text_unigram_logprob" -> TextAnalysis.unigramLogprobSql(DuckDialect),
+    "text_bigram_logprob" -> TextFilters.bigramLogprobSql(DuckDialect),
     "text_novelty" -> TextAnalysis.noveltySql(DuckDialect),
+    "text_gopher_rules" -> TextFilters.gopherRulesSql(DuckDialect),
+    "text_heavy_hitters" -> TextFilters.heavyHittersSql(DuckDialect),
+    "text_shard_plan" -> TextFilters.shardPlanSql(DuckDialect),
     "q_ts_correlation" -> Temporal.tsCorrelationOracleSql,
     "q_anomaly" -> Temporal.anomalySql,
     "dedup_exact" -> Dedup.exactSql(DuckDialect),

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import graft.ops.{SparkDialect, TextAnalysis}
+import graft.ops.{SparkDialect, TextAnalysis, TextFilters}
 
 /** Streaming text curation: the quality-gate → split-assignment pass
   * of `ops.TextAnalysis.curation`, applied to an unbounded document
@@ -384,6 +384,45 @@ object StreamingCuration {
     * Redaction lowercases the text (patterns are defined over
     * lowercased input; a case-preserving redactor would need
     * case-insensitive dialect regexes in both engines). */
+  /** Gopher rule-battery gate on a (streaming or batch) DataFrame
+    * carrying doc_id / text — the heuristic pre-filter that runs
+    * BEFORE any model-based scoring in a web-scale curation pipeline
+    * (cheap rules first, models on the survivors).  Built from
+    * exactly `TextFilters.gopherCountExprs/gopherRatioExprs/
+    * gopherRuleExprs` — the fragments the batch relation and the
+    * DuckDB oracle share — staged as chained projections so the
+    * tokenization lands in a materialized column instead of being
+    * re-evaluated per rule.
+    *
+    * Like `curate` and `piiGate`: narrow per-row projections only —
+    * no watermark, no state, no shuffle — so stream ≡ batch by
+    * construction (spec-verified).  `keepOnly = false` returns every
+    * row with its verdict columns (the audit shape); the default
+    * drops failers and prunes the intermediate count columns. */
+  def gopherGate(docs: DataFrame,
+                 minWords: Int = TextFilters.MinWords,
+                 maxWords: Int = TextFilters.MaxWords,
+                 minMeanLen: Double = TextFilters.MinMeanWordLen,
+                 maxMeanLen: Double = TextFilters.MaxMeanWordLen,
+                 minStop: Int = TextFilters.MinDistinctStopwords,
+                 keepOnly: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val d = SparkDialect
+    val rules =
+      TextFilters.gopherRuleExprs(d, minWords, maxWords, minMeanLen,
+        maxMeanLen, minStop)
+    val verdicts = docs
+      .selectExpr("*", s"${d.tokens("text")} AS toks")
+      .selectExpr("*" +: TextFilters.gopherCountExprs(d): _*)
+      .selectExpr("*" +: TextFilters.gopherRatioExprs(d): _*)
+      .selectExpr(("*" +: rules.map { case (n, e) => s"$e AS $n" }): _*)
+      .selectExpr("*",
+        s"(${rules.map(_._1).mkString(" AND ")}) AS passes_gopher")
+      .drop("toks", "word_chars", "n_sym", "n_lines", "n_bullet",
+        "n_ellipsis", "n_alpha_words")
+    if (keepOnly) verdicts.filter("passes_gopher") else verdicts
+  }
+
   def piiGate(docs: DataFrame, redact: Boolean = true): DataFrame = {
     val d = SparkDialect
     val counts = TextAnalysis.PiiFamilies.map { case (name, pat) =>

@@ -264,4 +264,40 @@ class PlanShapeSpec extends SparkSuite {
     assert(!nodes.exists(_.contains("SortMergeJoin")),
       "a 4096-bucket dim table must never shuffle the postings")
   }
+
+  test("gopher rule battery is a narrow projection: no join, no window") {
+    val p = plan("text_gopher_rules")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${p.take(1200)}")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(1200))
+  }
+
+  test("count-min sketch joins stay broadcast; no vocabulary shuffle join") {
+    val q = SparkEntry.queries("text_heavy_hitters")(spark, sf())
+    q.count()
+    val nodes = planSubtree(q.queryExecution.executedPlan).map(_.nodeName)
+    // the 256-cell sketch and 20-row top-N must broadcast against each
+    // other — a SortMergeJoin would mean a constant-size side shuffled
+    assert(!nodes.exists(_.contains("SortMergeJoin")),
+      s"sketch joins must broadcast in: ${nodes.distinct}")
+    // the sketch build itself is a partial (map-side) aggregation
+    assert(nodes.count(_.contains("HashAggregate")) >= 2,
+      "sketch build should aggregate map-side then merge")
+  }
+
+  test("bigram LM joins the model tables broadcast, never shuffled") {
+    val q = SparkEntry.queries("text_bigram_logprob")(spark, sf())
+    q.count()
+    val nodes = planSubtree(q.queryExecution.executedPlan).map(_.nodeName)
+    assert(nodes.exists(_.contains("BroadcastHashJoin")),
+      s"bigram model join must broadcast in: ${nodes.distinct}")
+    assert(!nodes.exists(_.contains("SortMergeJoin")),
+      "bigram/unigram model dims must never shuffle the token stream")
+  }
+
+  test("window-free shard assignment has no Window operator") {
+    val q = graft.ops.TextFilters.shardAssignments(spark, sf())
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(1200))
+  }
 }

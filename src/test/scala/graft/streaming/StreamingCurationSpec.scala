@@ -89,6 +89,51 @@ class StreamingCurationSpec extends SparkSuite {
     assert(dropped == Set(2L))
   }
 
+  test("gopher gate keeps exactly the batch rule-battery's documents") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // batch expectation: the oracle-checked relation's verdicts
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.documents(spark, sf()).createOrReplaceTempView("documents")
+    val oracle = spark.sql(
+        graft.ops.TextFilters.gopherRulesSql(graft.ops.SparkDialect))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("passes_gopher")).toMap
+    val expectedKept = oracle.filter(_._2).keySet
+    assert(expectedKept.nonEmpty && expectedKept.size < oracle.size)
+
+    val fixture = graft.Tables.documents(spark, sf())
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCuration.gopherGate(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_gated")
+      .outputMode("append").start()
+    try {
+      input.addData(fixture: _*)
+      q.processAllAvailable()
+      val streamedKept = spark.table("gopher_gated")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamedKept == expectedKept,
+        "stream keeps exactly the batch relation's passing documents")
+    } finally q.stop()
+
+    // audit mode carries every row with its verdicts, matching the
+    // batch relation column-for-column on the rule verdicts
+    val audit = StreamingCuration.gopherGate(
+        fixture.toSeq.toDF("doc_id", "text"), keepOnly = false)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("passes_gopher")).toMap
+    assert(audit == oracle)
+    // stateless, shuffle-free plan — composable into the curation DAG
+    val plan = StreamingCuration.gopherGate(
+        fixture.toSeq.toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("StateStore"),
+      plan.take(800))
+  }
+
   test("surprisal gate scores a stream against the batch-fit model") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
