@@ -165,6 +165,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) =>
         Similarity.ivfKmeansQuantizedRerankPersisted(s, d)),
     "sim_source_coherence" -> (Similarity.sourceCoherence _),
+    "sim_pca_projection" -> (Similarity.pca _),
     // Per-list skew report over the persisted k-means store — the
     // retrain/rebuild trigger signal; oracle proves store ≡ assignment
     "sim_index_health" ->
@@ -541,6 +542,7 @@ object SparkEntry {
     "sim_ivf_kmeans_pq_rerank" ->
       Similarity.ivfKmeansQuantizedRerankSql(DuckDialect),
     "sim_source_coherence" -> Similarity.sourceCoherenceSql(DuckDialect),
+    "sim_pca_projection" -> Similarity.pcaSql(DuckDialect),
     "sim_index_health" -> Similarity.indexHealthSql(DuckDialect),
     "sim_index_maintain" -> Similarity.indexMaintainSql(DuckDialect),
     "q_approx_distinct" -> Relational.qApproxDistinctOracleSql,

@@ -1876,6 +1876,108 @@ object Similarity {
     spark.sql(sourceCoherenceSql(SparkDialect))
   }
 
+  /** Power-iteration rounds for the PCA projection (unrolled, like
+    * the Lloyd rounds — the plan stays static and codegen-friendly). */
+  val PcaIters = 3
+
+  /** Top-principal-component projection — the embedding-space health
+    * diagnostic run before trusting vector-based curation: a corpus
+    * whose PC1 explains a large share of centered variance is
+    * anisotropic (embeddings collapsing toward a dominant direction —
+    * the classic symptom of a degenerate encoder or a mode-collapsed
+    * corpus), and each document's signed projection locates it along
+    * that dominant axis for outlier auditing.
+    *
+    * Method: covariance-FREE power iteration (the 64×64 covariance
+    * matrix is never materialized): v ← Σᵢ dᵢ·(xᵢ − µ) with
+    * dᵢ = (xᵢ − µ)·v, normalized each round, `PcaIters` rounds
+    * unrolled from the deterministic all-ones start (no RNG; the sign
+    * of PC1 is fixed by the init).  Determinism across engines and
+    * aggregation orders follows the k-means discipline: the mean µ
+    * and every per-dimension accumulation Σᵢ round(dᵢ·(xᵢⱼ−µⱼ)·10⁶)
+    * are µ-quantized BIGINT sums (associative + commutative), and the
+    * per-row dot products are fixed left-to-right folds — so the
+    * DuckDB oracle recomputes the ENTIRE training chain from the raw
+    * embeddings and lands on identical doubles.
+    *
+    * `var_explained_pc1` = Σdᵢ² / Σ‖xᵢ−µ‖² (both µ-quantized) is the
+    * anisotropy headline: ~1/D on isotropic noise, → 1 on a collapsed
+    * corpus.
+    *
+    * Scale: each round is ONE pass — a per-row projection against a
+    * broadcast 1-row (µ, v) relation, then a D-column map-side
+    * combining aggregate of quantized longs (the distributed-PCA
+    * power-method step; Halko et al. 2011 §5 use the same
+    * matrix-free product for randomized PCA).  State per round is
+    * 2·D doubles; iterations unrolled so no driver loop.  Further
+    * components deflate and repeat — same cost per component. */
+  def pcaSql(d: SqlDialect): String = {
+    val q = d.dlit(1000000.0)
+    val dim = EmbeddingDim
+    // µ: per-dimension quantized mean of the raw vectors
+    val muSums = (0 until dim).map(j =>
+      s"sum(CAST(round(${d.arrAt("v", (j + 1).toString)} * $q) AS BIGINT)) AS s$j")
+      .mkString(",\n    ")
+    val muComps = (0 until dim).map(j =>
+      s"CAST(s$j AS DOUBLE) / ($q * cnt)")
+    // deterministic start: the all-ones direction, unit-normalized
+    // (1/√64 = 0.125 — exactly representable)
+    val v0 = d.arrOf(Seq.fill(dim)(d.dlit(0.125)))
+    def round_(i: Int, prev: String): String = {
+      val wSums = (0 until dim).map { j =>
+        val cj = s"(${d.arrAt("e.v", (j + 1).toString)}" +
+          s" - ${d.arrAt("mu.m", (j + 1).toString)})"
+        s"sum(CAST(round(p$i.di * $cj * $q) AS BIGINT)) AS w$j"
+      }.mkString(",\n    ")
+      val uComps = (0 until dim).map(j => s"CAST(w$j AS DOUBLE)")
+      s"""p$i AS (
+         |  SELECT e.vec_id,
+         |    ${d.dot("e.v", s"$prev.pv")} - ${d.dot("mu.m", s"$prev.pv")} AS di
+         |  FROM e CROSS JOIN $prev CROSS JOIN mu),
+         |w$i AS (
+         |  SELECT $wSums
+         |  FROM p$i JOIN e ON e.vec_id = p$i.vec_id CROSS JOIN mu),
+         |u$i AS (
+         |  SELECT ${d.arrOf(uComps)} AS uv FROM w$i),
+         |v$i AS (
+         |  SELECT ${d.arrTransform("uv", "x",
+                s"x / sqrt(${d.dot("uv", "uv")})")} AS pv FROM u$i)""".stripMargin
+    }
+    val rounds = (1 to PcaIters).map(i => round_(i, s"v${i - 1}")).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
+       |ms AS (
+       |  SELECT count(*) AS cnt,
+       |    $muSums
+       |  FROM e),
+       |mu AS (
+       |  SELECT ${d.arrOf(muComps)} AS m FROM ms),
+       |v0 AS (
+       |  SELECT $v0 AS pv),
+       |$rounds,
+       |proj AS (
+       |  SELECT e.vec_id,
+       |    ${d.dot("e.v", s"v$PcaIters.pv")}
+       |      - ${d.dot("mu.m", s"v$PcaIters.pv")} AS sc
+       |  FROM e CROSS JOIN v$PcaIters CROSS JOIN mu),
+       |pvar AS (
+       |  SELECT sum(CAST(round(sc * sc * $q) AS BIGINT)) AS vn FROM proj),
+       |tvar AS (
+       |  SELECT sum(CAST(round(
+       |      (${d.dot("e.v", "e.v")} - 2 * ${d.dot("e.v", "mu.m")}
+       |        + ${d.dot("mu.m", "mu.m")}) * $q) AS BIGINT)) AS tv
+       |  FROM e CROSS JOIN mu)
+       |SELECT proj.vec_id, emb.label,
+       |  round(proj.sc, 6) AS pc1,
+       |  round(CAST(pvar.vn AS DOUBLE) / tvar.tv, 6) AS var_explained_pc1
+       |FROM proj CROSS JOIN pvar CROSS JOIN tvar
+       |JOIN embeddings emb ON emb.vec_id = proj.vec_id
+       |ORDER BY proj.vec_id""".stripMargin
+  }
+
+  def pca(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, pcaSql(SparkDialect))
+
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")

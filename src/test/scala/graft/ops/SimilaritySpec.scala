@@ -569,4 +569,55 @@ class SimilaritySpec extends SparkSuite {
     val probed = q.select(col("query_id")).distinct().count()
     assert(probed > 0)
   }
+
+  test("pca projection matches an independent power-iteration recomputation") {
+    val rows = Similarity.pca(spark, sf()).collect()
+    assert(rows.length == 500)
+    val ev = rows.head.getAs[Double]("var_explained_pc1")
+    assert(ev > 0.0 && ev <= 1.0, s"var_explained $ev")
+    assert(rows.forall(_.getAs[Double]("var_explained_pc1") == ev))
+
+    // reference: the same quantized power iteration in plain Scala
+    val vecs = graft.Tables.embeddings(spark, sf())
+      .collect().map { r =>
+        r.getAs[Long]("vec_id") ->
+          r.getSeq[Float](r.fieldIndex("embedding"))
+            .map(_.toDouble).toArray
+      }.toMap
+    val dim = vecs.head._2.length
+    val n = vecs.size
+    val q = 1e6
+    val mu = Array.tabulate(dim) { j =>
+      vecs.values.map(v => math.round(v(j) * q)).sum.toDouble / (q * n)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    var pv = Array.fill(dim)(0.125)
+    for (_ <- 1 to Similarity.PcaIters) {
+      val w = Array.fill(dim)(0L)
+      vecs.values.foreach { v =>
+        val di = dot(v, pv) - dot(mu, pv)
+        for (j <- 0 until dim)
+          w(j) += math.round(di * (v(j) - mu(j)) * q)
+      }
+      val u = w.map(_.toDouble)
+      val nrm = math.sqrt(dot(u, u))
+      pv = u.map(_ / nrm)
+    }
+    val expected = vecs.map { case (id, v) => id -> (dot(v, pv) - dot(mu, pv)) }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(math.abs(r.getAs[Double]("pc1") - expected(id)) < 1e-5,
+        s"vec $id: ${r.getAs[Double]("pc1")} vs ${expected(id)}")
+    }
+    // the quantized accumulations made the chain order-independent;
+    // explained variance from the reference agrees too
+    val vn = expected.values.map(s => math.round(s * s * q)).sum.toDouble
+    val tv = vecs.values.map { v =>
+      math.round((dot(v, v) - 2 * dot(v, mu) + dot(mu, mu)) * q) }.sum.toDouble
+    assert(math.abs(ev - BigDecimal(vn / tv)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
 }
