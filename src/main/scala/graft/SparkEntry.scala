@@ -111,6 +111,7 @@ object SparkEntry {
     "text_pii" -> (TextAnalysis.pii _),
     "text_curation_log" -> (TextAnalysis.curationLog _),
     "text_curation_log_full" -> (TextAnalysis.curationLogFull _),
+    "text_curation_funnel" -> (TextAnalysis.curationFunnel _),
     "text_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
     "text_bigram_logprob" -> (TextFilters.bigramLogprob _),
     "text_novelty" -> (TextAnalysis.novelty _),
@@ -493,6 +494,7 @@ object SparkEntry {
     "text_pii" -> TextAnalysis.piiSql(DuckDialect),
     "text_curation_log" -> TextAnalysis.curationLogSql(DuckDialect),
     "text_curation_log_full" -> TextAnalysis.curationLogFullSql(DuckDialect),
+    "text_curation_funnel" -> TextAnalysis.curationFunnelSql(DuckDialect),
     "text_unigram_logprob" -> TextAnalysis.unigramLogprobSql(DuckDialect),
     "text_bigram_logprob" -> TextFilters.bigramLogprobSql(DuckDialect),
     "text_novelty" -> TextAnalysis.noveltySql(DuckDialect),

@@ -907,6 +907,55 @@ object TextAnalysis {
        |ORDER BY q.doc_id""".stripMargin
   }
 
+  /** Stage-by-stage attrition of the full curation gate chain — the
+    * funnel a pipeline owner reads before anything else: how many
+    * documents entered each gate, how many survived it, and the drop
+    * fraction.  Built by aggregating `curationLogFullSql` AS A
+    * SUBQUERY — the funnel and the per-doc audit log are the same
+    * relation by construction and cannot disagree (the discipline the
+    * whole curation-log family follows).
+    *
+    * Gate order mirrors the composed DAG: quality → surprisal →
+    * exact-dedup keeper election.  A stage's `n_in` is the previous
+    * stage's `n_out`; the surprisal stage counts
+    * COALESCE(passed_surprisal, FALSE) because a gate-failer upstream
+    * never reaches the stage (NULL verdict — not a pass).
+    *
+    * Scale: one aggregation over the log relation into a single row,
+    * unpivoted to 3 stage rows — the funnel costs one extra reduce
+    * over whatever the log costs. */
+  def curationFunnelSql(d: SqlDialect,
+                        surprisalLo: Double = SurprisalLo,
+                        surprisalHi: Double = SurprisalHi): String = {
+    val log = curationLogFullSql(d, surprisalLo, surprisalHi)
+    s"""SELECT CAST(s.stage_id AS BIGINT) AS stage_id, s.stage,
+       |  CAST(s.n_in AS BIGINT) AS n_in,
+       |  CAST(s.n_out AS BIGINT) AS n_out,
+       |  CAST(s.n_in - s.n_out AS BIGINT) AS n_dropped,
+       |  round(CAST(s.n_in - s.n_out AS DOUBLE)
+       |    / greatest(s.n_in, 1), 6) AS drop_frac
+       |FROM (
+       |  WITH lg AS (
+       |$log
+       |  ),
+       |  agg AS (
+       |    SELECT count(*) AS n0,
+       |      CAST(sum(CASE WHEN passed_quality THEN 1 ELSE 0 END)
+       |        AS BIGINT) AS n1,
+       |      CAST(sum(CASE WHEN coalesce(passed_surprisal, FALSE)
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |      CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n3
+       |    FROM lg)
+       |  SELECT 1 AS stage_id, 'quality' AS stage, n0 AS n_in, n1 AS n_out
+       |  FROM agg
+       |  UNION ALL
+       |  SELECT 2, 'surprisal', n1, n2 FROM agg
+       |  UNION ALL
+       |  SELECT 3, 'dedup', n2, n3 FROM agg
+       |) s
+       |ORDER BY stage_id""".stripMargin
+  }
+
   /** Unigram-LM surprisal scoring — the classic LM quality filter: a
     * unigram model is fit on the corpus itself (token frequencies /
     * total), and each document is scored by the mean surprisal
@@ -1011,6 +1060,8 @@ object TextAnalysis {
     run(spark, dir, curationLogSql(SparkDialect))
   def curationLogFull(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, curationLogFullSql(SparkDialect))
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, curationFunnelSql(SparkDialect))
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, unigramLogprobSql(SparkDialect))
   def novelty(spark: SparkSession, dir: String): DataFrame =

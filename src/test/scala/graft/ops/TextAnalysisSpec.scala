@@ -304,4 +304,21 @@ class TextAnalysisSpec extends SparkSuite {
     assert(rows.forall(r => !r.getAs[Boolean]("has_pii")))
     assert(rows.forall(r => r.getAs[Long]("redacted_len") > 0))
   }
+
+  test("curation funnel aggregates the full audit log exactly") {
+    val log = TextAnalysis.curationLogFull(spark, sf()).collect()
+    val n0 = log.length.toLong
+    val n1 = log.count(_.getAs[Boolean]("passed_quality")).toLong
+    val n2 = log.count(r => !r.isNullAt(r.fieldIndex("passed_surprisal"))
+      && r.getAs[Boolean]("passed_surprisal")).toLong
+    val n3 = log.count(_.getAs[Boolean]("kept")).toLong
+
+    val funnel = TextAnalysis.curationFunnel(spark, sf()).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_in"), r.getAs[Long]("n_out"))).toMap
+    assert(funnel == Map(
+      "quality" -> (n0, n1), "surprisal" -> (n1, n2), "dedup" -> (n2, n3)))
+    // a funnel narrows monotonically and every stage is live
+    assert(n0 > n1 && n1 >= n2 && n2 >= n3 && n3 > 0)
+  }
 }
