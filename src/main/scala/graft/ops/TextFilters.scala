@@ -195,12 +195,18 @@ object TextFilters {
     * this query is what survives when the vocabulary no longer fits.
     * The top-N probe joins 20 tokens × 4 rows against 256 cells —
     * broadcast-trivial. */
+  /** CM bucket of token expression `tok` in sketch row `r`:
+    * h60(token '#' row) mod width — the one hash definition the batch
+    * relation, the DuckDB oracle, and the streaming sketch share. */
+  def cmBucket(d: SqlDialect, tok: String, r: String,
+               width: Int = CmWidth): String =
+    s"(${d.h60(s"$tok || '#' || ${d.castStr(r)}")} % $width)"
+
   def heavyHittersSql(d: SqlDialect,
                       depth: Int = CmDepth,
                       width: Int = CmWidth,
                       topN: Int = CmTopN): String = {
-    val bkt = (tok: String, r: String) =>
-      s"(${d.h60(s"$tok || '#' || ${d.castStr(r)}")} % $width)"
+    val bkt = (tok: String, r: String) => cmBucket(d, tok, r, width)
     s"""WITH t AS (
        |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
        |tok AS (

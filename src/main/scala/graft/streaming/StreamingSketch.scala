@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.{SparkDialect, TextFilters}
+
+/** Online maintenance of a Count-Min frequency sketch from a document
+  * stream — the streaming face of `TextFilters.heavyHittersSql`.
+  *
+  * This is the operator that exists BECAUSE the sketch is mergeable:
+  * each micro-batch folds to a ≤ depth×width partial (constant size
+  * regardless of batch volume), partials written per batch are summed
+  * cell-wise at serve time, and cell-wise BIGINT addition is
+  * associative + commutative — so the merged sketch over any split of
+  * the corpus is bit-identical to the one-pass batch sketch
+  * (spec-pinned).  That is exactly the property that lets a
+  * 1000-executor cluster sketch a 100 TB token stream with 256 longs
+  * of state per partition and no vocabulary-sized GROUP BY anywhere.
+  *
+  * Store layout: one parquet file of (r, bkt, c) partial cells per
+  * micro-batch under `batch=<id>/`, written with per-batch OVERWRITE —
+  * a crash-replayed batch rewrites the same directory, so replays are
+  * idempotent (the `LexIndex` associative-partials contract; no
+  * transactional format needed for a commutative fold).  Readers
+  * always see complete partials: parquet directory writes publish
+  * atomically through Spark's commit protocol.
+  *
+  * The bucket hash is `TextFilters.cmBucket` — the same definition
+  * the batch relation and the DuckDB oracle use, so an estimate
+  * served from the streamed store can be cross-checked against the
+  * oracle-verified batch query (the spec does). */
+object StreamingSketch {
+
+  /** Constant-size partial sketch of one (streaming micro-)batch:
+    * (r, bkt, c) over `TextFilters.CmDepth` rows.  Map-side combine
+    * reduces every partition to ≤ depth·width cells before the final
+    * shuffle, whatever the batch size. */
+  def cmPartial(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val d = SparkDialect
+    docs
+      .selectExpr(s"${d.explode(d.tokens("text"))} AS token")
+      .selectExpr("token",
+        s"${d.explode(d.sequence0(TextFilters.CmDepth.toString))} AS r")
+      .selectExpr("r", s"${TextFilters.cmBucket(d, "token", "r")} AS bkt")
+      .groupBy("r", "bkt")
+      .agg(count(lit(1)).cast("long").as("c"))
+  }
+
+  /** Maintain the sketch store from a document stream. */
+  def start(docs: DataFrame, storePath: String,
+            trigger: Trigger = Trigger.ProcessingTime(0),
+            checkpoint: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatch(batch, storePath, id)
+      }
+      .trigger(trigger)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** One batch's fold into the store — public so specs (and batch
+    * backfills) can drive the same code path the stream runs. */
+  def appendBatch(batch: DataFrame, storePath: String, id: Long): Unit =
+    cmPartial(batch)
+      .coalesce(1) // ≤ depth·width rows — one tiny file per batch
+      .write.mode("overwrite").parquet(s"$storePath/batch=$id")
+
+  /** The merged sketch: cell-wise sum of every batch partial. */
+  def mergedSketch(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy("r", "bkt")
+      .agg(sum("c").as("c"))
+
+  /** Point estimates from the streamed store for the given tokens:
+    * min over sketch rows of the token's bucket cell — the same
+    * arithmetic as the batch relation's `cm_est` column.  Tokens
+    * whose every bucket is absent from the store estimate 0 (an empty
+    * CM cell is a zero counter, not a NULL). */
+  def estimate(spark: SparkSession, storePath: String,
+               tokens: Seq[String]): DataFrame = {
+    val d = SparkDialect
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val probes = tokens.toDF("token")
+      .selectExpr("token",
+        s"${d.explode(d.sequence0(TextFilters.CmDepth.toString))} AS r")
+      .selectExpr("token", "r",
+        s"${TextFilters.cmBucket(d, "token", "r")} AS bkt")
+    probes
+      .join(mergedSketch(spark, storePath), Seq("r", "bkt"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("c"), lit(0L))).as("cm_est"))
+      .orderBy("token")
+  }
+}

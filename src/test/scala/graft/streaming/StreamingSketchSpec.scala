@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSuite
+
+/** The streamed Count-Min store ≡ the one-pass batch sketch: cell-wise
+  * BIGINT sums are associative/commutative, so any micro-batch split
+  * of the corpus merges to the identical sketch — the property that
+  * makes the sketch the 100 TB answer to token frequency. */
+class StreamingSketchSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def cells(df: org.apache.spark.sql.DataFrame) =
+    df.select("r", "bkt", "c").collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Long]("bkt")) -> r.getAs[Long]("c"))
+      .toMap
+
+  test("stream-merged sketch equals the one-pass batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf())
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val store = java.nio.file.Files.createTempDirectory("cm_store").toString
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingSketch.start(
+      input.toDS().toDF("doc_id", "text"), store)
+    try {
+      docs.grouped(200).foreach { slice =>
+        input.addData(slice.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val merged = cells(StreamingSketch.mergedSketch(spark, store))
+    val batch = cells(StreamingSketch.cmPartial(
+      graft.Tables.documents(spark, sf()).select($"doc_id", $"text")))
+    assert(merged == batch, "merged partials must equal the one-pass sketch")
+
+    // estimates served from the streamed store match the oracle-checked
+    // batch relation's cm_est column token-for-token
+    val hh = graft.ops.TextFilters.heavyHitters(spark, sf())
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("cm_est"))
+      .toMap
+    val served = StreamingSketch.estimate(spark, store, hh.keys.toSeq)
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("cm_est"))
+      .toMap
+    assert(served == hh, "streamed-store estimates == batch cm_est")
+
+    // crash-replay idempotence: refolding an already-applied batch id
+    // (the exact rows batch 0 carried) overwrites its partial, leaving
+    // the merged sketch unchanged
+    val replayed = docs.take(200).toSeq.toDF("doc_id", "text")
+    StreamingSketch.appendBatch(replayed, store, 0L)
+    assert(cells(StreamingSketch.mergedSketch(spark, store)) == batch,
+      "replaying batch 0 must not change the merged sketch")
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+  }
+}
