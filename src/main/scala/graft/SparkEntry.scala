@@ -57,6 +57,7 @@ object SparkEntry {
     "q_moving_avg" -> (RelationalExt.qMovingAvg _),
     "q_ntile_lag" -> (RelationalExt.qNtileLag _),
     "q_percentiles" -> (RelationalExt.qPercentiles _),
+    "q_hist_quantiles" -> (RelationalExt.qHistQuantiles _),
     "q_unpivot" -> (RelationalExt.qUnpivot _),
     "q_bloom_semi_join" -> (RelationalExt.qBloomSemiJoin _),
     "q_gapfill" -> (RelationalExt.qGapfill _),
@@ -450,6 +451,7 @@ object SparkEntry {
     "q_moving_avg" -> RelationalExt.qMovingAvgSql,
     "q_ntile_lag" -> RelationalExt.qNtileLagSql,
     "q_percentiles" -> RelationalExt.qPercentilesOracleSql,
+    "q_hist_quantiles" -> RelationalExt.histQuantilesSql(DuckDialect),
     "q_unpivot" -> RelationalExt.qUnpivotOracleSql,
     "q_bloom_semi_join" -> RelationalExt.qBloomSemiJoinOracleSql,
     "q_gapfill" -> RelationalExt.qGapfillOracleSql,

@@ -381,6 +381,94 @@ object RelationalExt {
   def qNtileLag(spark: SparkSession, dir: String): DataFrame =
     runSql(spark, dir, qNtileLagSql, Seq("orders"))
 
+  // ------------------------------------------------------ histogram quantiles
+
+  /** Mergeable histogram-quantile estimation, verified against the
+    * exact interpolated percentile — the constant-memory quantile
+    * answer at 100 TB, where exact percentiles need a full sort (or
+    * per-group value buffers) and a t-digest/KLL sketch is opaque to
+    * an oracle.  An equi-width histogram IS a quantile sketch with a
+    * provable bound: bin counts are integer sums (associative +
+    * commutative — partials merge across any partitioning, like the
+    * CM sketch), and inverse-interpolating the cumulative histogram
+    * recovers any quantile to within one bin width of the truth.
+    *
+    * The relation reports, per requested p: the histogram estimate,
+    * the exact interpolated percentile (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, both rank (n−1)·p — the `q_percentiles`
+    * lockstep), the absolute error, the bin width, and
+    * `within_bound` = |err| ≤ bin width — the sketch's accuracy
+    * CONTRACT as an oracle-checked column, the same
+    * estimate-plus-verified-bound shape as `q_approx_distinct`.
+    *
+    * Determinism: min/max/counts are exact; the interpolation is a
+    * fixed double expression of them.  Bins: 128 equi-width over the
+    * observed [lo, hi] — `least(floor(...), B−1)` clamps x = hi into
+    * the last bin.
+    *
+    * Scale: one pass to (lo, hi, n) — at 100 TB that pre-pass is why
+    * production histograms fix the range a priori — one map-side-
+    * combining 128-cell aggregate, then window + joins over ≤ 128-row
+    * relations.  The exact side (full-sort percentile) is the
+    * verification baseline, not the scale path. */
+  def histQuantilesSql(d: SqlDialect, bins: Int = 128,
+                       ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): String = {
+    val pctl = d match {
+      case SparkDialect => "percentile"
+      case _            => "quantile_cont"
+    }
+    val exact = ps.map(p =>
+      s"SELECT ${d.dlit(p)} AS p, $pctl(x, ${d.dlit(p)}) AS exact FROM s")
+      .mkString("\n  UNION ALL ")
+    s"""WITH s AS (
+       |  SELECT l_extendedprice AS x FROM lineitem),
+       |b AS (
+       |  SELECT min(x) AS lo, max(x) AS hi,
+       |    CAST(count(*) AS BIGINT) AS n FROM s),
+       |h AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT CAST(least(floor((s.x - b.lo)
+       |        / ((b.hi - b.lo) / ${d.dlit(bins.toDouble)})),
+       |      ${bins - 1}) AS BIGINT) AS bin
+       |    FROM s CROSS JOIN b) z
+       |  GROUP BY bin),
+       |cum AS (
+       |  SELECT bin, c,
+       |    CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cum,
+       |    CAST(coalesce(sum(c) OVER (ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS prev_cum
+       |  FROM h),
+       |ex AS (
+       |  $exact),
+       |t AS (
+       |  SELECT ex.p, ex.exact, b.lo, b.hi, b.n,
+       |    ex.p * (b.n - 1) + 1 AS tgt
+       |  FROM ex CROSS JOIN b),
+       |sel AS (
+       |  SELECT t.p, min(cum.bin) AS bin
+       |  FROM t JOIN cum ON CAST(cum.cum AS DOUBLE) >= t.tgt
+       |  GROUP BY t.p),
+       |est AS (
+       |  SELECT t.p, t.exact, t.n,
+       |    (t.hi - t.lo) / ${d.dlit(bins.toDouble)} AS w,
+       |    t.lo + (sel.bin + (t.tgt - cum.prev_cum) / cum.c)
+       |      * ((t.hi - t.lo) / ${d.dlit(bins.toDouble)}) AS est
+       |  FROM t JOIN sel ON sel.p = t.p
+       |  JOIN cum ON cum.bin = sel.bin)
+       |SELECT p, CAST(n AS BIGINT) AS n,
+       |  round(est, 4) AS est,
+       |  round(exact, 4) AS exact,
+       |  round(abs(est - exact), 4) AS abs_err,
+       |  round(w, 4) AS bin_width,
+       |  (abs(est - exact) <= w) AS within_bound
+       |FROM est
+       |ORDER BY p""".stripMargin
+  }
+
+  def qHistQuantiles(spark: SparkSession, dir: String): DataFrame =
+    runSql(spark, dir, histQuantilesSql(SparkDialect), Seq("lineitem"))
+
   // ------------------------------------------------------------- percentiles
 
   /** Exact interpolated percentiles per group: Spark's percentile()

@@ -276,4 +276,25 @@ class RelationalExtSpec extends SparkSuite {
       assert(r.getAs[Long]("n_train_matches") >= 1L)
     }
   }
+
+  test("histogram quantile estimates honor the one-bin-width bound") {
+    val rows = RelationalExt.qHistQuantiles(spark, sf()).collect()
+    assert(rows.map(_.getAs[Double]("p")).toSeq == Seq(0.5, 0.9, 0.99))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"),
+        s"p=${r.getAs[Double]("p")} err=${r.getAs[Double]("abs_err")}" +
+          s" w=${r.getAs[Double]("bin_width")}")
+      assert(r.getAs[Double]("abs_err") <= r.getAs[Double]("bin_width"))
+      // the exact side agrees with an independent sort-interpolate
+      val xs = graft.Tables.load(spark, sf(), "lineitem")
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      val p = r.getAs[Double]("p")
+      val rank = p * (xs.length - 1)
+      val (i, f) = (rank.toInt, rank - rank.toInt)
+      val exact = if (i + 1 < xs.length) xs(i) + f * (xs(i + 1) - xs(i))
+                  else xs(i)
+      assert(math.abs(r.getAs[Double]("exact") - exact) < 1e-6,
+        s"p=$p exact=${r.getAs[Double]("exact")} ref=$exact")
+    }
+  }
 }
