@@ -118,6 +118,7 @@ object SparkEntry {
     "text_novelty" -> (TextAnalysis.novelty _),
     // Rule-based curation filters + frequency sketch (TextFilters)
     "text_gopher_rules" -> (TextFilters.gopherRules _),
+    "text_gopher_by_source" -> (TextFilters.gopherBySource _),
     "text_heavy_hitters" -> (TextFilters.heavyHitters _),
     "text_shard_plan" -> (TextFilters.shardPlan _),
     "q_ts_correlation" -> (Temporal.tsCorrelation _),
@@ -501,6 +502,7 @@ object SparkEntry {
     "text_bigram_logprob" -> TextFilters.bigramLogprobSql(DuckDialect),
     "text_novelty" -> TextAnalysis.noveltySql(DuckDialect),
     "text_gopher_rules" -> TextFilters.gopherRulesSql(DuckDialect),
+    "text_gopher_by_source" -> TextFilters.gopherBySourceSql(DuckDialect),
     "text_heavy_hitters" -> TextFilters.heavyHittersSql(DuckDialect),
     "text_shard_plan" -> TextFilters.shardPlanSql(DuckDialect),
     "q_ts_correlation" -> Temporal.tsCorrelationOracleSql,

@@ -156,6 +156,38 @@ object TextFilters {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source rule-battery dashboard: for every ingest source (plus
+    * the whole-corpus 'ALL' rollup row), the document count and the
+    * pass rate of each fixture-live rule and of the full battery —
+    * the per-feed quality scoreboard a pipeline owner watches to spot
+    * a degrading source before it pollutes training data.  Built by
+    * aggregating `gopherRulesSql` AS A SUBQUERY joined back to
+    * `documents` for the source column — dashboard and per-doc audit
+    * are the same relation by construction (the curation-funnel
+    * discipline).  Rates are BIGINT pass-count sums divided once at
+    * the end, so partial-aggregation order cannot shift them.
+    *
+    * Scale: the rule battery is a narrow projection; the rollup is
+    * one GROUPING SETS aggregate keyed by source — dim-cardinality
+    * output. */
+  def gopherBySourceSql(d: SqlDialect): String = {
+    val rate = (c: String) =>
+      s"round(CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS DOUBLE)" +
+        s" / count(*), 6)"
+    s"""SELECT coalesce(dd.source, 'ALL') AS source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  ${rate("g.r_word_count")} AS rate_word_count,
+       |  ${rate("g.r_mean_word_len")} AS rate_mean_word_len,
+       |  ${rate("g.r_stopwords")} AS rate_stopwords,
+       |  ${rate("g.passes_gopher")} AS rate_pass_all
+       |FROM (
+       |${gopherRulesSql(d)}
+       |) g
+       |JOIN documents dd ON dd.doc_id = g.doc_id
+       |GROUP BY GROUPING SETS ((dd.source), ())
+       |ORDER BY source""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   // Count-Min heavy hitters
   // ----------------------------------------------------------------
@@ -412,6 +444,8 @@ object TextFilters {
 
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, gopherRulesSql(SparkDialect))
+  def gopherBySource(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, gopherBySourceSql(SparkDialect))
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, heavyHittersSql(SparkDialect))
   def shardPlan(spark: SparkSession, dir: String): DataFrame =

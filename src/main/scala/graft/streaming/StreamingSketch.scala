@@ -73,6 +73,79 @@ object StreamingSketch {
       .groupBy("r", "bkt")
       .agg(sum("c").as("c"))
 
+  /** Fixed-range equi-width histogram partial of one batch — the
+    * quantile counterpart of `cmPartial`, the streaming face of
+    * `RelationalExt.histQuantilesSql`.  The range [lo, hi] is FIXED
+    * a priori (values outside clamp into the edge bins): a data-
+    * derived range would make partials from different batches
+    * non-mergeable, which is exactly why production histograms pin
+    * the range — the one-pass min/max the batch relation affords is
+    * a luxury a stream doesn't have. */
+  def histPartial(vals: DataFrame, col: String,
+                  lo: Double, hi: Double, bins: Int): DataFrame = {
+    val w = s"((${hi}D - ${lo}D) / ${bins}D)"
+    vals.selectExpr(
+        s"CAST(greatest(least(floor(($col - ${lo}D) / $w), ${bins - 1}), 0)" +
+          " AS BIGINT) AS bin")
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("c"))
+  }
+
+  /** Maintain a histogram store from a value stream (same per-batch
+    * overwrite contract as the CM store — replay-idempotent). */
+  def startHist(vals: DataFrame, col: String, storePath: String,
+                lo: Double, hi: Double, bins: Int = 128,
+                trigger: Trigger = Trigger.ProcessingTime(0),
+                checkpoint: Option[String] = None): StreamingQuery = {
+    val w = vals.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendHistBatch(batch, col, storePath, id, lo, hi, bins)
+      }
+      .trigger(trigger)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  def appendHistBatch(batch: DataFrame, col: String, storePath: String,
+                      id: Long, lo: Double, hi: Double, bins: Int): Unit =
+    histPartial(batch, col, lo, hi, bins)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$storePath/batch=$id")
+
+  /** Cell-wise-merged histogram over every batch partial. */
+  def mergedHist(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy("bin")
+      .agg(sum("c").as("c"))
+
+  /** Quantile estimates from the streamed histogram store, by the
+    * same inverse-interpolation as the batch relation: target rank
+    * p·(n−1)+1, first bin whose cumulative count reaches it, linear
+    * within the bin.  The ≤ bins cells collect to the driver — the
+    * whole point of the sketch is that this state is constant-size.
+    * Returns (p, est) pairs; accuracy is the batch relation's
+    * verified one-bin-width contract. */
+  def estimateQuantiles(spark: SparkSession, storePath: String,
+                        lo: Double, hi: Double, bins: Int,
+                        ps: Seq[Double]): Seq[(Double, Double)] = {
+    val cells = mergedHist(spark, storePath).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("c"))
+      .sortBy(_._1)
+    val n = cells.map(_._2).sum
+    val w = (hi - lo) / bins
+    ps.map { p =>
+      val tgt = p * (n - 1) + 1
+      var cum = 0L
+      var hit: Option[(Long, Long, Long)] = None // (bin, prevCum, c)
+      for ((b, bc) <- cells if hit.isEmpty) {
+        cum += bc
+        if (cum >= tgt) hit = Some((b, cum - bc, bc))
+      }
+      val (bin, prevCum, c) =
+        hit.getOrElse((bins - 1L, 0L, math.max(n, 1L)))
+      p -> (lo + (bin + (tgt - prevCum) / c.toDouble) * w)
+    }
+  }
+
   /** Point estimates from the streamed store for the given tokens:
     * min over sketch rows of the token's bucket cell — the same
     * arithmetic as the batch relation's `cm_est` column.  Tokens

@@ -57,4 +57,50 @@ class StreamingSketchSpec extends SparkSuite {
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
   }
+
+  test("stream-merged histogram serves quantiles within the bin-width bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val xs = graft.Tables.load(spark, sf(), "lineitem")
+      .select($"l_extendedprice").collect().map(_.getDouble(0))
+    // production pins the range a priori; the spec pins it to the data
+    val (lo, hi, bins) = (xs.min, xs.max, 128)
+    val store = java.nio.file.Files.createTempDirectory("hist_store").toString
+
+    val input = MemoryStream[Double]
+    val q = StreamingSketch.startHist(
+      input.toDS().toDF("x"), "x", store, lo, hi, bins)
+    try {
+      xs.grouped(xs.length / 3 + 1).foreach { slice =>
+        input.addData(slice.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // merged partials ≡ the one-pass histogram
+    import org.apache.spark.sql.functions.col
+    val merged = StreamingSketch.mergedHist(spark, store).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("c")).toMap
+    val batch = StreamingSketch.histPartial(
+        xs.toSeq.toDF("x"), "x", lo, hi, bins).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("c")).toMap
+    assert(merged == batch)
+    assert(merged.values.sum == xs.length)
+
+    // quantiles served from the stream-built store: within one bin
+    // width of the exact sort-interpolate answer
+    val sorted = xs.sorted
+    val w = (hi - lo) / bins
+    StreamingSketch.estimateQuantiles(
+        spark, store, lo, hi, bins, Seq(0.5, 0.9, 0.99))
+      .foreach { case (p, est) =>
+        val rank = p * (sorted.length - 1)
+        val (i, f) = (rank.toInt, rank - rank.toInt)
+        val exact = if (i + 1 < sorted.length)
+          sorted(i) + f * (sorted(i + 1) - sorted(i)) else sorted(i)
+        assert(math.abs(est - exact) <= w, s"p=$p est=$est exact=$exact w=$w")
+      }
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+  }
 }
