@@ -84,6 +84,7 @@ object SparkEntry {
     // Bar-domain analytics past the reference's single timeframe
     "ingest_bars_weekly" -> (graft.ingest.BarAnalytics.weeklyBars _),
     "ingest_bar_analytics" -> (graft.ingest.BarAnalytics.analytics _),
+    "ingest_bar_beta" -> (graft.ingest.BarAnalytics.beta _),
     // Custom DataSource V2 connector (S1 shape: per-symbol remote scan)
     "src_bar_scan" -> (graft.sources.BarSourceQueries.srcBarScan _),
     // Temporal operators + error isolation + semi-structured
@@ -185,6 +186,7 @@ object SparkEntry {
     "q_kmv_distinct" -> (Relational.qKmvDistinct _),
     // Skew-safe salted aggregation ≡ the plain aggregate (the oracle)
     "q_salted_agg" -> (ScalePatterns.qSaltedAgg _),
+    "q_skew_report" -> (ScalePatterns.qSkewReport _),
     // Retrieval & data-selection wing: lexical BM25, hybrid RRF
     // fusion (lexical + vector), DSIR importance weights, corpus
     // data card, k-means cluster-purity audit
@@ -465,6 +467,7 @@ object SparkEntry {
     // one shared SQL text: the engine runs the very string DuckDB checks
     "ingest_bars_weekly" -> graft.ingest.BarAnalytics.weeklySql,
     "ingest_bar_analytics" -> graft.ingest.BarAnalytics.analyticsSql,
+    "ingest_bar_beta" -> graft.ingest.BarAnalytics.betaSql,
     "q_asof_join" -> Temporal.asofOracleSql,
     "q_range_join" -> Temporal.rangeJoinOracleSql,
     "q_session_window" -> Temporal.sessionOracleSql,
@@ -554,6 +557,7 @@ object SparkEntry {
     "q_approx_distinct" -> Relational.qApproxDistinctOracleSql,
     "q_kmv_distinct" -> Relational.qKmvDistinctOracleSql,
     "q_salted_agg" -> ScalePatterns.qSaltedAggOracleSql,
+    "q_skew_report" -> ScalePatterns.skewReportSql(DuckDialect),
     "text_bm25_topk" -> Retrieval.bm25Sql(DuckDialect),
     // identical semantics to text_bm25_topk by construction — the
     // same oracle verifies the persisted-postings serving path

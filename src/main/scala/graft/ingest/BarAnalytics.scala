@@ -80,4 +80,56 @@ object BarAnalytics {
     run(spark, dir, weeklySql)
   def analytics(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, analyticsSql)
+
+  /** Per-symbol market beta/alpha/correlation against the equal-weight
+    * market return (the cross-symbol mean of each day's simple
+    * returns) — the covariance analytics a bar platform publishes
+    * next to volatility and drawdown.  Closed-form least squares from
+    * the five sufficient sums (n, Σx, Σy, Σxy, Σx²): one window pass
+    * for returns, one per-day mean, one per-symbol aggregate.  Like
+    * `analyticsSql`, ONE SQL text valid verbatim in Spark and DuckDB.
+    *
+    * Degenerate guards: symbols with < 2 matched days or a
+    * zero-variance market leg yield NULL beta/alpha/corr rather than
+    * a division blow-up.
+    *
+    * Scale: returns partition by symbol (dim-cardinality windows),
+    * the market leg is a per-day aggregate broadcast back by date —
+    * no fact-fact shuffle beyond the daily-bar rollup all bar
+    * analytics share. */
+  val betaSql: String =
+    s"""WITH $dailyCte,
+       |r AS (
+       |  SELECT symbol, t, c,
+       |    lag(c) OVER (PARTITION BY symbol ORDER BY t) AS pc
+       |  FROM b),
+       |x AS (
+       |  SELECT symbol, t, c / pc - 1 AS ret FROM r WHERE pc IS NOT NULL),
+       |m AS (
+       |  SELECT t, avg(ret) AS mret, count(*) AS n_sym FROM x GROUP BY t),
+       |j AS (
+       |  SELECT x.symbol, x.ret AS y, m.mret AS mx FROM x
+       |  JOIN m ON m.t = x.t),
+       |s AS (
+       |  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+       |    sum(y) AS sy, sum(mx) AS sx, sum(y * mx) AS sxy,
+       |    sum(mx * mx) AS sxx, sum(y * y) AS syy
+       |  FROM j GROUP BY symbol),
+       |f AS (
+       |  SELECT symbol, n, sy, sx, sxy, sxx, syy,
+       |    n * sxx - sx * sx AS varx, n * syy - sy * sy AS vary
+       |  FROM s)
+       |SELECT symbol, n AS n_days,
+       |  CASE WHEN n > 1 AND varx > 0
+       |    THEN round((n * sxy - sx * sy) / varx, 6) ELSE NULL END AS beta,
+       |  CASE WHEN n > 1 AND varx > 0
+       |    THEN round(sy / n - ((n * sxy - sx * sy) / varx) * (sx / n), 6)
+       |    ELSE NULL END AS alpha,
+       |  CASE WHEN n > 1 AND varx > 0 AND vary > 0
+       |    THEN round((n * sxy - sx * sy) / sqrt(varx * vary), 6)
+       |    ELSE NULL END AS mkt_corr
+       |FROM f ORDER BY symbol""".stripMargin
+
+  def beta(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, betaSql)
 }

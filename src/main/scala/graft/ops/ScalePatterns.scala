@@ -82,4 +82,52 @@ object ScalePatterns {
     """SELECT l_returnflag, count(*) AS n,
       | round(sum(l_quantity), 2) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Shuffle-key skew diagnostic — the report an operator team runs
+    * BEFORE a 100 TB job to decide whether a key needs salting, AQE
+    * skew-split headroom, or a broadcast rewrite: for a prospective
+    * shuffle key, the top heavy hitters with their share of the
+    * relation, plus the share of the heaviest of `parts` hash
+    * partitions under the engine-portable h60 hash — i.e. how
+    * unbalanced the exchange would actually be.  A `max_part_share`
+    * near 1/parts says the shuffle balances; near a single key's
+    * share says one reducer owns the job's tail latency.
+    *
+    * The partition model uses the portable MD5-based h60 (not Spark's
+    * internal murmur), so the oracle verifies the arithmetic; the
+    * shape of the skew, not the exact reducer assignment, is the
+    * signal — any uniform hash family gives the same balance picture.
+    *
+    * Scale: two map-side-combining aggregates over the key column
+    * (key counts, then bucket sums) and a ≤ parts-row reduce —
+    * diagnostic cost is one pass over one column. */
+  def skewReportSql(d: SqlDialect, topN: Int = 10, parts: Int = 32): String =
+    s"""WITH k AS (
+       |  SELECT o_custkey AS key FROM orders),
+       |n AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS total FROM k),
+       |kc AS (
+       |  SELECT key, CAST(count(*) AS BIGINT) AS c FROM k GROUP BY key),
+       |parts AS (
+       |  SELECT (${d.h60(d.castStr("key"))} % $parts) AS part,
+       |    CAST(sum(c) AS BIGINT) AS pc
+       |  FROM kc GROUP BY ${d.h60(d.castStr("key"))} % $parts),
+       |mx AS (
+       |  SELECT CAST(max(pc) AS BIGINT) AS max_pc FROM parts),
+       |top AS (
+       |  SELECT key, c FROM kc ORDER BY c DESC, key LIMIT $topN)
+       |SELECT top.key, top.c AS key_count,
+       |  round(CAST(top.c AS DOUBLE) / n.total, 6) AS key_share,
+       |  mx.max_pc AS max_part_count,
+       |  round(CAST(mx.max_pc AS DOUBLE) / n.total, 6) AS max_part_share,
+       |  round(CAST(mx.max_pc AS DOUBLE) * $parts / n.total, 6)
+       |    AS part_imbalance
+       |FROM top CROSS JOIN n CROSS JOIN mx
+       |ORDER BY key_count DESC, key""".stripMargin
+
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(skewReportSql(SparkDialect))
+  }
 }

@@ -75,4 +75,38 @@ class BarAnalyticsSpec extends SparkSuite {
     assert(rows("TWO2")._1 == 1L && !rows("TWO2")._2 && rows("TWO2")._3,
       "one return: mean defined, volatility NULL")
   }
+
+  test("market beta matches a Scala least-squares recomputation") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // per-symbol daily returns, then the equal-weight market return
+    val rets = daily().groupBy(_._1).flatMap { case (sym, g) =>
+      g.sortBy(_._2.getTime).toSeq.sliding(2).collect {
+        case Seq(a, b) => (sym, b._2, b._6 / a._6 - 1)
+      }
+    }.toSeq
+    val mkt = rets.groupBy(_._2).view
+      .mapValues(g => g.map(_._3).sum / g.length).toMap
+    val expected = rets.groupBy(_._1).map { case (sym, g) =>
+      val xs = g.map(p => mkt(p._2))
+      val ys = g.map(_._3)
+      val n = g.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
+      val varx = n * sxx - sx * sx
+      val vary = n * syy - sy * sy
+      val beta = (n * sxy - sx * sy) / varx
+      (sym, g.length.toLong, r6(beta), r6(sy / n - beta * (sx / n)),
+        r6((n * sxy - sx * sy) / math.sqrt(varx * vary)))
+    }.toSet
+    val got = BarAnalytics.beta(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(got == expected)
+    // correlations are bounded and the market leg is shared: a
+    // 5-symbol equal-weight market gives every symbol positive weight
+    assert(got.forall(t => t._5 >= -1.0 && t._5 <= 1.0))
+  }
 }

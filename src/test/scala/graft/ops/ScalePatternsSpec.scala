@@ -43,4 +43,20 @@ class ScalePatternsSpec extends SparkSuite {
         math.round(r.getDouble(2) * 100) / 100.0))
     assert(salted.toSeq == direct.toSeq)
   }
+
+  test("skew report invariants: shares bound each other consistently") {
+    val rows = ScalePatterns.qSkewReport(spark, sf()).collect()
+    assert(rows.length == 10)
+    val counts = rows.map(_.getAs[Long]("key_count"))
+    assert(counts.sameElements(counts.sortBy(-_)), "top keys ordered")
+    val maxPc = rows.head.getAs[Long]("max_part_count")
+    // the partition holding the heaviest key weighs at least that key
+    assert(maxPc >= counts.head)
+    rows.foreach { r =>
+      // a 32-way split's heaviest partition carries >= 1/32 of rows
+      assert(r.getAs[Double]("max_part_share") >= 1.0 / 32 - 1e-9)
+      assert(r.getAs[Double]("part_imbalance") >= 1.0 - 1e-9)
+      assert(r.getAs[Double]("key_share") > 0.0)
+    }
+  }
 }
