@@ -398,8 +398,16 @@ object RelationalExt {
     * `quantile_cont`, both rank (n−1)·p — the `q_percentiles`
     * lockstep), the absolute error, the bin width, and
     * `within_bound` = |err| ≤ bin width — the sketch's accuracy
-    * CONTRACT as an oracle-checked column, the same
+    * contract as an oracle-checked column, the same
     * estimate-plus-verified-bound shape as `q_approx_distinct`.
+    * The one-bin-width bound is the DENSE case (the target rank's
+    * two bracketing order statistics land in the same bin — true of
+    * any corpus whose quantile region is populated, incl. this
+    * fixture at every SF); when a rank falls exactly between a
+    * populated bin and a run of empty ones, the true interpolated
+    * value lies in the empty gap the histogram cannot resolve and
+    * the column honestly reads false — which is itself the signal
+    * (the data has a hole where you asked for a quantile).
     *
     * Determinism: min/max/counts are exact; the interpolation is a
     * fixed double expression of them.  Bins: 128 equi-width over the

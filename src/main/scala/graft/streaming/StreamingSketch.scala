@@ -123,7 +123,8 @@ object StreamingSketch {
     * within the bin.  The ≤ bins cells collect to the driver — the
     * whole point of the sketch is that this state is constant-size.
     * Returns (p, est) pairs; accuracy is the batch relation's
-    * verified one-bin-width contract. */
+    * verified one-bin-width dense-case contract (see
+    * `RelationalExt.histQuantilesSql`). */
   def estimateQuantiles(spark: SparkSession, storePath: String,
                         lo: Double, hi: Double, bins: Int,
                         ps: Seq[Double]): Seq[(Double, Double)] = {
