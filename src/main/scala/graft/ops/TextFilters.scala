@@ -351,16 +351,23 @@ object TextFilters {
   /** Materialize the shard plan: write each document's (doc_id, text,
     * n_tokens) to `out` partitioned by `shard=`.  One file per shard
     * (each shard repartitions to its own write task); a trainer
-    * streams `shard=k/` directly.  Returns the per-shard (docs,
-    * token mass) actually written, for callers to assert against the
-    * plan. */
+    * streams `shard=k/` directly.  Rows are written in `shuffle_rank`
+    * order — a salted content-independent hash of the doc id — so the
+    * within-shard read order is a reproducible pseudo-shuffle: the
+    * data-loader contract (shard + deterministic shuffle) with no RNG
+    * state to checkpoint, the same salted-hash coin the weighted
+    * sampler uses.  Returns the per-shard (docs, token mass) actually
+    * written, for callers to assert against the plan. */
   def writeShards(spark: SparkSession, dir: String, out: String,
                   nShards: Int = NumShards): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val assigned = shardAssignments(spark, dir, nShards)
       .join(docs, "doc_id")
+      .withColumn("shuffle_rank",
+        expr(SparkDialect.h60(s"'shuf#' || ${SparkDialect.castStr("doc_id")}")))
     assigned
       .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "shuffle_rank")
       .write.mode("overwrite").partitionBy("shard").parquet(out)
     spark.read.parquet(out)
       .groupBy("shard")

@@ -155,6 +155,19 @@ class TextFiltersSpec extends SparkSuite {
           .listFiles().filter(_.getName.endsWith(".parquet"))
         assert(files.length == 1, s"shard $s has ${files.length} files")
       }
+      // within-shard rows are in reproducible pseudo-shuffle order:
+      // ascending salted hash of the doc id, no RNG anywhere
+      val shard0 = spark.read.parquet(s"$out/shard=0")
+        .select("doc_id", "shuffle_rank").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shuffle_rank")))
+      val ranks = shard0.map(_._2)
+      assert(ranks.sameElements(ranks.sorted), "shuffle_rank ascending")
+      def h60(s: String): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      shard0.foreach { case (id, rk) => assert(rk == h60(s"shuf#$id")) }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }

@@ -134,6 +134,34 @@ class StreamingCurationSpec extends SparkSuite {
       plan.take(800))
   }
 
+  test("rules-then-model chain: gopher gate composes upstream of curate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.Tables.documents(spark, sf())
+      .select($"doc_id", $"text")
+    // batch expectation: cheap rules first, model scorer on survivors
+    val batchKept = StreamingCuration.curate(
+        StreamingCuration.gopherGate(fixture))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gopherOnly = StreamingCuration.gopherGate(fixture).count()
+    assert(batchKept.nonEmpty && batchKept.size < gopherOnly,
+      "both gates must bite in the chain")
+
+    val rows = fixture.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCuration.curate(
+        StreamingCuration.gopherGate(input.toDS().toDF("doc_id", "text")))
+      .writeStream.format("memory").queryName("rules_then_model")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("rules_then_model")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batchKept)
+    } finally q.stop()
+  }
+
   test("surprisal gate scores a stream against the batch-fit model") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
