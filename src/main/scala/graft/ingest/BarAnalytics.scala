@@ -89,6 +89,16 @@ object BarAnalytics {
     * for returns, one per-day mean, one per-symbol aggregate.  Like
     * `analyticsSql`, ONE SQL text valid verbatim in Spark and DuckDB.
     *
+    * Determinism: returns are µ-quantized to integer micro-units
+    * (BIGINT) before ANY cross-row sum — the sufficient statistics
+    * are exact integer sums, associative and commutative, so
+    * partial-aggregation order cannot shift a beta across a
+    * round(…, 6) boundary (the discipline the PCA and LM scorers
+    * follow).  Beta and correlation are scale-free ratios of µ²
+    * quantities — the quantization factor cancels; alpha de-scales
+    * once at the end.  Magnitudes stay far inside int64: |ret| < 1 →
+    * |rq| < 10⁶, squares < 10¹², day-count sums < 10¹⁴.
+    *
     * Degenerate guards: symbols with < 2 matched days or a
     * zero-variance market leg yield NULL beta/alpha/corr rather than
     * a division blow-up.
@@ -104,16 +114,22 @@ object BarAnalytics {
        |    lag(c) OVER (PARTITION BY symbol ORDER BY t) AS pc
        |  FROM b),
        |x AS (
-       |  SELECT symbol, t, c / pc - 1 AS ret FROM r WHERE pc IS NOT NULL),
+       |  SELECT symbol, t,
+       |    CAST(round((c / pc - 1) * 1000000.0) AS BIGINT) AS rq
+       |  FROM r WHERE pc IS NOT NULL),
        |m AS (
-       |  SELECT t, avg(ret) AS mret, count(*) AS n_sym FROM x GROUP BY t),
+       |  SELECT t,
+       |    CAST(round(CAST(sum(rq) AS DOUBLE) / count(*)) AS BIGINT) AS mq
+       |  FROM x GROUP BY t),
        |j AS (
-       |  SELECT x.symbol, x.ret AS y, m.mret AS mx FROM x
+       |  SELECT x.symbol, x.rq AS yq, m.mq AS xq FROM x
        |  JOIN m ON m.t = x.t),
        |s AS (
        |  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
-       |    sum(y) AS sy, sum(mx) AS sx, sum(y * mx) AS sxy,
-       |    sum(mx * mx) AS sxx, sum(y * y) AS syy
+       |    CAST(sum(yq) AS BIGINT) AS sy, CAST(sum(xq) AS BIGINT) AS sx,
+       |    CAST(sum(yq * xq) AS BIGINT) AS sxy,
+       |    CAST(sum(xq * xq) AS BIGINT) AS sxx,
+       |    CAST(sum(yq * yq) AS BIGINT) AS syy
        |  FROM j GROUP BY symbol),
        |f AS (
        |  SELECT symbol, n, sy, sx, sxy, sxx, syy,
@@ -121,12 +137,16 @@ object BarAnalytics {
        |  FROM s)
        |SELECT symbol, n AS n_days,
        |  CASE WHEN n > 1 AND varx > 0
-       |    THEN round((n * sxy - sx * sy) / varx, 6) ELSE NULL END AS beta,
+       |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE) / varx, 6)
+       |    ELSE NULL END AS beta,
        |  CASE WHEN n > 1 AND varx > 0
-       |    THEN round(sy / n - ((n * sxy - sx * sy) / varx) * (sx / n), 6)
+       |    THEN round((CAST(sy AS DOUBLE) / n
+       |      - (CAST(n * sxy - sx * sy AS DOUBLE) / varx) * (CAST(sx AS DOUBLE) / n))
+       |      / 1000000.0, 6)
        |    ELSE NULL END AS alpha,
        |  CASE WHEN n > 1 AND varx > 0 AND vary > 0
-       |    THEN round((n * sxy - sx * sy) / sqrt(varx * vary), 6)
+       |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 6)
        |    ELSE NULL END AS mkt_corr
        |FROM f ORDER BY symbol""".stripMargin
 

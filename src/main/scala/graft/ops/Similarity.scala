@@ -1923,20 +1923,24 @@ object Similarity {
     // deterministic start: the all-ones direction, unit-normalized
     // (1/√64 = 0.125 — exactly representable)
     val v0 = d.arrOf(Seq.fill(dim)(d.dlit(0.125)))
+    // every round carries v through the projection CTE, so the
+    // per-dimension accumulation is a plain aggregate over p$i — no
+    // join back to the fact table, keeping the one-pass-per-round
+    // scale contract literal in the plan
     def round_(i: Int, prev: String): String = {
       val wSums = (0 until dim).map { j =>
-        val cj = s"(${d.arrAt("e.v", (j + 1).toString)}" +
+        val cj = s"(${d.arrAt(s"p$i.v", (j + 1).toString)}" +
           s" - ${d.arrAt("mu.m", (j + 1).toString)})"
         s"sum(CAST(round(p$i.di * $cj * $q) AS BIGINT)) AS w$j"
       }.mkString(",\n    ")
       val uComps = (0 until dim).map(j => s"CAST(w$j AS DOUBLE)")
       s"""p$i AS (
-         |  SELECT e.vec_id,
+         |  SELECT e.v,
          |    ${d.dot("e.v", s"$prev.pv")} - ${d.dot("mu.m", s"$prev.pv")} AS di
          |  FROM e CROSS JOIN $prev CROSS JOIN mu),
          |w$i AS (
          |  SELECT $wSums
-         |  FROM p$i JOIN e ON e.vec_id = p$i.vec_id CROSS JOIN mu),
+         |  FROM p$i CROSS JOIN mu),
          |u$i AS (
          |  SELECT ${d.arrOf(uComps)} AS uv FROM w$i),
          |v$i AS (
@@ -1945,7 +1949,8 @@ object Similarity {
     }
     val rounds = (1 to PcaIters).map(i => round_(i, s"v${i - 1}")).mkString(",\n")
     s"""WITH e AS (
-       |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
+       |  SELECT vec_id, label, ${d.toDoubleArr("embedding")} AS v
+       |  FROM embeddings),
        |ms AS (
        |  SELECT count(*) AS cnt,
        |    $muSums
@@ -1956,7 +1961,7 @@ object Similarity {
        |  SELECT $v0 AS pv),
        |$rounds,
        |proj AS (
-       |  SELECT e.vec_id,
+       |  SELECT e.vec_id, e.label,
        |    ${d.dot("e.v", s"v$PcaIters.pv")}
        |      - ${d.dot("mu.m", s"v$PcaIters.pv")} AS sc
        |  FROM e CROSS JOIN v$PcaIters CROSS JOIN mu),
@@ -1967,11 +1972,10 @@ object Similarity {
        |      (${d.dot("e.v", "e.v")} - 2 * ${d.dot("e.v", "mu.m")}
        |        + ${d.dot("mu.m", "mu.m")}) * $q) AS BIGINT)) AS tv
        |  FROM e CROSS JOIN mu)
-       |SELECT proj.vec_id, emb.label,
+       |SELECT proj.vec_id, proj.label,
        |  round(proj.sc, 6) AS pc1,
        |  round(CAST(pvar.vn AS DOUBLE) / tvar.tv, 6) AS var_explained_pc1
        |FROM proj CROSS JOIN pvar CROSS JOIN tvar
-       |JOIN embeddings emb ON emb.vec_id = proj.vec_id
        |ORDER BY proj.vec_id""".stripMargin
   }
 

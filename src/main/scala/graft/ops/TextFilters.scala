@@ -174,7 +174,8 @@ object TextFilters {
     val rate = (c: String) =>
       s"round(CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS DOUBLE)" +
         s" / count(*), 6)"
-    s"""SELECT coalesce(dd.source, 'ALL') AS source,
+    s"""SELECT CASE WHEN grouping(dd.source) = 1 THEN 'ALL'
+       |    ELSE coalesce(dd.source, '(null)') END AS source,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  ${rate("g.r_word_count")} AS rate_word_count,
        |  ${rate("g.r_mean_word_len")} AS rate_mean_word_len,
@@ -365,8 +366,25 @@ object TextFilters {
       .join(docs, "doc_id")
       .withColumn("shuffle_rank",
         expr(SparkDialect.h60(s"'shuf#' || ${SparkDialect.castStr("doc_id")}")))
-    assigned
-      .repartition(nShards, col("shard"))
+    // identity partitioner: shard k → task k, exactly.  A hash
+    // repartition on 8 distinct values collides (some tasks carry
+    // 2-3 shards while others idle) and a range repartition's
+    // sampling can split one shard across tasks (two files in its
+    // dir); the explicit partitioner is the only 1:1 mapping.
+    val schema = assigned.schema
+    val si = schema.fieldIndex("shard")
+    val parted = spark.createDataFrame(
+      assigned.rdd.keyBy(_.getLong(si))
+        .partitionBy(new org.apache.spark.Partitioner {
+          def numPartitions: Int = nShards
+          def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+        })
+        .values,
+      schema)
+    parted
+      // shard leads the sort so the dynamic-partition writer sees its
+      // required ordering already satisfied and does NOT inject its
+      // own (rank-destroying) sort by the partition column
       .sortWithinPartitions("shard", "shuffle_rank")
       .write.mode("overwrite").partitionBy("shard").parquet(out)
     spark.read.parquet(out)

@@ -84,7 +84,11 @@ object StreamingSketch {
   def histPartial(vals: DataFrame, col: String,
                   lo: Double, hi: Double, bins: Int): DataFrame = {
     val w = s"((${hi}D - ${lo}D) / ${bins}D)"
-    vals.selectExpr(
+    vals
+      // a NULL value carries no quantile information — and unfiltered
+      // it would bin to NULL, which a reader would misparse as bin 0
+      .where(s"$col IS NOT NULL")
+      .selectExpr(
         s"CAST(greatest(least(floor(($col - ${lo}D) / $w), ${bins - 1}), 0)" +
           " AS BIGINT) AS bin")
       .groupBy("bin")
@@ -124,7 +128,10 @@ object StreamingSketch {
     * whole point of the sketch is that this state is constant-size.
     * Returns (p, est) pairs; accuracy is the batch relation's
     * verified one-bin-width dense-case contract (see
-    * `RelationalExt.histQuantilesSql`). */
+    * `RelationalExt.histQuantilesSql`).  An EMPTY store (no values
+    * folded yet) returns Seq.empty — there is no quantile of nothing,
+    * and fabricating one would hand the caller a confident-looking
+    * number. */
   def estimateQuantiles(spark: SparkSession, storePath: String,
                         lo: Double, hi: Double, bins: Int,
                         ps: Seq[Double]): Seq[(Double, Double)] = {
@@ -132,6 +139,7 @@ object StreamingSketch {
       .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("c"))
       .sortBy(_._1)
     val n = cells.map(_._2).sum
+    if (n == 0) return Seq.empty
     val w = (hi - lo) / bins
     ps.map { p =>
       val tgt = p * (n - 1) + 1
@@ -141,8 +149,8 @@ object StreamingSketch {
         cum += bc
         if (cum >= tgt) hit = Some((b, cum - bc, bc))
       }
-      val (bin, prevCum, c) =
-        hit.getOrElse((bins - 1L, 0L, math.max(n, 1L)))
+      // n ≥ 1 and tgt ≤ n = final cum, so hit is always defined
+      val (bin, prevCum, c) = hit.get
       p -> (lo + (bin + (tgt - prevCum) / c.toDouble) * w)
     }
   }

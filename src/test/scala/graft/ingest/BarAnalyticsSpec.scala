@@ -79,26 +79,30 @@ class BarAnalyticsSpec extends SparkSuite {
   test("market beta matches a Scala least-squares recomputation") {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // per-symbol daily returns, then the equal-weight market return
+    // per-symbol daily returns, µ-quantized exactly like the SQL
     val rets = daily().groupBy(_._1).flatMap { case (sym, g) =>
       g.sortBy(_._2.getTime).toSeq.sliding(2).collect {
-        case Seq(a, b) => (sym, b._2, b._6 / a._6 - 1)
+        case Seq(a, b) =>
+          (sym, b._2, math.round((b._6 / a._6 - 1) * 1e6))
       }
     }.toSeq
     val mkt = rets.groupBy(_._2).view
-      .mapValues(g => g.map(_._3).sum / g.length).toMap
+      .mapValues(g => math.round(g.map(_._3).sum.toDouble / g.length))
+      .toMap
     val expected = rets.groupBy(_._1).map { case (sym, g) =>
       val xs = g.map(p => mkt(p._2))
       val ys = g.map(_._3)
-      val n = g.length.toDouble
+      val n = g.length.toLong
       val (sx, sy) = (xs.sum, ys.sum)
       val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
       val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
       val varx = n * sxx - sx * sx
       val vary = n * syy - sy * sy
-      val beta = (n * sxy - sx * sy) / varx
-      (sym, g.length.toLong, r6(beta), r6(sy / n - beta * (sx / n)),
-        r6((n * sxy - sx * sy) / math.sqrt(varx * vary)))
+      val beta = (n * sxy - sx * sy).toDouble / varx
+      (sym, n, r6(beta),
+        r6((sy.toDouble / n - beta * (sx.toDouble / n)) / 1e6),
+        r6((n * sxy - sx * sy).toDouble /
+          math.sqrt(varx.toDouble * vary.toDouble)))
     }.toSet
     val got = BarAnalytics.beta(spark, sf()).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),

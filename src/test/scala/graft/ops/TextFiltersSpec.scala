@@ -10,6 +10,13 @@ class TextFiltersSpec extends SparkSuite {
     graft.Tables.documents(spark, sf()).createOrReplaceTempView("documents")
   }
 
+  /** Independent reference for the portable 60-bit hash. */
+  private def h60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   // ---------------- Gopher rule battery ----------------
 
   test("gopher rules: fixture-live rules have both verdicts populated") {
@@ -86,12 +93,6 @@ class TextFiltersSpec extends SparkSuite {
     fixtureDocs()
     val toks = spark.sql("SELECT graft_tokens(text) AS t FROM documents")
       .collect().flatMap(_.getSeq[String](0))
-    def h60(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15)
-      java.lang.Long.parseLong(hex, 16)
-    }
     val w = TextFilters.CmWidth
     val sketch = Array.fill(TextFilters.CmDepth, w)(0L)
     toks.foreach { t =>
@@ -162,11 +163,6 @@ class TextFiltersSpec extends SparkSuite {
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shuffle_rank")))
       val ranks = shard0.map(_._2)
       assert(ranks.sameElements(ranks.sorted), "shuffle_rank ascending")
-      def h60(s: String): Long = {
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
-        java.lang.Long.parseLong(hex, 16)
-      }
       shard0.foreach { case (id, rk) => assert(rk == h60(s"shuf#$id")) }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))

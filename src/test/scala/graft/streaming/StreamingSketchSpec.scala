@@ -78,7 +78,6 @@ class StreamingSketchSpec extends SparkSuite {
     } finally q.stop()
 
     // merged partials ≡ the one-pass histogram
-    import org.apache.spark.sql.functions.col
     val merged = StreamingSketch.mergedHist(spark, store).collect()
       .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("c")).toMap
     val batch = StreamingSketch.histPartial(
