@@ -205,6 +205,7 @@ object SparkEntry {
     "text_corpus_stats" -> (Retrieval.corpusStats _),
     "text_k_anonymity" -> (Retrieval.kAnonymity _),
     "sim_cluster_purity" -> (Similarity.clusterPurity _),
+    "sim_cluster_keywords" -> (Similarity.clusterKeywords _),
     "sim_ann_ivf_adc" -> (Similarity.ivfAdc _),
     "sim_adc_recall" -> (Similarity.adcRecall _),
     "sim_ivf_adc_trained" -> (Similarity.ivfAdcTrained _),
@@ -575,6 +576,7 @@ object SparkEntry {
     "text_corpus_stats" -> Retrieval.corpusStatsSql(DuckDialect),
     "text_k_anonymity" -> Retrieval.kAnonymitySql(DuckDialect),
     "sim_cluster_purity" -> Similarity.clusterPuritySql(DuckDialect),
+    "sim_cluster_keywords" -> Similarity.clusterKeywordsSql(DuckDialect),
     "sim_ann_ivf_adc" -> Similarity.ivfAdcSql(DuckDialect),
     "sim_adc_recall" -> Similarity.adcRecallSql(DuckDialect),
     "sim_ivf_adc_trained" -> Similarity.ivfAdcTrainedSql(DuckDialect),

@@ -709,6 +709,78 @@ object Similarity {
       .orderBy($"cid")
   }
 
+  /** Shared tail of `sim_cluster_keywords`: from an `asgn` relation
+    * (vec_id, cid) and the `documents` view, the top-3 cluster-level
+    * TF-IDF terms per cluster.  TF is the token count within the
+    * cluster; IDF treats each CLUSTER as a document
+    * (ln((K+1)/df_c), µ-quantized) — a term scores high when it is
+    * frequent in this cluster and absent from the others, which is
+    * exactly what makes it a topic label.  Scores are integer
+    * products tf·idf_q — deterministic under any aggregation order. */
+  private def clusterKeywordsTail(d: SqlDialect): String =
+    s"""jd AS (
+       |  SELECT a.cid, ${d.tokens("dd.text")} AS toks
+       |  FROM asgn a JOIN documents dd ON dd.doc_id = a.vec_id),
+       |tok AS (
+       |  SELECT cid, ${d.explode("toks")} AS token FROM jd),
+       |tf AS (
+       |  SELECT cid, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY cid, token),
+       |dfc AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS df_c
+       |  FROM tf GROUP BY token),
+       |kk AS (
+       |  SELECT CAST(count(DISTINCT cid) AS BIGINT) AS nk FROM tf),
+       |scs AS (
+       |  SELECT tf.cid, tf.token, tf.tf, dfc.df_c,
+       |    tf.tf * CAST(round(ln(CAST(kk.nk + 1 AS DOUBLE) / dfc.df_c)
+       |      * ${d.dlit(1000000.0)}) AS BIGINT) AS sq
+       |  FROM tf JOIN dfc ON dfc.token = tf.token CROSS JOIN kk),
+       |rr AS (
+       |  SELECT cid, token, tf, df_c, sq,
+       |    row_number() OVER (PARTITION BY cid
+       |      ORDER BY sq DESC, token) AS rn
+       |  FROM scs)
+       |SELECT cid, CAST(rn AS BIGINT) AS rank, token, tf, df_c,
+       |  round(CAST(sq AS DOUBLE) / ${d.dlit(1000000.0)}, 6) AS score
+       |FROM rr WHERE rn <= 3
+       |ORDER BY cid, rank""".stripMargin
+
+  /** Oracle form: recomputes the whole Lloyd chain from raw
+    * embeddings (as `clusterPuritySql` does) and feeds its `asgn`
+    * into the shared keyword tail. */
+  def clusterKeywordsSql(d: SqlDialect): String =
+    s"""WITH ${kmeansCandCtes(d)},
+       |${clusterKeywordsTail(d)}""".stripMargin
+
+  /** Cluster topic keywords — the inspection tool run after
+    * clustering and before cluster-level curation (topic-balanced
+    * sampling, SemDeDup pruning): WHAT is in each cluster, as its
+    * top discriminative terms.  Engine side reads the persisted
+    * k-means store for the assignment (the `clusterPurity` pattern)
+    * and joins the text; the oracle recomputes the full training
+    * chain — a green check proves store assignment ≡ trained
+    * assignment AND the text/vector id join is coherent.
+    *
+    * Scale: assignment is a 2-column pruned store scan; the tf
+    * aggregate is token-linear with map-side combine; dfc/kk are
+    * vocabulary-sized dims joined broadcast; the top-3 window
+    * partitions by cid (k partitions). */
+  def clusterKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val n = ivfBase(spark, dir)
+    val cents = trainCodebookCached(spark, dir, n)
+    val store = kmeansStorePath(spark, dir, None, "km", cents)
+    spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, cid BIGINT")
+      .parquet(store.toString)
+      .select($"vec_id", $"cid")
+      .createOrReplaceTempView("asgn")
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(s"WITH ${clusterKeywordsTail(SparkDialect)}")
+  }
+
   /** Closing CTEs of the cluster-balanced sample, over whatever
     * `asgn(vec_id, cid)` relation precedes them: per-cluster quota
     * Q = ⌈n / (5·k)⌉ (a 20 % corpus budget split evenly over the k

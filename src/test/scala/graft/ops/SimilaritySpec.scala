@@ -570,6 +570,33 @@ class SimilaritySpec extends SparkSuite {
     assert(probed > 0)
   }
 
+  test("cluster keywords rank top-3 discriminative terms per cluster") {
+    val rows = Similarity.clusterKeywords(spark, sf()).collect()
+    val byCid = rows.groupBy(_.getAs[Long]("cid"))
+    assert(byCid.nonEmpty)
+    byCid.foreach { case (cid, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L),
+        s"cid $cid ranks")
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"cid $cid scores not non-increasing: ${scores.toSeq}")
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("tf") > 0)
+        assert(r.getAs[Long]("df_c") >= 1)
+      }
+    }
+    // the score is the claimed integer product: tf * quantized idf
+    val nk = byCid.size
+    rows.foreach { r =>
+      val idfQ = math.round(math.log((nk + 1).toDouble /
+        r.getAs[Long]("df_c")) * 1e6)
+      val expected = BigDecimal(r.getAs[Long]("tf") * idfQ / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("score") - expected) < 1e-9)
+    }
+  }
+
   test("pca projection matches an independent power-iteration recomputation") {
     val rows = Similarity.pca(spark, sf()).collect()
     assert(rows.length == 500)
