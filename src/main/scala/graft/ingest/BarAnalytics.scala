@@ -89,15 +89,24 @@ object BarAnalytics {
     * for returns, one per-day mean, one per-symbol aggregate.  Like
     * `analyticsSql`, ONE SQL text valid verbatim in Spark and DuckDB.
     *
-    * Determinism: returns are µ-quantized to integer micro-units
+    * Determinism: returns are quantized to integer 10⁻⁴ units
     * (BIGINT) before ANY cross-row sum — the sufficient statistics
     * are exact integer sums, associative and commutative, so
     * partial-aggregation order cannot shift a beta across a
     * round(…, 6) boundary (the discipline the PCA and LM scorers
-    * follow).  Beta and correlation are scale-free ratios of µ²
+    * follow).  Beta and correlation are scale-free ratios of q²
     * quantities — the quantization factor cancels; alpha de-scales
-    * once at the end.  Magnitudes stay far inside int64: |ret| < 1 →
-    * |rq| < 10⁶, squares < 10¹², day-count sums < 10¹⁴.
+    * once at the end.
+    *
+    * Int64 budget (the events fixture's `value` column is NOT
+    * price-like — daily "returns" reach 10³): with Q = 10⁴ and
+    * |ret| ≤ ~10³, per-row squares are ≤ 10¹⁴ and the per-symbol
+    * sums stay orders of magnitude inside int64 at any realistic
+    * day depth.  The closed-form combinations (n·Σxx − Σx², …) are
+    * single IEEE multiplications of exact-integer doubles — still
+    * deterministic, and immune to the BIGINT·BIGINT overflow that
+    * n·Σyy would hit (DuckDB errors on it; Spark would wrap
+    * silently).
     *
     * Degenerate guards: symbols with < 2 matched days or a
     * zero-variance market leg yield NULL beta/alpha/corr rather than
@@ -115,7 +124,7 @@ object BarAnalytics {
        |  FROM b),
        |x AS (
        |  SELECT symbol, t,
-       |    CAST(round((c / pc - 1) * 1000000.0) AS BIGINT) AS rq
+       |    CAST(round((c / pc - 1) * 10000.0) AS BIGINT) AS rq
        |  FROM r WHERE pc IS NOT NULL),
        |m AS (
        |  SELECT t,
@@ -132,21 +141,24 @@ object BarAnalytics {
        |    CAST(sum(yq * yq) AS BIGINT) AS syy
        |  FROM j GROUP BY symbol),
        |f AS (
-       |  SELECT symbol, n, sy, sx, sxy, sxx, syy,
-       |    n * sxx - sx * sx AS varx, n * syy - sy * sy AS vary
+       |  SELECT symbol, n, sy, sx,
+       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+       |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+       |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
        |  FROM s)
        |SELECT symbol, n AS n_days,
        |  CASE WHEN n > 1 AND varx > 0
-       |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE) / varx, 6)
+       |    THEN round(cov_n / varx, 6)
        |    ELSE NULL END AS beta,
        |  CASE WHEN n > 1 AND varx > 0
        |    THEN round((CAST(sy AS DOUBLE) / n
-       |      - (CAST(n * sxy - sx * sy AS DOUBLE) / varx) * (CAST(sx AS DOUBLE) / n))
-       |      / 1000000.0, 6)
+       |      - (cov_n / varx) * (CAST(sx AS DOUBLE) / n)) / 10000.0, 6)
        |    ELSE NULL END AS alpha,
        |  CASE WHEN n > 1 AND varx > 0 AND vary > 0
-       |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
-       |      / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 6)
+       |    THEN round(cov_n / sqrt(varx * vary), 6)
        |    ELSE NULL END AS mkt_corr
        |FROM f ORDER BY symbol""".stripMargin
 

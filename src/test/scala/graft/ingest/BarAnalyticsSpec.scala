@@ -79,11 +79,11 @@ class BarAnalyticsSpec extends SparkSuite {
   test("market beta matches a Scala least-squares recomputation") {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // per-symbol daily returns, µ-quantized exactly like the SQL
+    // per-symbol daily returns, quantized exactly like the SQL (1e-4)
     val rets = daily().groupBy(_._1).flatMap { case (sym, g) =>
       g.sortBy(_._2.getTime).toSeq.sliding(2).collect {
         case Seq(a, b) =>
-          (sym, b._2, math.round((b._6 / a._6 - 1) * 1e6))
+          (sym, b._2, math.round((b._6 / a._6 - 1) * 1e4))
       }
     }.toSeq
     val mkt = rets.groupBy(_._2).view
@@ -96,13 +96,15 @@ class BarAnalyticsSpec extends SparkSuite {
       val (sx, sy) = (xs.sum, ys.sum)
       val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
       val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
-      val varx = n * sxx - sx * sx
-      val vary = n * syy - sy * sy
-      val beta = (n * sxy - sx * sy).toDouble / varx
+      // the SQL's closed forms: single multiplications of
+      // exact-integer doubles
+      val covN = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val varx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      val vary = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+      val beta = covN / varx
       (sym, n, r6(beta),
-        r6((sy.toDouble / n - beta * (sx.toDouble / n)) / 1e6),
-        r6((n * sxy - sx * sy).toDouble /
-          math.sqrt(varx.toDouble * vary.toDouble)))
+        r6((sy.toDouble / n - beta * (sx.toDouble / n)) / 1e4),
+        r6(covN / math.sqrt(varx * vary)))
     }.toSet
     val got = BarAnalytics.beta(spark, sf()).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
