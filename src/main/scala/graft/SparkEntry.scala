@@ -116,6 +116,7 @@ object SparkEntry {
     "text_curation_funnel" -> (TextAnalysis.curationFunnel _),
     "text_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
     "text_bigram_logprob" -> (TextFilters.bigramLogprob _),
+    "text_pmi_pairs" -> (TextFilters.pmiPairs _),
     "text_novelty" -> (TextAnalysis.novelty _),
     // Rule-based curation filters + frequency sketch (TextFilters)
     "text_gopher_rules" -> (TextFilters.gopherRules _),
@@ -170,6 +171,7 @@ object SparkEntry {
         Similarity.ivfKmeansQuantizedRerankPersisted(s, d)),
     "sim_source_coherence" -> (Similarity.sourceCoherence _),
     "sim_pca_projection" -> (Similarity.pca _),
+    "sim_embedding_stats" -> (Similarity.embeddingStats _),
     // Per-list skew report over the persisted k-means store — the
     // retrain/rebuild trigger signal; oracle proves store ≡ assignment
     "sim_index_health" ->
@@ -504,6 +506,7 @@ object SparkEntry {
     "text_curation_funnel" -> TextAnalysis.curationFunnelSql(DuckDialect),
     "text_unigram_logprob" -> TextAnalysis.unigramLogprobSql(DuckDialect),
     "text_bigram_logprob" -> TextFilters.bigramLogprobSql(DuckDialect),
+    "text_pmi_pairs" -> TextFilters.pmiPairsSql(DuckDialect),
     "text_novelty" -> TextAnalysis.noveltySql(DuckDialect),
     "text_gopher_rules" -> TextFilters.gopherRulesSql(DuckDialect),
     "text_gopher_by_source" -> TextFilters.gopherBySourceSql(DuckDialect),
@@ -553,6 +556,7 @@ object SparkEntry {
       Similarity.ivfKmeansQuantizedRerankSql(DuckDialect),
     "sim_source_coherence" -> Similarity.sourceCoherenceSql(DuckDialect),
     "sim_pca_projection" -> Similarity.pcaSql(DuckDialect),
+    "sim_embedding_stats" -> Similarity.embeddingStatsSql(DuckDialect),
     "sim_index_health" -> Similarity.indexHealthSql(DuckDialect),
     "sim_index_maintain" -> Similarity.indexMaintainSql(DuckDialect),
     "q_approx_distinct" -> Relational.qApproxDistinctOracleSql,

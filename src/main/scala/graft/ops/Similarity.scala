@@ -2054,6 +2054,69 @@ object Similarity {
   def pca(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, pcaSql(SparkDialect))
 
+  /** Per-dimension embedding health — the cheap companion to the PCA
+    * diagnostic: mean and variance of every coordinate (a dead or
+    * exploding dimension is an encoder bug visible long before any
+    * ANN recall drops), alongside corpus-level norm statistics
+    * (zero-vector count — unembeddable inputs that would NaN a cosine
+    * — and min/mean/max norm, where a collapsing norm distribution
+    * flags representation collapse).
+    *
+    * Determinism: per-dimension Σx and Σx² accumulate µ-quantized
+    * BIGINTs (the k-means/PCA discipline); the per-dim relation is
+    * produced by exploding a 1-row array pair, so the corpus is
+    * scanned ONCE for all 64 dimensions + norms.  min/max are
+    * order-insensitive; mean norm is a quantized sum.
+    *
+    * Scale: one map-side-combining aggregate of 2·D+3 cells over one
+    * corpus pass; everything downstream is 1-row/D-row relations. */
+  def embeddingStatsSql(d: SqlDialect): String = {
+    val q = d.dlit(1000000.0)
+    val dim = EmbeddingDim
+    val sums = (0 until dim).map { j =>
+      val xj = d.arrAt("v", (j + 1).toString)
+      s"sum(CAST(round($xj * $q) AS BIGINT)) AS s$j, " +
+        s"sum(CAST(round($xj * $xj * $q) AS BIGINT)) AS q$j"
+    }.mkString(",\n    ")
+    val means = (0 until dim).map(j =>
+      s"CAST(s$j AS DOUBLE) / ($q * cnt)")
+    val vars_ = (0 until dim).map(j =>
+      s"CAST(q$j AS DOUBLE) / ($q * cnt)" +
+        s" - (CAST(s$j AS DOUBLE) / ($q * cnt))" +
+        s" * (CAST(s$j AS DOUBLE) / ($q * cnt))")
+    s"""WITH e AS (
+       |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
+       |nn AS (
+       |  SELECT vec_id, sqrt(${d.dot("v", "v")}) AS nrm FROM e),
+       |ns AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       |    CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS zero_vectors,
+       |    round(min(nrm), 6) AS min_norm,
+       |    round(CAST(sum(CAST(round(nrm * $q) AS BIGINT)) AS DOUBLE)
+       |      / ($q * count(*)), 6) AS mean_norm,
+       |    round(max(nrm), 6) AS max_norm
+       |  FROM nn),
+       |ds AS (
+       |  SELECT count(*) AS cnt,
+       |    $sums
+       |  FROM e),
+       |da AS (
+       |  SELECT ${d.arrOf(means)} AS mv, ${d.arrOf(vars_)} AS vv FROM ds),
+       |dd AS (
+       |  SELECT ${d.explode(d.sequence1(dim.toString))} AS dim FROM da)
+       |SELECT CAST(dd.dim AS BIGINT) AS dim,
+       |  round(${d.arrAt("da.mv", "dd.dim")}, 6) AS mean,
+       |  round(${d.arrAt("da.vv", "dd.dim")}, 6) AS variance,
+       |  ns.n_vectors, ns.zero_vectors, ns.min_norm, ns.mean_norm,
+       |  ns.max_norm
+       |FROM dd CROSS JOIN da CROSS JOIN ns
+       |ORDER BY dim""".stripMargin
+  }
+
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, embeddingStatsSql(SparkDialect))
+
   private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")

@@ -458,6 +458,70 @@ object TextFilters {
   }
 
   // ----------------------------------------------------------------
+  // PMI collocations
+  // ----------------------------------------------------------------
+
+  val PmiTopN = 20
+  val PmiMinCount = 5
+
+  /** Top PMI collocations — the classic phrase/multi-word-expression
+    * detector (Church & Hanks 1990) over the corpus bigram relation:
+    * PMI(x,y) = ln(N·c(xy) / (c(x·)·c(·y))) for adjacent token pairs,
+    * reported for the `topN` highest-PMI bigrams with count ≥
+    * `minCount` (raw PMI promotes hapax pairs; the count floor is the
+    * standard guard).  A curation pipeline uses these to build
+    * tokenizer merge seeds and boilerplate phrase lists.
+    *
+    * Counting conventions: c(x·)/(·y) are the bigram-relation
+    * marginals (first-position and second-position occurrence
+    * counts), N the total bigram count — so the three marginals are
+    * consistent with c(xy) at document edges by construction.  The
+    * ln is µ-quantized (deterministic across engines/libm); ordering
+    * ties break on the bigram text.
+    *
+    * Scale: the bigram vocabulary is a dim relation; marginals are
+    * two reduces of it; the join back is dim×dim (broadcast).  The
+    * only corpus-sized pass is the bigram count itself — shared
+    * shape with `bigramLogprobSql`. */
+  def pmiPairsSql(d: SqlDialect,
+                  topN: Int = PmiTopN,
+                  minCount: Int = PmiMinCount): String = {
+    val bigrams = d.arrTransform(
+      d.sequence1(s"${d.arrSize("toks")} - 1"), "i",
+      s"${d.arrAt("toks", "i")} || ' ' || ${d.arrAt("toks", "i + 1")}")
+    val w1 = (bg: String) => d.arrAt(d.split(bg, " "), "1")
+    val w2 = (bg: String) => d.arrAt(d.split(bg, " "), "2")
+    s"""WITH t AS (
+       |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
+       |bg AS (
+       |  SELECT ${d.explode(bigrams)} AS bg FROM t),
+       |c2 AS (
+       |  SELECT bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bg),
+       |n AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS total FROM c2),
+       |cx AS (
+       |  SELECT ${w1("bg")} AS w, CAST(sum(c) AS BIGINT) AS c
+       |  FROM c2 GROUP BY ${w1("bg")}),
+       |cy AS (
+       |  SELECT ${w2("bg")} AS w, CAST(sum(c) AS BIGINT) AS c
+       |  FROM c2 GROUP BY ${w2("bg")}),
+       |p AS (
+       |  SELECT c2.bg, c2.c,
+       |    CAST(round(ln(CAST(n.total AS DOUBLE) * c2.c
+       |        / (CAST(cx.c AS DOUBLE) * cy.c)) * ${d.dlit(1000000.0)})
+       |      AS BIGINT) AS pmi_q
+       |  FROM c2
+       |  JOIN cx ON cx.w = ${w1("c2.bg")}
+       |  JOIN cy ON cy.w = ${w2("c2.bg")}
+       |  CROSS JOIN n
+       |  WHERE c2.c >= $minCount)
+       |SELECT bg AS bigram, c AS pair_count,
+       |  round(CAST(pmi_q AS DOUBLE) / ${d.dlit(1000000.0)}, 6) AS pmi
+       |FROM p
+       |ORDER BY pmi_q DESC, bg LIMIT $topN""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // Engine entry points
   // ----------------------------------------------------------------
 
@@ -477,4 +541,6 @@ object TextFilters {
     run(spark, dir, shardPlanSql(SparkDialect))
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, bigramLogprobSql(SparkDialect))
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, pmiPairsSql(SparkDialect))
 }

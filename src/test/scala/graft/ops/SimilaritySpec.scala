@@ -597,6 +597,33 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("embedding stats: per-dim moments and norm summary are sane and exact") {
+    val rows = Similarity.embeddingStats(spark, sf()).collect()
+    assert(rows.map(_.getAs[Long]("dim")).toSeq == (1L to 64L))
+    val n = rows.head.getAs[Long]("n_vectors")
+    assert(n == 500 && rows.head.getAs[Long]("zero_vectors") == 0)
+    assert(rows.head.getAs[Double]("min_norm") > 0)
+    assert(rows.head.getAs[Double]("mean_norm") >=
+      rows.head.getAs[Double]("min_norm"))
+    assert(rows.head.getAs[Double]("max_norm") >=
+      rows.head.getAs[Double]("mean_norm"))
+    // quantization can push a zero variance epsilon-negative; bound it
+    assert(rows.forall(_.getAs[Double]("variance") > -1e-6))
+
+    // independent recomputation of the quantized moments for dim 1
+    val vecs = graft.Tables.embeddings(spark, sf())
+      .collect().map(_.getSeq[Float](1).map(_.toDouble))
+    val s0 = vecs.map(v => math.round(v(0) * 1e6)).sum
+    val q0 = vecs.map(v => math.round(v(0) * v(0) * 1e6)).sum
+    val mean = s0.toDouble / (1e6 * n)
+    val variance = q0.toDouble / (1e6 * n) - mean * mean
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = rows.find(_.getAs[Long]("dim") == 1L).get
+    assert(math.abs(d1.getAs[Double]("mean") - r6(mean)) < 1e-9)
+    assert(math.abs(d1.getAs[Double]("variance") - r6(variance)) < 1e-9)
+  }
+
   test("pca projection matches an independent power-iteration recomputation") {
     val rows = Similarity.pca(spark, sf()).collect()
     assert(rows.length == 500)

@@ -169,6 +169,38 @@ class TextFiltersSpec extends SparkSuite {
     }
   }
 
+  // ---------------- PMI collocations ----------------
+
+  test("pmi pairs match an independent collocation recomputation") {
+    val rows = TextFilters.pmiPairs(spark, sf()).collect()
+    assert(rows.length == TextFilters.PmiTopN)
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[Long]("pair_count") >= TextFilters.PmiMinCount))
+
+    fixtureDocs()
+    val bigrams = spark.sql("SELECT graft_tokens(text) AS t FROM documents")
+      .collect().flatMap(_.getSeq[String](0).sliding(2).filter(_.length == 2)
+        .map(p => s"${p(0)} ${p(1)}"))
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cx = bigrams.groupBy(_.split(' ')(0)).view
+      .mapValues(_.length.toLong).toMap
+    val cy = bigrams.groupBy(_.split(' ')(1)).view
+      .mapValues(_.length.toLong).toMap
+    val total = bigrams.length.toLong
+    val expected = c2.filter(_._2 >= TextFilters.PmiMinCount).map {
+      case (bg, c) =>
+        val Array(x, y) = bg.split(' ')
+        val q = math.round(
+          math.log(total.toDouble * c / (cx(x).toDouble * cy(y))) * 1e6)
+        (bg, c, q)
+    }.toSeq.sortBy(t => (-t._3, t._1)).take(TextFilters.PmiTopN)
+    val got = rows.map(r => (r.getAs[String]("bigram"),
+      r.getAs[Long]("pair_count"),
+      math.round(r.getAs[Double]("pmi") * 1e6)))
+    assert(got.toSeq == expected.map(t => (t._1, t._2, t._3)))
+  }
+
   // ---------------- Bigram LM ----------------
 
   test("bigram surprisal matches an independent Scala recomputation") {
