@@ -123,6 +123,7 @@ object SparkEntry {
     "text_gopher_by_source" -> (TextFilters.gopherBySource _),
     "text_heavy_hitters" -> (TextFilters.heavyHitters _),
     "text_shard_plan" -> (TextFilters.shardPlan _),
+    "text_shard_manifest" -> (TextFilters.shardManifest _),
     "q_ts_correlation" -> (Temporal.tsCorrelation _),
     "q_anomaly" -> (Temporal.anomaly _),
     // Deduplication family
@@ -512,6 +513,7 @@ object SparkEntry {
     "text_gopher_by_source" -> TextFilters.gopherBySourceSql(DuckDialect),
     "text_heavy_hitters" -> TextFilters.heavyHittersSql(DuckDialect),
     "text_shard_plan" -> TextFilters.shardPlanSql(DuckDialect),
+    "text_shard_manifest" -> TextFilters.shardManifestSql(DuckDialect),
     "q_ts_correlation" -> Temporal.tsCorrelationOracleSql,
     "q_anomaly" -> Temporal.anomalySql,
     "dedup_exact" -> Dedup.exactSql(DuckDialect),

@@ -324,6 +324,38 @@ object TextFilters {
        |FROM s CROSS JOIN tot
        |ORDER BY shard""".stripMargin
 
+  /** Release manifest for the shard plan — the reproducibility audit
+    * published WITH a training-data release: per shard, the document
+    * count, token mass, and an order-independent content checksum
+    * (`bit_xor` of the portable 60-bit text digests — XOR is
+    * associative/commutative/self-inverse, so the checksum is
+    * identical under any partitioning or row order, and any single
+    * changed/missing/duplicated document flips it).  A consumer
+    * re-derives this table from the delivered shards and diffs; a
+    * mismatch pinpoints WHICH shard drifted without hashing the
+    * whole corpus serially.
+    *
+    * Scale: the striping rank (documented single-window at verify
+    * scale, `shardAssignments` at 100 TB) + one map-side-combining
+    * aggregate; XOR partials merge like any sum. */
+  def shardManifestSql(d: SqlDialect, nShards: Int = NumShards): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(${d.arrSize(d.tokens("text"))} AS BIGINT) AS n_tokens,
+       |    ${d.h60("text")} AS digest
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_tokens, digest,
+       |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+       |  FROM t)
+       |SELECT CAST((rn - 1) % $nShards AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS token_mass,
+       |  CAST(bit_xor(digest) AS BIGINT) AS content_checksum
+       |FROM o
+       |GROUP BY (rn - 1) % $nShards
+       |ORDER BY shard""".stripMargin
+
   /** Window-free per-document shard assignment — the 100 TB path for
     * `shardPlanSql`'s striping.  `orderBy` gives Spark's
     * range-partitioned global sort (each partition holds a contiguous
@@ -539,6 +571,8 @@ object TextFilters {
     run(spark, dir, heavyHittersSql(SparkDialect))
   def shardPlan(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, shardPlanSql(SparkDialect))
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, shardManifestSql(SparkDialect))
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, bigramLogprobSql(SparkDialect))
   def pmiPairs(spark: SparkSession, dir: String): DataFrame =

@@ -169,6 +169,42 @@ class TextFiltersSpec extends SparkSuite {
     }
   }
 
+  test("shard manifest agrees with the plan and detects any drift") {
+    val plan = TextFilters.shardPlan(spark, sf()).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("token_mass"))).toMap
+    val manifest = TextFilters.shardManifest(spark, sf()).collect()
+    assert(manifest.map(r => r.getAs[Long]("shard") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("token_mass"))).toMap == plan)
+
+    // checksum is the XOR of the member digests — recompute one shard
+    fixtureDocs()
+    val assigned = TextFilters.shardAssignments(spark, sf())
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard"))
+      .toMap
+    val digests = spark.sql(
+        "SELECT doc_id, graft_h60(text) AS dg FROM documents")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shard0 = digests.collect {
+      case (id, dg) if assigned(id) == 0L => dg }.foldLeft(0L)(_ ^ _)
+    val got0 = manifest.find(_.getAs[Long]("shard") == 0L).get
+      .getAs[Long]("content_checksum")
+    assert(got0 == shard0, "checksum = XOR of member digests")
+
+    // drift detection: drop one document -> exactly the affected
+    // shards' checksums change when re-derived
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf())
+    docs.filter($"doc_id" =!= 0L).createOrReplaceTempView("documents")
+    val drifted = spark.sql(
+        TextFilters.shardManifestSql(SparkDialect)).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        r.getAs[Long]("content_checksum")).toMap
+    val orig = manifest.map(r => r.getAs[Long]("shard") ->
+      r.getAs[Long]("content_checksum")).toMap
+    assert(drifted != orig, "removing a document must change the manifest")
+  }
+
   // ---------------- PMI collocations ----------------
 
   test("pmi pairs match an independent collocation recomputation") {
