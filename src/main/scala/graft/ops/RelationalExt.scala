@@ -435,9 +435,14 @@ object RelationalExt {
        |    CAST(count(*) AS BIGINT) AS n FROM s),
        |h AS (
        |  SELECT bin, CAST(count(*) AS BIGINT) AS c FROM (
-       |    SELECT CAST(least(floor((s.x - b.lo)
+       |    -- degenerate all-equal column: hi = lo makes the bin
+       |    -- divisor 0 and 0/0 = NaN, whose BIGINT cast / least()
+       |    -- ordering differ by engine — route it to bin 0 explicitly
+       |    -- so correctness never rides on NaN-cast coincidences
+       |    SELECT CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(least(floor((s.x - b.lo)
        |        / ((b.hi - b.lo) / ${d.dlit(bins.toDouble)})),
-       |      ${bins - 1}) AS BIGINT) AS bin
+       |      ${bins - 1}) AS BIGINT) END AS bin
        |    FROM s CROSS JOIN b) z
        |  GROUP BY bin),
        |cum AS (

@@ -2080,10 +2080,13 @@ object Similarity {
     }.mkString(",\n    ")
     val means = (0 until dim).map(j =>
       s"CAST(s$j AS DOUBLE) / ($q * cnt)")
+    // E[x²]−E[x]² from independently µ-quantized sums can land
+    // epsilon-NEGATIVE on a near-constant dimension; clamp at 0 so no
+    // consumer ever sees a negative variance
     val vars_ = (0 until dim).map(j =>
-      s"CAST(q$j AS DOUBLE) / ($q * cnt)" +
+      s"greatest(CAST(q$j AS DOUBLE) / ($q * cnt)" +
         s" - (CAST(s$j AS DOUBLE) / ($q * cnt))" +
-        s" * (CAST(s$j AS DOUBLE) / ($q * cnt))")
+        s" * (CAST(s$j AS DOUBLE) / ($q * cnt)), ${d.dlit(0.0)})")
     s"""WITH e AS (
        |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
        |nn AS (

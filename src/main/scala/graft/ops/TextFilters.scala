@@ -167,6 +167,13 @@ object TextFilters {
     * discipline).  Rates are BIGINT pass-count sums divided once at
     * the end, so partial-aggregation order cannot shift them.
     *
+    * The rollup row is marked by a dedicated `is_rollup` = 1 column
+    * (from `grouping()`), NOT solely by the 'ALL' display label — a
+    * genuine ingest source literally named 'ALL' (or '(null)') stays
+    * distinguishable from the sentinel rows, and the ORDER BY includes
+    * `is_rollup` so such a collision cannot make the output order
+    * ambiguous either.
+    *
     * Scale: the rule battery is a narrow projection; the rollup is
     * one GROUPING SETS aggregate keyed by source — dim-cardinality
     * output. */
@@ -176,6 +183,7 @@ object TextFilters {
         s" / count(*), 6)"
     s"""SELECT CASE WHEN grouping(dd.source) = 1 THEN 'ALL'
        |    ELSE coalesce(dd.source, '(null)') END AS source,
+       |  CAST(grouping(dd.source) AS BIGINT) AS is_rollup,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  ${rate("g.r_word_count")} AS rate_word_count,
        |  ${rate("g.r_mean_word_len")} AS rate_mean_word_len,
@@ -186,7 +194,7 @@ object TextFilters {
        |) g
        |JOIN documents dd ON dd.doc_id = g.doc_id
        |GROUP BY GROUPING SETS ((dd.source), ())
-       |ORDER BY source""".stripMargin
+       |ORDER BY source, is_rollup""".stripMargin
   }
 
   // ----------------------------------------------------------------

@@ -19,12 +19,18 @@ import graft.ops.{SparkDialect, TextFilters}
   * of state per partition and no vocabulary-sized GROUP BY anywhere.
   *
   * Store layout: one parquet file of (r, bkt, c) partial cells per
-  * micro-batch under `batch=<id>/`, written with per-batch OVERWRITE —
-  * a crash-replayed batch rewrites the same directory, so replays are
-  * idempotent (the `LexIndex` associative-partials contract; no
-  * transactional format needed for a commutative fold).  Readers
-  * always see complete partials: parquet directory writes publish
-  * atomically through Spark's commit protocol.
+  * write attempt under `batch=<id>/attempt=<nanos>/` — APPEND-ONLY: a
+  * crash-replayed batch writes a fresh attempt directory and never
+  * deletes the previous one (an overwrite would be delete-then-write,
+  * opening a window where a concurrent merge silently reads the batch
+  * as zero cells).  The fold is deterministic per batch, so every
+  * complete attempt of a batch carries identical cells; merge-time
+  * dedup keeps exactly one attempt per batch (the smallest attempt id
+  * that has rows — attempt ids increase in time, so an attempt that is
+  * still being written can only be the LARGEST, and with one coalesced
+  * file per attempt its cells appear atomically at commit).  Readers
+  * therefore always see complete partials, with no reliance on
+  * overwrite atomicity.
   *
   * The bucket hash is `TextFilters.cmBucket` — the same definition
   * the batch relation and the DuckDB oracle use, so an estimate
@@ -61,17 +67,44 @@ object StreamingSketch {
   }
 
   /** One batch's fold into the store — public so specs (and batch
-    * backfills) can drive the same code path the stream runs. */
+    * backfills) can drive the same code path the stream runs.  Each
+    * call writes a FRESH `attempt=` directory (append-only — see the
+    * object doc for why overwrite is unsafe under concurrent reads). */
   def appendBatch(batch: DataFrame, storePath: String, id: Long): Unit =
     cmPartial(batch)
-      .coalesce(1) // ≤ depth·width rows — one tiny file per batch
-      .write.mode("overwrite").parquet(s"$storePath/batch=$id")
+      .coalesce(1) // ≤ depth·width rows — one tiny file per attempt
+      .write.parquet(s"$storePath/batch=$id/attempt=${System.nanoTime()}")
 
-  /** The merged sketch: cell-wise sum of every batch partial. */
+  /** Read a partial store, keeping ONE attempt per batch (smallest
+    * attempt id with rows — deterministic partials make all complete
+    * attempts identical, so any single complete pick is correct).
+    * `None` when the store has no committed batch yet — a stream that
+    * started but produced nothing must read as empty, not throw. */
+  private def dedupedCells(spark: SparkSession, storePath: String,
+      valueCols: Seq[String]): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatch = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+    if (!hasBatch) None
+    else {
+      val cells = spark.read.parquet(storePath)
+      val chosen = cells.groupBy("batch")
+        .agg(min("attempt").as("attempt"))
+      Some(cells.join(chosen, Seq("batch", "attempt"))
+        .select(valueCols.map(col): _*))
+    }
+  }
+
+  /** The merged sketch: cell-wise sum of one attempt per batch.
+    * Empty (0 cells) when the store holds no committed batch yet. */
   def mergedSketch(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.parquet(storePath)
-      .groupBy("r", "bkt")
-      .agg(sum("c").as("c"))
+    dedupedCells(spark, storePath, Seq("r", "bkt", "c")) match {
+      case Some(cells) => cells.groupBy("r", "bkt").agg(sum("c").as("c"))
+      case None =>
+        spark.range(0).selectExpr("CAST(id AS INT) AS r",
+          "CAST(id AS BIGINT) AS bkt", "CAST(id AS BIGINT) AS c")
+    }
 
   /** Fixed-range equi-width histogram partial of one batch — the
     * quantile counterpart of `cmPartial`, the streaming face of
@@ -95,8 +128,8 @@ object StreamingSketch {
       .agg(count(lit(1)).cast("long").as("c"))
   }
 
-  /** Maintain a histogram store from a value stream (same per-batch
-    * overwrite contract as the CM store — replay-idempotent). */
+  /** Maintain a histogram store from a value stream (same append-only
+    * attempt contract as the CM store — replay-idempotent). */
   def startHist(vals: DataFrame, col: String, storePath: String,
                 lo: Double, hi: Double, bins: Int = 128,
                 trigger: Trigger = Trigger.ProcessingTime(0),
@@ -113,13 +146,16 @@ object StreamingSketch {
                       id: Long, lo: Double, hi: Double, bins: Int): Unit =
     histPartial(batch, col, lo, hi, bins)
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$storePath/batch=$id")
+      .write.parquet(s"$storePath/batch=$id/attempt=${System.nanoTime()}")
 
-  /** Cell-wise-merged histogram over every batch partial. */
+  /** Cell-wise-merged histogram over one attempt per batch.  Empty
+    * when the store holds no committed batch yet. */
   def mergedHist(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.parquet(storePath)
-      .groupBy("bin")
-      .agg(sum("c").as("c"))
+    dedupedCells(spark, storePath, Seq("bin", "c")) match {
+      case Some(cells) => cells.groupBy("bin").agg(sum("c").as("c"))
+      case None => spark.range(0)
+        .selectExpr("CAST(id AS BIGINT) AS bin", "CAST(id AS BIGINT) AS c")
+    }
 
   /** Quantile estimates from the streamed histogram store, by the
     * same inverse-interpolation as the batch relation: target rank

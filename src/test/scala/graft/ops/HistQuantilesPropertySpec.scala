@@ -63,4 +63,17 @@ class HistQuantilesPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("degenerate all-equal column: explicit bin-0 guard, exact answer") {
+    // hi = lo would make the bin divisor 0/0 = NaN without the guard;
+    // the relation must answer the (well-defined) constant quantile
+    // exactly, with bin width 0 and the bound flag true
+    run(Seq.fill(50)(42.5)).foreach { r =>
+      assert(r.getAs[Double]("est") == 42.5, s"est=${r.getAs[Double]("est")}")
+      assert(r.getAs[Double]("exact") == 42.5)
+      assert(r.getAs[Double]("abs_err") == 0.0)
+      assert(r.getAs[Double]("bin_width") == 0.0)
+      assert(r.getAs[Boolean]("within_bound"))
+    }
+  }
 }

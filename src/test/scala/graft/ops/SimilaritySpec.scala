@@ -607,8 +607,8 @@ class SimilaritySpec extends SparkSuite {
       rows.head.getAs[Double]("min_norm"))
     assert(rows.head.getAs[Double]("max_norm") >=
       rows.head.getAs[Double]("mean_norm"))
-    // quantization can push a zero variance epsilon-negative; bound it
-    assert(rows.forall(_.getAs[Double]("variance") > -1e-6))
+    // the relation clamps quantization's epsilon-negative variance at 0
+    assert(rows.forall(_.getAs[Double]("variance") >= 0.0))
 
     // independent recomputation of the quantized moments for dim 1
     val vecs = graft.Tables.embeddings(spark, sf())
@@ -616,7 +616,7 @@ class SimilaritySpec extends SparkSuite {
     val s0 = vecs.map(v => math.round(v(0) * 1e6)).sum
     val q0 = vecs.map(v => math.round(v(0) * v(0) * 1e6)).sum
     val mean = s0.toDouble / (1e6 * n)
-    val variance = q0.toDouble / (1e6 * n) - mean * mean
+    val variance = math.max(q0.toDouble / (1e6 * n) - mean * mean, 0.0)
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val d1 = rows.find(_.getAs[Long]("dim") == 1L).get

@@ -291,4 +291,26 @@ class TextFiltersSpec extends SparkSuite {
     assert(scrambled > ordered + 1.0,
       s"scrambled $scrambled should far exceed ordered $ordered")
   }
+
+  test("gopher dashboard: a source literally named 'ALL' stays " +
+      "distinguishable from the rollup sentinel") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog and runs on"
+    Seq((1L, text, "ALL"), (2L, text, "web"), (3L, text, null))
+      .toDF("doc_id", "text", "source")
+      .createOrReplaceTempView("documents")
+    val rows = spark.sql(TextFilters.gopherBySourceSql(SparkDialect))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("is_rollup"),
+        r.getAs[Long]("n_docs")))
+    // two rows display as 'ALL': only the sentinel carries is_rollup=1
+    assert(rows.count(_._1 == "ALL") == 2)
+    assert(rows.filter(_._1 == "ALL").map(_._2).toSet == Set(0L, 1L))
+    assert(rows.find(r => r._1 == "ALL" && r._2 == 1L).get._3 == 3L,
+      "the rollup row counts the whole corpus")
+    assert(rows.find(r => r._1 == "ALL" && r._2 == 0L).get._3 == 1L,
+      "the genuine 'ALL' source counts only its own docs")
+    assert(rows.find(r => r._1 == "(null)" && r._2 == 0L).get._3 == 1L)
+  }
 }

@@ -48,14 +48,37 @@ class StreamingSketchSpec extends SparkSuite {
     assert(served == hh, "streamed-store estimates == batch cm_est")
 
     // crash-replay idempotence: refolding an already-applied batch id
-    // (the exact rows batch 0 carried) overwrites its partial, leaving
-    // the merged sketch unchanged
+    // (the exact rows batch 0 carried) lands as a NEW attempt directory
+    // (append-only — the old partial is never deleted, so a concurrent
+    // merge can't transiently read the batch as zero cells) and merge-
+    // time dedup keeps one attempt per batch: the merged sketch is
+    // unchanged
     val replayed = docs.take(200).toSeq.toDF("doc_id", "text")
     StreamingSketch.appendBatch(replayed, store, 0L)
     assert(cells(StreamingSketch.mergedSketch(spark, store)) == batch,
       "replaying batch 0 must not change the merged sketch")
+    val batch0 = new java.io.File(s"$store/batch=0")
+    assert(batch0.listFiles().count(_.getName.startsWith("attempt=")) == 2,
+      "a replay must append a fresh attempt, not overwrite")
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+  }
+
+  test("an empty or absent store reads as empty, never throws") {
+    val missing = java.nio.file.Files.createTempDirectory("cm_none").toString
+    // absent store dir (stream never started writing)
+    assert(StreamingSketch.mergedSketch(spark, s"$missing/nope").count() == 0)
+    assert(StreamingSketch.estimateQuantiles(
+      spark, s"$missing/nope", 0.0, 1.0, 8, Seq(0.5)).isEmpty)
+    // store dir exists but no batch committed yet (checkpoint dir only)
+    assert(StreamingSketch.mergedHist(spark, missing).count() == 0)
+    // point estimates over an empty sketch: 0 (an empty cell is a zero
+    // counter), not NULL and not a crash
+    val est = StreamingSketch.estimate(spark, missing, Seq("tok"))
+      .collect()
+    assert(est.map(r => r.getAs[String]("token") -> r.getAs[Long]("cm_est"))
+      .toMap == Map("tok" -> 0L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(missing))
   }
 
   test("stream-merged histogram serves quantiles within the bin-width bound") {
