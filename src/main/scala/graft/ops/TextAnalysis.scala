@@ -814,61 +814,42 @@ object TextAnalysis {
        |ORDER BY q.doc_id""".stripMargin
   }
 
-  /** Surprisal gate band shared by the full curation log and the
-    * composed streaming DAG (`StreamingCuration.curationDag`): docs
-    * whose mean unigram surprisal falls OUTSIDE [lo, hi] are dropped —
-    * too low reads as boilerplate the model has memorized, too high as
-    * gibberish/out-of-domain.
+  /** Surprisal gate band for the composed STREAMING DAG
+    * (`StreamingCuration.curationDag`): docs whose mean unigram
+    * surprisal falls OUTSIDE [lo, hi] are dropped — too low reads as
+    * boilerplate the model has memorized, too high as gibberish/
+    * out-of-domain.
     *
-    * These DEFAULTS are fit to the generated benchmark fixture's
-    * unigram distribution (the band brackets the corpus bulk,
-    * ~3.39–3.41 at every generated SF, so both tails are live in the
-    * oracle check).  They are corpus-specific by nature — a real
-    * deployment must re-fit them (e.g. central quantiles of the
-    * corpus's mean-surprisal distribution) and pass them explicitly;
-    * `curationLogFullSql`, `curationDag`, and `curationDagBatch` all
-    * take the band as parameters for exactly that reason.  The
-    * REGISTERED query `text_curation_log_full` uses the defaults and
-    * is therefore pinned to the benchmark corpus. */
+    * A stream must pin its band A PRIORI (the `histPartial` fixed-
+    * range argument: a data-derived band would change per micro-batch
+    * and make verdicts time-dependent), so the streaming entry points
+    * take it as parameters; these defaults are fit to the generated
+    * benchmark fixture's unigram distribution (~3.39–3.41 at every
+    * generated SF) and are demo values only.  A real deployment fits
+    * the band from a batch snapshot of its own corpus —
+    * `surprisalBand(spark, dir)` returns exactly the [Q1, Q3]
+    * central-quantile band the BATCH curation log derives in-query —
+    * and passes the result to the stream.  The registered batch
+    * queries (`text_curation_log_full`, `text_curation_funnel`) do NOT
+    * use these constants: they derive the band from the corpus inside
+    * the query, so they work unchanged on any corpus. */
   val SurprisalLo: Double = 3.394
   val SurprisalHi: Double = 3.410
 
-  /** `curationLogSql` extended with the surprisal stage — the full
-    * gate chain the composed pipeline runs (quality → surprisal →
-    * dedup keeper, with the PII flag advisory as before): per document
-    * the quality score, the mean unigram surprisal (fit on the corpus
-    * itself, identical µ-quantized arithmetic to
-    * `unigramLogprobSql` — the log's surprisal column is directly
-    * comparable to `text_unigram_logprob`), each stage's verdict
-    * (NULL when the doc never reached the stage), and the final
-    * `kept`.  The keeper election now runs among quality AND surprisal
-    * survivors — a gate chain elects representatives only from
-    * documents that passed every upstream gate.  A doc with no tokens
-    * has no LM evidence: its surprisal is NULL and the gate fails it
-    * (COALESCE to FALSE), pinned portable across both engines' 3VL. */
-  def curationLogFullSql(d: SqlDialect,
-                         surprisalLo: Double = SurprisalLo,
-                         surprisalHi: Double = SurprisalHi): String = {
-    val norm = d.reReplace("trim(lower(text))", "\\s+", " ")
-    val piiCount = PiiFamilies.map { case (_, pat) =>
-      d.regexpExtractAllSize("lower(text)", pat)
-    }.mkString(" + ")
-    val inBand = s"mean_surprisal BETWEEN ${d.dlit(surprisalLo)}" +
-      s" AND ${d.dlit(surprisalHi)}"
-    s"""WITH t AS (
-       |  SELECT doc_id, text, ${d.tokens("text")} AS toks
-       |  FROM documents),
-       |m AS (
-       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text,
-       |    CAST(${d.arrSize("toks")} AS BIGINT) AS n_tokens,
-       |    CAST(${lenMinus(d)("[^a-zA-Z0-9\\s]")} AS DOUBLE) AS n_sym,
-       |    CAST(${lenMinus(d)("[0-9]")} AS DOUBLE) AS n_digit
-       |  FROM t),
-       |q AS (
-       |  SELECT doc_id, text, round(${scoreExpr()}, 6) AS score,
-       |    (($piiCount) > 0) AS has_pii
-       |  FROM m),
-       |tok AS (
+  /** Quantile pair defining the corpus-derived surprisal band: the
+    * central [Q1, Q3] half keeps the corpus bulk and both tails stay
+    * live on any corpus with spread; a deployment wanting a wider or
+    * asymmetric band passes explicit bounds instead. */
+  val SurprisalBandLoP = 0.25
+  val SurprisalBandHiP = 0.75
+
+  /** The corpus unigram-surprisal relations shared by the full
+    * curation log, the funnel, and the band-fit helper: token
+    * frequencies → µ-quantized per-token surprisal → per-doc mean
+    * (identical arithmetic to `unigramLogprobSql`).  Expects a `t`
+    * relation of (doc_id, toks) to be in scope. */
+  private def surCtes(d: SqlDialect): String =
+    s"""tok AS (
        |  SELECT doc_id, ${d.explode("toks")} AS token FROM t),
        |tf AS (
        |  SELECT token, count(*) AS c FROM tok GROUP BY token),
@@ -883,16 +864,133 @@ object TextAnalysis {
        |  SELECT doc_id,
        |    round(-CAST(sum(q) AS DOUBLE) / (${d.dlit(1000000.0)} * count(*)), 6)
        |      AS mean_surprisal
-       |  FROM su GROUP BY doc_id),
+       |  FROM su GROUP BY doc_id)""".stripMargin
+
+  /** Corpus-derived surprisal band as SQL CTEs over the `sur`
+    * relation: `bnd` is ONE row (blo, bhi) = the [Q1, Q3] quantiles of
+    * the per-doc mean-surprisal distribution, estimated by the same
+    * mergeable 128-bin equi-width histogram inverse-interpolation as
+    * `RelationalExt.histQuantilesSql` (oracle-proven identical in both
+    * engines; the one-bin-width error is irrelevant for a band whose
+    * exact placement is a tuning choice).  Constant memory at any
+    * corpus size — the min/max/count pre-pass plus one 128-cell
+    * map-side-combining aggregate — where an exact percentile would
+    * need a full sort.  Every arithmetic step is a deterministic IEEE
+    * expression of exact integers and 6-decimal-rounded doubles, so
+    * engine and oracle land on bit-identical bounds.  Degenerate
+    * corpora stay defined: all-equal surprisal yields the zero-width
+    * band [lo, lo]; an EMPTY `sur` (no doc has tokens) yields a NULL
+    * band, and the gate's COALESCE(..., FALSE) fails every doc — no
+    * LM evidence, no pass. */
+  private def surprisalBandCtes(d: SqlDialect): String = {
+    val b = d.dlit(128.0)
+    def tgt(p: Double) = s"(${d.dlit(p)} * (sb.n - 1) + ${d.dlit(1.0)})"
+    def sel(name: String, p: Double) =
+      s"""$name AS (
+         |  SELECT min(s.bin) AS bin FROM scum s CROSS JOIN sb
+         |  WHERE CAST(s.cum AS DOUBLE) >= ${tgt(p)})""".stripMargin
+    def est(selRel: String, cumRel: String, p: Double) =
+      s"max(sb.lo + ($selRel.bin + (${tgt(p)} - $cumRel.prev_cum)" +
+        s" / $cumRel.c) * ((sb.hi - sb.lo) / $b))"
+    s"""sb AS (
+       |  SELECT min(mean_surprisal) AS lo, max(mean_surprisal) AS hi,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM sur),
+       |sh AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT CASE WHEN sb.hi = sb.lo THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(least(floor((s.mean_surprisal - sb.lo)
+       |        / ((sb.hi - sb.lo) / $b)), 127) AS BIGINT) END AS bin
+       |    FROM sur s CROSS JOIN sb) z
+       |  GROUP BY bin),
+       |scum AS (
+       |  SELECT bin, c,
+       |    CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cum,
+       |    CAST(coalesce(sum(c) OVER (ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS prev_cum
+       |  FROM sh),
+       |${sel("q1s", SurprisalBandLoP)},
+       |${sel("q3s", SurprisalBandHiP)},
+       |bnd AS (
+       |  SELECT ${est("q1s", "c1", SurprisalBandLoP)} AS blo,
+       |    ${est("q3s", "c3", SurprisalBandHiP)} AS bhi
+       |  FROM sb CROSS JOIN q1s CROSS JOIN q3s
+       |  LEFT JOIN scum c1 ON c1.bin = q1s.bin
+       |  LEFT JOIN scum c3 ON c3.bin = q3s.bin)""".stripMargin
+  }
+
+  /** Fit the corpus-derived surprisal band of the batch curation log
+    * as two doubles — the helper a streaming deployment calls on a
+    * batch snapshot to obtain the band it pins a priori. */
+  def surprisalBand(spark: SparkSession, dir: String): (Double, Double) = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    val d: SqlDialect = SparkDialect
+    val row = spark.sql(
+      s"""WITH t AS (
+         |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
+         |${surCtes(d)},
+         |${surprisalBandCtes(d)}
+         |SELECT blo, bhi FROM bnd""".stripMargin).head()
+    (row.getDouble(0), row.getDouble(1))
+  }
+
+  /** `curationLogSql` extended with the surprisal stage — the full
+    * gate chain the composed pipeline runs (quality → surprisal →
+    * dedup keeper, with the PII flag advisory as before): per document
+    * the quality score, the mean unigram surprisal (fit on the corpus
+    * itself, identical µ-quantized arithmetic to
+    * `unigramLogprobSql` — the log's surprisal column is directly
+    * comparable to `text_unigram_logprob`), each stage's verdict
+    * (NULL when the doc never reached the stage), and the final
+    * `kept`.  The keeper election runs among quality AND surprisal
+    * survivors — a gate chain elects representatives only from
+    * documents that passed every upstream gate.  A doc with no tokens
+    * has no LM evidence: its surprisal is NULL and the gate fails it
+    * (COALESCE to FALSE), pinned portable across both engines' 3VL.
+    *
+    * The surprisal band is DERIVED FROM THE CORPUS inside the query
+    * (`surprisalBandCtes` — the [Q1, Q3] central quantiles of the
+    * mean-surprisal distribution, constant-memory histogram estimate),
+    * and reported as `surprisal_lo`/`surprisal_hi` columns so the
+    * fitted band is itself oracle-checked.  This is what makes the
+    * registered query corpus-agnostic: on ANY corpus the gate keeps
+    * the central bulk and drops both tails, instead of rejecting
+    * everything whenever a fixed band misses the corpus's surprisal
+    * range. */
+  def curationLogFullSql(d: SqlDialect): String = {
+    val norm = d.reReplace("trim(lower(text))", "\\s+", " ")
+    val piiCount = PiiFamilies.map { case (_, pat) =>
+      d.regexpExtractAllSize("lower(text)", pat)
+    }.mkString(" + ")
+    val inBand = s"sur.mean_surprisal BETWEEN bnd.blo AND bnd.bhi"
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ${d.tokens("text")} AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text,
+       |    CAST(${d.arrSize("toks")} AS BIGINT) AS n_tokens,
+       |    CAST(${lenMinus(d)("[^a-zA-Z0-9\\s]")} AS DOUBLE) AS n_sym,
+       |    CAST(${lenMinus(d)("[0-9]")} AS DOUBLE) AS n_digit
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, text, round(${scoreExpr()}, 6) AS score,
+       |    (($piiCount) > 0) AS has_pii
+       |  FROM m),
+       |${surCtes(d)},
+       |${surprisalBandCtes(d)},
        |keep AS (
        |  SELECT q.doc_id, md5($norm) AS text_md5
-       |  FROM q LEFT JOIN sur ON sur.doc_id = q.doc_id
+       |  FROM q LEFT JOIN sur ON sur.doc_id = q.doc_id CROSS JOIN bnd
        |  WHERE q.score >= 0.5 AND COALESCE($inBand, FALSE)),
        |rep AS (
        |  SELECT text_md5, min(doc_id) AS rep_id FROM keep GROUP BY text_md5)
        |SELECT q.doc_id, q.score AS quality_score,
        |  (q.score >= 0.5) AS passed_quality,
        |  sur.mean_surprisal,
+       |  round(bnd.blo, 6) AS surprisal_lo,
+       |  round(bnd.bhi, 6) AS surprisal_hi,
        |  CASE WHEN q.score >= 0.5
        |       THEN COALESCE($inBand, FALSE) ELSE NULL END AS passed_surprisal,
        |  CASE WHEN k.doc_id IS NULL THEN NULL
@@ -901,6 +999,7 @@ object TextAnalysis {
        |  ((q.score >= 0.5) AND COALESCE($inBand, FALSE)
        |    AND k.doc_id = r.rep_id) AS kept
        |FROM q
+       |CROSS JOIN bnd
        |LEFT JOIN sur ON sur.doc_id = q.doc_id
        |LEFT JOIN keep k ON k.doc_id = q.doc_id
        |LEFT JOIN rep r ON r.text_md5 = k.text_md5
@@ -924,10 +1023,8 @@ object TextAnalysis {
     * Scale: one aggregation over the log relation into a single row,
     * unpivoted to 3 stage rows — the funnel costs one extra reduce
     * over whatever the log costs. */
-  def curationFunnelSql(d: SqlDialect,
-                        surprisalLo: Double = SurprisalLo,
-                        surprisalHi: Double = SurprisalHi): String = {
-    val log = curationLogFullSql(d, surprisalLo, surprisalHi)
+  def curationFunnelSql(d: SqlDialect): String = {
+    val log = curationLogFullSql(d)
     s"""SELECT CAST(s.stage_id AS BIGINT) AS stage_id, s.stage,
        |  CAST(s.n_in AS BIGINT) AS n_in,
        |  CAST(s.n_out AS BIGINT) AS n_out,

@@ -321,4 +321,54 @@ class TextAnalysisSpec extends SparkSuite {
     // a funnel narrows monotonically and every stage is live
     assert(n0 > n1 && n1 >= n2 && n2 >= n3 && n3 > 0)
   }
+
+  test("corpus-derived surprisal band keeps a sane rate on a shifted " +
+      "distribution") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // a corpus whose surprisal distribution sits nowhere near the
+    // benchmark fixture's ~3.4: a tiny Zipf-ish vocabulary puts mean
+    // surprisal around ln(vocab) ≈ 2 — a FIXED fixture-fit band would
+    // reject every document here.  Texts are ≥ 60 plain tokens so the
+    // quality gate passes and the surprisal stage is what decides.
+    val common = Seq("alpha", "beta", "gamma", "delta")
+    val rare = (0 until 40).map(i => s"rare$i")
+    def text(i: Int): String = {
+      // vary the common/rare mix per doc so surprisal has spread
+      val nRare = i % 5
+      val toks = (0 until (60 - nRare)).map(j => common((i + j) % 4)) ++
+        rare.slice((i * 3) % 36, (i * 3) % 36 + nRare)
+      toks.mkString(" ")
+    }
+    (1 to 200).map(i => (i.toLong, text(i)))
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val log = spark.sql(TextAnalysis.curationLogFullSql(SparkDialect))
+      .collect()
+    val lo = log.head.getAs[Double]("surprisal_lo")
+    val hi = log.head.getAs[Double]("surprisal_hi")
+    // the band followed the corpus (vs the fixture's 3.39-3.41)
+    assert(hi < 3.0, s"band [$lo,$hi] should track the shifted corpus")
+    assert(lo < hi)
+    val passedBand = log.count(r =>
+      !r.isNullAt(r.fieldIndex("passed_surprisal")) &&
+        r.getAs[Boolean]("passed_surprisal"))
+    val failedBand = log.count(r =>
+      !r.isNullAt(r.fieldIndex("passed_surprisal")) &&
+        !r.getAs[Boolean]("passed_surprisal"))
+    // sane band rate: the central bulk survives, both tails are live
+    // (the synthetic texts repeat, so the dedup stage after the band
+    // legitimately thins `kept` further — the band is what's on trial)
+    assert(passedBand >= log.length / 4,
+      s"band passed $passedBand of ${log.length} — must keep the bulk")
+    assert(failedBand > 0, "a central band must drop some tail docs")
+    assert(log.count(_.getAs[Boolean]("kept")) > 0,
+      "the full chain still keeps representatives end-to-end")
+    // the engine-facing fit helper agrees with the in-query band
+    val dir = java.nio.file.Files.createTempDirectory("band_fit")
+    spark.table("documents").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val (flo, fhi) = TextAnalysis.surprisalBand(spark, dir.toString)
+    assert(math.abs(flo - lo) < 1e-6 && math.abs(fhi - hi) < 1e-6)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }
