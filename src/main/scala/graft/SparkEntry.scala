@@ -62,6 +62,11 @@ object SparkEntry {
     "q_bloom_semi_join" -> (RelationalExt.qBloomSemiJoin _),
     "q_gapfill" -> (RelationalExt.qGapfill _),
     "q_array_stats" -> (RelationalExt.qArrayStats _),
+    // Correlated-subquery TPC-H shapes (Catalyst decorrelation on trial)
+    "q2_min_cost_supplier" -> (SubqueryShapes.q2MinCostSupplier _),
+    "q13_cust_distribution" -> (SubqueryShapes.q13CustDistribution _),
+    "q21_waiting_supplier" -> (SubqueryShapes.q21WaitingSupplier _),
+    "q22_inactive_balance" -> (SubqueryShapes.q22InactiveBalance _),
     // Typed Aggregator extension surface (bounded-heap map-side top-k)
     "q_topk_per_group" -> (graft.functions.TopKQueries.qTopkPerGroup _),
     // Events analytics: profiling, funnel, cohort retention
@@ -463,6 +468,11 @@ object SparkEntry {
     "q_bloom_semi_join" -> RelationalExt.qBloomSemiJoinOracleSql,
     "q_gapfill" -> RelationalExt.qGapfillOracleSql,
     "q_array_stats" -> RelationalExt.arrayStatsSql(DuckDialect),
+    // engine-portable SQL: the oracle runs the very text Spark executes
+    "q2_min_cost_supplier" -> SubqueryShapes.q2MinCostSupplierSql,
+    "q13_cust_distribution" -> SubqueryShapes.q13CustDistributionSql,
+    "q21_waiting_supplier" -> SubqueryShapes.q21WaitingSupplierSql,
+    "q22_inactive_balance" -> SubqueryShapes.q22InactiveBalanceSql,
     "q_topk_per_group" -> graft.functions.TopKQueries.qTopkPerGroupOracleSql,
     "q_profile" -> RelationalExt.qProfileSql,
     "q_event_funnel" -> RelationalExt.qEventFunnelSql,

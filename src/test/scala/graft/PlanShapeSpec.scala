@@ -300,4 +300,66 @@ class PlanShapeSpec extends SparkSuite {
     val p = q.queryExecution.executedPlan.toString
     assert(!p.contains("Window"), p.take(1200))
   }
+
+  // Catalyst decorrelation on trial: the four correlated-subquery
+  // shapes (SubqueryShapes) are written as correlated SQL and must
+  // optimize to JOINS — a leftover per-row subquery would re-execute
+  // the inner query once per outer row, the plan that dies at scale.
+  private def joinsOf(name: String) = {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val q = SparkEntry.queries(name)(spark, sf())
+    q.count() // materialize the AQE final plan
+    val all = planSubtree(q.queryExecution.executedPlan)
+    (all, all.collect { case j: BaseJoinExec => j })
+  }
+
+  test("q2: correlated scalar MIN decorrelates to an aggregate + join") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val (all, joins) = joinsOf("q2_min_cost_supplier")
+    // the per-part minimum ran as a grouped aggregate feeding a join,
+    // not as a per-outer-row subquery probe
+    assert(all.exists { case a: BaseAggregateExec =>
+      a.groupingExpressions.exists(_.toString.contains("l_partkey"))
+      case _ => false }, "expected a min-per-partkey aggregate")
+    assert(joins.size >= 4, s"dims + decorrelated min must all be joins")
+    // no un-decorrelated subquery machinery anywhere in the plan
+    assert(!all.exists(_.nodeName.contains("Subquery")),
+      all.map(_.nodeName).distinct.mkString(","))
+  }
+
+  test("q13: outer-join count distribution keeps the k=0 customers") {
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    val (all, joins) = joinsOf("q13_cust_distribution")
+    assert(joins.exists(_.joinType == LeftOuter), "left outer required")
+    // two aggregations (per-customer count, count-of-counts), each
+    // with partial (map-side) + final steps
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    assert(all.count(_.isInstanceOf[BaseAggregateExec]) >= 4)
+  }
+
+  test("q21: EXISTS / NOT EXISTS plan as semi and anti joins") {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    val (all, joins) = joinsOf("q21_waiting_supplier")
+    assert(joins.exists(_.joinType == LeftSemi),
+      s"EXISTS must be a semi join: ${joins.map(_.joinType).distinct}")
+    assert(joins.exists(_.joinType == LeftAnti),
+      s"NOT EXISTS must be an anti join: ${joins.map(_.joinType).distinct}")
+    // the two-outer-relation correlation (l3.l_shipdate > o_orderdate
+    // + interval) rides the anti join's condition — never a per-row
+    // subquery and never a nested loop over the fact table
+    assert(!all.exists(_.nodeName.contains("Subquery")),
+      all.map(_.nodeName).distinct.mkString(","))
+    assert(!all.exists(_.nodeName.contains("CartesianProduct")))
+  }
+
+  test("q22: NOT EXISTS is an anti join; the scalar average runs once") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val (all, joins) = joinsOf("q22_inactive_balance")
+    assert(joins.exists(_.joinType == LeftAnti),
+      s"NOT EXISTS must be an anti join: ${joins.map(_.joinType).distinct}")
+    // the UNcorrelated average may legitimately remain a one-shot
+    // scalar subquery (executed once, broadcast as a literal) — what
+    // must NOT appear is a nested loop re-evaluating it per row
+    assert(!all.exists(_.nodeName.contains("CartesianProduct")))
+  }
 }
