@@ -143,6 +143,7 @@ object SparkEntry {
     "dedup_embedding_lsh_scaled" -> (Dedup.embeddingLshScaled _),
     "dedup_lsh_recall" -> (Dedup.lshRecall _),
     "dedup_semantic" -> (Dedup.semantic _),
+    "dedup_semantic_scaled" -> (Dedup.semanticScaled _),
     "dedup_report" -> (Dedup.report _),
     "dedup_report_tokens" -> (Dedup.reportTokens _),
     // Finishing-pass keeper election (stream-then-batch compaction)
@@ -542,6 +543,7 @@ object SparkEntry {
     "dedup_embedding_lsh_scaled" -> Dedup.embeddingLshScaledSql(DuckDialect),
     "dedup_lsh_recall" -> Dedup.lshRecallSql(DuckDialect),
     "dedup_semantic" -> Dedup.semanticSql(DuckDialect),
+    "dedup_semantic_scaled" -> Dedup.semanticScaledSql(DuckDialect),
     "dedup_report" -> Dedup.reportSql(DuckDialect),
     "dedup_report_tokens" -> Dedup.reportTokensSql(DuckDialect),
     "dedup_compact" -> Dedup.compactKeptOracleSql(DuckDialect),

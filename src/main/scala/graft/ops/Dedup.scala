@@ -1173,7 +1173,14 @@ object Dedup {
     * pass + a max_by aggregate (struct ordering ≡ the oracle's
     * ORDER BY cs DESC, cid), so no N×k window state; the pair join
     * shuffles on cid — the per-cluster blocking this operator exists
-    * for. */
+    * for.
+    *
+    * SCALE CAVEAT: this fixed-k variant is the documented simple
+    * oracle baseline.  With k constant, cluster population grows
+    * ~n/k and the within-cluster pair join ~n²/k — quadratic.  The
+    * 100 TB form is `semanticScaled` below: √n TRAINED clusters plus
+    * a per-cluster candidate cap with exact dropped-pair accounting,
+    * which removes both growth terms (same keep/drop rule). */
   def semantic(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
@@ -1206,6 +1213,137 @@ object Dedup {
       .agg(count(lit(1)).as("n_vecs"), count(col("ib")).as("n_dropped"))
       .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
       .orderBy("cluster_id")
+  }
+
+  // ----- scale-safe semantic dedup: √n trained clusters + capped pairs
+
+  /** Per-cluster candidate cap of the SCALED semantic dedup, as a
+    * multiple of the ideal even cluster size n/k (the `indexHealth`
+    * "balance" unit): a cluster over `mult × n/k` is a skew hot-spot
+    * whose within-cluster pair join would do `balance²` × the ideal
+    * work, so it is excluded from pairing and reported instead —
+    * exactly the `minhashCapReport` degradation contract.  1.25 is the
+    * REGISTERED demo value, chosen (like `DemoBandBucketCap`) to trip
+    * on the fixture corpora so the capped path itself is
+    * oracle-exercised; production corpora call
+    * `semanticScaled(spark, dir, mult)` with their own tolerance. */
+  val SemanticCapMult: Double = 1.25
+
+  /** Scale-safe semantic dedup — `semantic`'s 100 TB form, fixing its
+    * two growth terms at once:
+    *
+    *  1. CLUSTER COUNT: instead of the fixed `SemanticClusters`
+    *     lowest-id picks (k constant ⇒ cluster population ~n/k ⇒ pair
+    *     work ~n²/k, quadratic), the partition is the √n-scaled
+    *     TRAINED codebook shared with `sim_ivf_kmeans_scaled`
+    *     (`Similarity.trainScaledCodebookCached` — deterministic
+    *     µ-quantized Lloyd, k ≈ √n), so mean cluster population grows
+    *     only as √n and total pair work drops from O(n²) to O(n^1.5)
+    *     worst-case.
+    *  2. SKEWED CLUSTERS: a data skew can still concentrate mass in
+    *     one cluster; clusters over `mult × n/k` members are EXCLUDED
+    *     from the pair join and reported with their exact forgone
+    *     pair mass C(sz, 2) in `capped_pairs` (`is_capped` = 1, the
+    *     `minhashCapReport` receipt) — per-cluster pair work is
+    *     bounded by C(mult·√n, 2) regardless of the data.
+    *
+    * Output: one row per trained cluster — population, dropped/kept
+    * members under the ≥ 0.4 cosine rule (`semantic`'s semantics,
+    * unchanged), and the cap columns.  The oracle recomputes the
+    * ENTIRE chain — √n seeding, two Lloyd rounds, assignment, cap
+    * arithmetic, pair join — from raw embeddings in single-statement
+    * SQL (`semanticScaledSql`), so the trained path is verified
+    * end-to-end, not just the fold.
+    *
+    * Plan shape: codebook training is the shared memoized driver fold
+    * (k·D quantized longs per round); assignment is one narrow pass
+    * against the broadcast codebook; the pair join shuffles on cid
+    * with every partition bounded by the cap. */
+  def semanticScaled(spark: SparkSession, dir: String): DataFrame =
+    semanticScaled(spark, dir, SemanticCapMult)
+
+  def semanticScaled(spark: SparkSession, dir: String,
+      mult: Double): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val base = Similarity.ivfBase(spark, dir)
+    val cents = Similarity.trainScaledCodebookCached(spark, dir, base)
+    val nv = base.select($"vec_id", $"v", $"nrm")
+    val asgn = RelationCache.cached(spark, s"semantic_scaled_asgn:$dir") {
+      Similarity.assignedCid(nv, cents).select($"vec_id", $"cid")
+    }
+    val csz = asgn.groupBy($"cid").agg(count(lit(1)).as("sz"))
+    // cap = ceil(mult · n/k): same IEEE expression order as the oracle
+    val cnt = nv.count()
+    val cap = math.ceil(mult * cnt / cents.size).toLong
+    val und = asgn.join(csz.filter($"sz" <= cap).select($"cid"), "cid")
+    val dropped = und.as("x")
+      .join(und.as("y"),
+        $"x.cid" === $"y.cid" && $"x.vec_id" < $"y.vec_id")
+      .join(nv.as("a"), $"a.vec_id" === $"x.vec_id")
+      .join(nv.as("b"), $"b.vec_id" === $"y.vec_id")
+      .filter(expr("graft_dot(a.v, b.v)") / ($"a.nrm" * $"b.nrm") >= 0.4)
+      .select($"y.vec_id".as("ib"))
+      .distinct()
+    val dc = und.join(dropped, $"vec_id" === $"ib", "left")
+      .groupBy($"cid").agg(count($"ib").as("ndrop"))
+    csz.join(dc, Seq("cid"), "left")
+      .select($"cid".as("cluster_id"), $"sz".as("n_vecs"),
+        when($"sz" > cap, 0L).otherwise(coalesce($"ndrop", lit(0L)))
+          .as("n_dropped"),
+        ($"sz" - when($"sz" > cap, 0L)
+          .otherwise(coalesce($"ndrop", lit(0L)))).as("n_kept"),
+        when($"sz" > cap, 1L).otherwise(0L).as("is_capped"),
+        when($"sz" > cap, expr("(sz * (sz - 1)) DIV 2"))
+          .otherwise(0L).as("capped_pairs"))
+      .orderBy($"cluster_id")
+  }
+
+  /** Oracle for `semanticScaled`: `Similarity.kmeansCandCtesScaled`'s
+    * trained √n chain (identical CTEs to the `sim_ivf_kmeans_scaled`
+    * oracle) followed by the cap arithmetic and the capped
+    * within-cluster pair join. */
+  def semanticScaledSql(d: SqlDialect): String =
+    semanticScaledSql(d, SemanticCapMult)
+
+  def semanticScaledSql(d: SqlDialect, mult: Double): String = {
+    val cf = s"c${Similarity.KmeansIters}" // final trained centroids
+    s"""WITH ${Similarity.kmeansCandCtesScaled(d)},
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM n),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM $cf),
+       |capv AS (
+       |  SELECT CAST(ceil(${d.dlit(mult)} * cnt / k) AS BIGINT) AS cap
+       |  FROM tot CROSS JOIN kk),
+       |csz AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS sz FROM asgn GROUP BY cid),
+       |und AS (
+       |  SELECT a.vec_id, a.cid
+       |  FROM asgn a JOIN csz z ON z.cid = a.cid
+       |  CROSS JOIN capv WHERE z.sz <= capv.cap),
+       |p AS (
+       |  SELECT y.vec_id AS ib
+       |  FROM und x JOIN und y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  JOIN n a ON a.vec_id = x.vec_id
+       |  JOIN n b ON b.vec_id = y.vec_id
+       |  WHERE ${d.dot("a.v", "b.v")} / (a.nrm * b.nrm) >= ${d.dlit(0.4)}),
+       |dr AS (SELECT DISTINCT ib FROM p),
+       |dc AS (
+       |  SELECT u.cid, CAST(count(dr.ib) AS BIGINT) AS ndrop
+       |  FROM und u LEFT JOIN dr ON dr.ib = u.vec_id
+       |  GROUP BY u.cid)
+       |SELECT z.cid AS cluster_id, z.sz AS n_vecs,
+       |  CAST(CASE WHEN z.sz > capv.cap THEN 0
+       |       ELSE coalesce(dc.ndrop, 0) END AS BIGINT) AS n_dropped,
+       |  CAST(z.sz - CASE WHEN z.sz > capv.cap THEN 0
+       |       ELSE coalesce(dc.ndrop, 0) END AS BIGINT) AS n_kept,
+       |  CAST(CASE WHEN z.sz > capv.cap THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_capped,
+       |  CAST(CASE WHEN z.sz > capv.cap
+       |       THEN ${d.intDiv("(z.sz * (z.sz - 1))", "2")} ELSE 0 END
+       |    AS BIGINT) AS capped_pairs
+       |FROM csz z CROSS JOIN capv LEFT JOIN dc ON dc.cid = z.cid
+       |ORDER BY cluster_id""".stripMargin
   }
 
   // ----- incremental near-dup against a persisted signature store ---

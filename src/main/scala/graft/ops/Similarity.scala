@@ -985,7 +985,7 @@ object Similarity {
   /** The cached base relation for the persisted-index paths:
     * (vec_id, embedding, v, nrm) — raw floats for the index write,
     * double work form + norm for training/scoring. */
-  private def ivfBase(spark: SparkSession, dir: String): DataFrame = {
+  private[ops] def ivfBase(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
@@ -2228,7 +2228,7 @@ object Similarity {
   /** `df` + an assigned `cid` column (rank-1 centroid), dispatching
     * on codebook size — see `CentroidExprMaxK`.  `df` must carry
     * (vec_id, v, nrm); the join-back preserves its other columns. */
-  private def assignedCid(df: DataFrame,
+  private[ops] def assignedCid(df: DataFrame,
       cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
     import org.apache.spark.sql.functions._
     if (cents.size <= CentroidExprMaxK)
@@ -2286,7 +2286,7 @@ object Similarity {
 
   /** `trainCodebookCached` for the √n-scaled codebook (its own memo
     * key — the two codebooks coexist in one session). */
-  private def trainScaledCodebookCached(spark: SparkSession, dir: String,
+  private[ops] def trainScaledCodebookCached(spark: SparkSession, dir: String,
       n: DataFrame): Seq[(Long, Array[Double], Double)] =
     RelationCache.cachedScalar(spark, s"kmeans_codebook_scaled:$dir") {
       trainCodebook(n, scaledStride(n), 0L)

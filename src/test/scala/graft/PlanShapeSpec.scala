@@ -224,6 +224,20 @@ class PlanShapeSpec extends SparkSuite {
       "the only cross join must be the broadcast k-row centroid side")
   }
 
+  test("dedup_semantic_scaled: equi pair join on cid, no window, no cartesian") {
+    val q = SparkEntry.queries("dedup_semantic_scaled")(spark, sf())
+    q.count() // materialize AQE final plan
+    val nodes = planSubtree(q.queryExecution.executedPlan).map(_.nodeName)
+    assert(!nodes.exists(_.contains("CartesianProduct")),
+      s"capped pair generation must stay an equi join: ${nodes.distinct}")
+    assert(!nodes.exists(_.contains("Window")),
+      "assignment must be an expression/aggregate, not an N-partition window")
+    // the within-cluster pair stage is a real shuffled equi join on cid
+    assert(nodes.exists(n => n.contains("SortMergeJoin") ||
+      n.contains("ShuffledHashJoin") || n.contains("BroadcastHashJoin")),
+      s"expected an equi pair join in: ${nodes.distinct}")
+  }
+
   test("mm frame sampling filters inside the generator, pre-explosion") {
     val p = plan("mm_video_frames")
     // the sample predicate is applied to the sequence before explode:

@@ -186,6 +186,68 @@ class DedupSpec extends SparkSuite {
     assert(summary.map(_.getAs[Long]("n_dropped")).sum <= exactDroppable.size)
   }
 
+  test("scaled semantic dedup: invariants hold and it matches its SQL form") {
+    val rows = Dedup.semanticScaled(spark, sf()).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      graft.Tables.embeddings(spark, sf()).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_vecs"))
+      if (r.getAs[Long]("is_capped") == 1L) {
+        val n = r.getAs[Long]("n_vecs")
+        assert(r.getAs[Long]("n_dropped") == 0L,
+          "a capped cluster defers, it does not silently drop")
+        assert(r.getAs[Long]("capped_pairs") == n * (n - 1) / 2,
+          "capped_pairs must be the exact forgone pair mass")
+      } else assert(r.getAs[Long]("capped_pairs") == 0L)
+    }
+    // engine path ≡ the dialect-shared SQL form (the oracle's text)
+    graft.Tables.embeddings(spark, sf()).createOrReplaceTempView("embeddings")
+    val sql = spark.sql(Dedup.semanticScaledSql(SparkDialect)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSet == sql)
+  }
+
+  test("scaled semantic dedup caps an adversarial giant cluster") {
+    import spark.implicits._
+    // ~185 vectors piled on axis 0 (one giant semantic cluster) with
+    // the √n SEED positions (vec_id ≡ 0 mod stride=14 for n=200)
+    // occupied by one-hot outliers on other axes — so Lloyd cannot
+    // split the pile across many near-identical seeds, and it
+    // converges into ONE oversized cluster.  Without the cap that
+    // cluster would pair ~C(185,2); with it the cluster is excluded,
+    // reported exactly, and the outliers still dedup normally.
+    val dim = Similarity.KmeansDim // the trained chain is dim-pinned
+    def v(axis: Int, jitterAxis: Int, jitter: Float): Array[Float] =
+      Array.tabulate(dim)(j =>
+        if (j == axis) 1f else if (j == jitterAxis) jitter else 0f)
+    val vecs = (0 until 200).map { i =>
+      if (i % 14 == 0) (i.toLong, v(1 + (i / 14) % 7, 0, 0f)) // seed slot
+      else (i.toLong, v(0, 1 + i % 7, 0.01f * (i % 5)))       // the pile
+    }
+    val dir = java.nio.file.Files.createTempDirectory("sem_scaled").toString
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Dedup.semanticScaled(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == 200L)
+    val capped = rows.filter(_.getAs[Long]("is_capped") == 1L)
+    assert(capped.nonEmpty, "the giant cluster must trip the cap: " +
+      rows.map(r => (r.getLong(0), r.getLong(1))).mkString(","))
+    val giant = capped.maxBy(_.getAs[Long]("n_vecs"))
+    val gn = giant.getAs[Long]("n_vecs")
+    assert(gn >= 100L, s"expected the axis-0 pile to dominate, got $gn")
+    assert(giant.getAs[Long]("capped_pairs") == gn * (gn - 1) / 2)
+    // bounded work: every UNCAPPED cluster's population respects the cap
+    // implied by the reported relation (mult * n / k)
+    val k = rows.length.toLong
+    val cap = math.ceil(Dedup.SemanticCapMult * 200.0 / k).toLong
+    rows.filter(_.getAs[Long]("is_capped") == 0L).foreach(r =>
+      assert(r.getAs[Long]("n_vecs") <= cap))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("token-weighted dedup report matches an independent Scala recomputation") {
     val docs = graft.Tables.documents(spark, sf())
       .select("doc_id", "source", "text").collect()
