@@ -181,7 +181,16 @@ object BarStore {
   def compactDates(spark: SparkSession, path: String,
                    olderThan: java.sql.Date,
                    targetBytes: Long = 128L * 1024 * 1024)
-      : Seq[(String, Int, Int)] = {
+      : Seq[(String, Int, Int)] =
+    compactDates(spark, path, olderThan, targetBytes, () => ())
+
+  /** Test seam: `onAfterPark` runs INSIDE the transient-missing window
+    * — after rename(dir→trash), before rename(tmp→dir) — so the
+    * interleave spec can pin exactly what a concurrent reader observes
+    * there (the partition absent; never mixed or doubled rows). */
+  private[graft] def compactDates(spark: SparkSession, path: String,
+      olderThan: java.sql.Date, targetBytes: Long,
+      onAfterPark: () => Unit): Seq[(String, Int, Int)] = {
     import org.apache.hadoop.fs.Path
     require(targetBytes > 0, "targetBytes must be positive")
     val (fs, root) = fsOf(spark, path)
@@ -203,6 +212,7 @@ object BarStore {
         val trash = new Path(root, s"_compact_trash_${dateName(dir)}_$uuid")
         if (!fs.rename(dir, trash))
           throw new java.io.IOException(s"cannot park $dir for swap")
+        onAfterPark()
         if (!fs.rename(tmp, dir)) { // restore rather than lose the data
           fs.rename(trash, dir)
           throw new java.io.IOException(s"cannot publish compacted $dir")

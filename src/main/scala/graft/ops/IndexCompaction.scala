@@ -89,11 +89,20 @@ object IndexCompaction {
       : Seq[(String, Int, Int)] =
     compactIndex(spark, indexPath, targetBytes, () => (), partCol)
 
-  /** Test seam: `onBeforeSwap` runs after the tmp build, before the
-    * park rename — the widest window a concurrent append can race. */
   private[graft] def compactIndex(spark: SparkSession, indexPath: String,
       targetBytes: Long, onBeforeSwap: () => Unit,
-      partCol: String)
+      partCol: String): Seq[(String, Int, Int)] =
+    compactIndex(spark, indexPath, targetBytes, onBeforeSwap, () => (),
+      partCol)
+
+  /** Test seams: `onBeforeSwap` runs after the tmp build, before the
+    * park rename — the widest window a concurrent append can race;
+    * `onAfterPark` runs INSIDE the transient-missing window (between
+    * park and publish) so the interleave spec can pin what a
+    * concurrent reader observes there. */
+  private[graft] def compactIndex(spark: SparkSession, indexPath: String,
+      targetBytes: Long, onBeforeSwap: () => Unit,
+      onAfterPark: () => Unit, partCol: String)
       : Seq[(String, Int, Int)] = {
     import org.apache.hadoop.fs.Path
     require(targetBytes > 0, "targetBytes must be positive")
@@ -137,6 +146,7 @@ object IndexCompaction {
             fs.delete(tmp, true); fs.delete(manifest, false)
             throw new java.io.IOException(s"cannot park $dir for swap")
           }
+          onAfterPark()
           // 5. publish (atomic); on failure restore rather than lose
           if (!fs.rename(tmp, dir)) {
             fs.rename(trash, dir)

@@ -131,6 +131,37 @@ class BarStoreSpec extends SparkSuite {
     assert(BarStore.read(spark, dir).collect().toSet === before)
   }
 
+  test("a reader inside the swap window sees old, new, or absent — " +
+      "never mixed or doubled") {
+    // The compaction swap is two renames; the documented contract is:
+    // a concurrent listing observes the full OLD file set, the full
+    // NEW set, or (between the renames) the partition ABSENT — never
+    // a mix of copies and never doubled rows.  The onAfterPark seam
+    // puts this spec exactly inside the transient-missing window.
+    val (dir, before) = fragmentedStore()
+    val byDate = before.groupBy(_.getAs[java.sql.Date]("bar_date"))
+    var windows = 0
+    BarStore.compactDates(spark, dir, java.sql.Date.valueOf("2030-01-01"),
+      128L * 1024 * 1024, () => {
+        windows += 1
+        val seen = BarStore.read(spark, dir).collect().toSet
+        val seenByDate = seen.groupBy(_.getAs[java.sql.Date]("bar_date"))
+        // per partition: either the complete content or nothing at all
+        byDate.foreach { case (d, rows) =>
+          val got = seenByDate.getOrElse(d, Set.empty)
+          assert(got == rows || got.isEmpty,
+            s"partition $d mixed/doubled: ${got.size} of ${rows.size} rows")
+        }
+        // the window is real: exactly one partition is absent right now
+        assert(byDate.keys.count(d => !seenByDate.contains(d)) == 1)
+        // and nothing beyond the declared partitions ever appears
+        assert(seenByDate.keySet.subsetOf(byDate.keySet))
+      })
+    assert(windows > 0, "the seam must have run inside the swap")
+    // after the swap completes, the reader sees the full content again
+    assert(BarStore.read(spark, dir).collect().toSet === before)
+  }
+
   test("vacuum drops exactly the expired partitions, idempotently") {
     val (dir, before) = fragmentedStore()
     val dates = before.map(_.getAs[java.sql.Date]("bar_date")).toSeq.sorted

@@ -186,4 +186,39 @@ class IndexCompactionSpec extends SparkSuite {
     assert(!new java.io.File(part, s"_ivfc_tmp_${cid}_0ddba11").exists())
     assert(!root.listFiles().exists(_.getName.startsWith("_ivfc_")))
   }
+
+  test("a reader inside the swap window sees old, new, or absent — " +
+      "never mixed or doubled") {
+    // Same contract as BarStoreSpec's interleave test, over cid=
+    // lists: between park and publish a pruned probe may find the
+    // list ABSENT (fewer candidates for that probe — degraded, safe),
+    // but never a mixed listing and never doubled rows.
+    val path = fragmentedStore(quantized = false)
+    val before = spark.read.parquet(path)
+      .select($"vec_id", $"cid").collect()
+      .groupBy(_.getAs[Int]("cid")).map { case (c, rs) =>
+        c -> rs.map(_.getAs[Long]("vec_id")).toSeq.sorted }
+    var windows = 0
+    IndexCompaction.compactIndex(spark, path, 128L * 1024 * 1024,
+      () => (), () => {
+        windows += 1
+        val seen = spark.read.parquet(path)
+          .select($"vec_id", $"cid").collect()
+          .groupBy(_.getAs[Int]("cid")).map { case (c, rs) =>
+            c -> rs.map(_.getAs[Long]("vec_id")).toSeq.sorted }
+        before.foreach { case (c, ids) =>
+          val got = seen.getOrElse(c, Seq.empty)
+          assert(got == ids || got.isEmpty,
+            s"cid=$c mixed/doubled: ${got.size} of ${ids.size} rows")
+        }
+        assert(before.keys.count(c => !seen.contains(c)) == 1,
+          "exactly the parked list is absent inside the window")
+      }, "cid")
+    assert(windows > 0, "the seam must have run inside the swap")
+    val after = spark.read.parquet(path)
+      .select($"vec_id", $"cid").collect()
+      .groupBy(_.getAs[Int]("cid")).map { case (c, rs) =>
+        c -> rs.map(_.getAs[Long]("vec_id")).toSeq.sorted }
+    assert(after == before, "content is untouched once the swap completes")
+  }
 }
