@@ -231,6 +231,23 @@ object SparkEntry {
     "mm_dedup" -> (Multimodal.payloadDedup _),
   )
 
+  /** One-time SHARED store/codebook builds the serving queries above
+    * amortize (all build-if-absent, fingerprint-keyed, idempotent).
+    * Bench runs each BEFORE its measured passes and emits the wall
+    * time as a labeled `builds` entry in the artifact — without this,
+    * a build's cost silently attributes to whichever consumer query
+    * happens to run first (alphabetically) in the session, distorting
+    * that query's per-query row whenever the suite grows.  A ~0s
+    * build line means the store was already published (the idempotent
+    * re-run) — itself useful signal. */
+  def builds: Map[String, (SparkSession, String) => Unit] = Map(
+    "kmeans_codebooks_and_stores" ->
+      ((s, d) => Similarity.prebuildKmeansStores(s, d)),
+    "bm25_store" -> ((s, d) => LexIndex.prebuildStore(s, d)),
+    "minhash_sig_store" ->
+      ((s, d) => { Dedup.prebuildSignatureStore(s, d); () }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(

@@ -1415,14 +1415,16 @@ object Dedup {
   def incremental(spark: SparkSession, dir: String): DataFrame =
     incremental(spark, dir, None)
 
-  def incremental(spark: SparkSession, dir: String,
-      storeBase: Option[String],
-      cap: Int = MaxBandBucket): DataFrame = {
+  /** Force the build-if-absent corpus signature store the incremental
+    * path serves from — idempotent; Bench times it as its own labeled
+    * `build:` line so the one-time corpus indexing cost never
+    * attributes to the first incremental-dedup query of a session. */
+  def prebuildSignatureStore(spark: SparkSession, dir: String,
+      storeBase: Option[String] = None): org.apache.hadoop.fs.Path = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val splitId = incrementalSplitId(spark, dir)
-    val grams = gramsDF(spark, dir)
-    val corpusGrams = grams.filter($"doc_id" < splitId)
+    val corpusGrams = gramsDF(spark, dir).filter($"doc_id" < splitId)
     val store = sigStorePath(spark, dir, storeBase, corpusGrams, splitId)
     Similarity.publishIndex(spark, store) { tmp =>
       val sig = minhashSigFrom(corpusGrams)
@@ -1439,6 +1441,17 @@ object Dedup {
       val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_SUCCESS")).close()
     }
+    store
+  }
+
+  def incremental(spark: SparkSession, dir: String,
+      storeBase: Option[String],
+      cap: Int = MaxBandBucket): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val splitId = incrementalSplitId(spark, dir)
+    val grams = gramsDF(spark, dir)
+    val store = prebuildSignatureStore(spark, dir, storeBase)
     val batchSig = RelationCache.cached(spark, s"mh_sig_inc:$dir") {
       minhashSigFrom(grams.filter($"doc_id" >= splitId))
     }

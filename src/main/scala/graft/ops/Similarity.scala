@@ -1327,6 +1327,22 @@ object Similarity {
     store
   }
 
+  /** Force the build-if-absent SHARED artifacts of the k-means
+    * serving family for `dir`: the trained codebooks (fixed-seed and
+    * √n-scaled) and their `cid=`-partitioned stores.  Idempotent (a
+    * published store is a fingerprint-keyed no-op).  Bench times this
+    * as its own labeled `build:` line so the one-time training/store
+    * cost never silently attributes to whichever consumer query runs
+    * first (alphabetically) in a session — the per-query bench rows
+    * then measure pure serve cost. */
+  def prebuildKmeansStores(spark: SparkSession, dir: String): Unit = {
+    val n = ivfBase(spark, dir)
+    val cents = trainCodebookCached(spark, dir, n)
+    kmeansStorePath(spark, dir, None, "km", cents)
+    val scaled = trainScaledCodebookCached(spark, dir, n)
+    kmeansStorePath(spark, dir, None, "kmsc", scaled)
+  }
+
   /** Index-health report over the persisted k-means store: per-list
     * vector count, corpus fraction, and balance (count / ideal-even
     * count — 1.0 is a perfectly balanced codebook; a list with
