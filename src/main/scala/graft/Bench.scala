@@ -152,37 +152,42 @@ object Bench {
           |        failed += 1
           |print(f"{total:.3f} {failed}")
           |""".stripMargin)
-      // stderr -> DISCARD: an unread stderr pipe back-pressures a
-      // chatty child into a deadlock; and bound the wait so a hung
-      // python3 degrades to the "baseline unavailable" path instead
-      // of stalling the whole bench run.
-      val proc = new ProcessBuilder("python3", script.toString,
-        sfDir, oPath.toString)
-        .redirectError(ProcessBuilder.Redirect.DISCARD)
-        .start()
-      // Drain stdout on a daemon thread: a direct readAllBytes would
-      // block past any waitFor timeout if the child hangs without
-      // closing its pipe.
-      val outRef = new java.util.concurrent.atomic.AtomicReference("")
-      val drain = new Thread(() => outRef.set(
-        new String(proc.getInputStream.readAllBytes(), "UTF-8")))
-      drain.setDaemon(true)
-      drain.start()
-      val finished =
-        proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
-      if (!finished) proc.destroyForcibly()
-      drain.join(10000)
-      val out = outRef.get()
-      val ok = finished && proc.exitValue() == 0
+      val out = boundedRun(
+        Seq("python3", script.toString, sfDir, oPath.toString),
+        20L * 60 * 1000)
       try {
         java.nio.file.Files.deleteIfExists(script)
         java.nio.file.Files.deleteIfExists(oPath)
         java.nio.file.Files.deleteIfExists(dir)
       } catch { case _: Throwable => () }
-      if (!ok) None
-      else out.trim.split("\\s+") match {
+      out.flatMap(_.trim.split("\\s+") match {
         case Array(t, f) => Some((t.toDouble, f.toInt))
         case _ => None
-      }
+      })
     }.toOption.flatten
+
+  /** Run a child process under a hard wall-clock bound: stderr goes
+    * to DISCARD (an unread stderr pipe back-pressures a chatty child
+    * into a deadlock), stdout is drained on a daemon thread (a direct
+    * readAllBytes would block past any waitFor timeout if the child
+    * hangs without closing its pipe), and a child that neither exits
+    * in time nor exits 0 is forcibly destroyed and reported as None —
+    * the caller's documented degrade-don't-stall path.
+    * `private[graft]` so the spec can wedge a child deliberately. */
+  private[graft] def boundedRun(cmd: Seq[String],
+      timeoutMillis: Long): Option[String] = {
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectError(ProcessBuilder.Redirect.DISCARD)
+      .start()
+    val outRef = new java.util.concurrent.atomic.AtomicReference("")
+    val drain = new Thread(() => outRef.set(
+      new String(proc.getInputStream.readAllBytes(), "UTF-8")))
+    drain.setDaemon(true)
+    drain.start()
+    val finished = proc.waitFor(timeoutMillis,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    if (!finished) proc.destroyForcibly()
+    drain.join(10000)
+    if (finished && proc.exitValue() == 0) Some(outRef.get()) else None
+  }
 }

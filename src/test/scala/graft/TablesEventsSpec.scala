@@ -63,6 +63,22 @@ class TablesEventsSpec extends SparkSuite {
       java.nio.file.Paths.get(dir, s"$name.parquet"))
   }
 
+  test("readEvents fails fast with an actionable message on a " +
+      "misconfigured session") {
+    // on a session without the nanos conf the stream would otherwise
+    // die at micro-batch time with an opaque Spark nanos error — the
+    // guard must fire at stream BUILD time with the fix in the message
+    val conf = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.set(conf, "false")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        streaming.StreamingIngest.readEvents(spark, sf())
+      }
+      assert(e.getMessage.contains("nanosAsLong"), e.getMessage)
+      assert(e.getMessage.contains("GraftSession"), e.getMessage)
+    } finally spark.conf.set(conf, "true")
+  }
+
   test("streaming readEvents adapts to the probed file format") {
     val micros = java.time.Instant.parse("2024-02-01T00:30:00.000042Z")
     val nanos = micros.getEpochSecond * 1000000000L + micros.getNano
