@@ -920,20 +920,42 @@ object TextAnalysis {
        |  LEFT JOIN scum c3 ON c3.bin = q3s.bin)""".stripMargin
   }
 
+  /** WITH-free form of the `sur` relation for the ENGINE's cached
+    * view: identical arithmetic to `surCtes` (per-token µ-quantized
+    * ln before the per-doc sum; total = corpus token count), but
+    * expressed as nested subqueries — a temp view whose stored plan
+    * carries CTE nodes trips a Catalyst CTE-id collision
+    * (`PushdownPredicatesAndPruneColumnsForCTEDef`) when referenced
+    * from another WITH query, so the view must be CTE-free.  The
+    * token explode appears three times, but the view is built ONCE
+    * per session and cached. */
+  private def surViewSql(d: SqlDialect): String = {
+    val tok =
+      s"SELECT doc_id, ${d.explode(d.tokens("text"))} AS token FROM documents"
+    s"""SELECT tok.doc_id,
+       |  round(-CAST(sum(CAST(round(ln(CAST(tf.c AS DOUBLE) / n.total)
+       |    * ${d.dlit(1000000.0)}) AS BIGINT)) AS DOUBLE)
+       |    / (${d.dlit(1000000.0)} * count(*)), 6) AS mean_surprisal
+       |FROM ($tok) tok
+       |JOIN (SELECT token, count(*) AS c FROM ($tok) tk GROUP BY token) tf
+       |  ON tf.token = tok.token
+       |CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS total FROM ($tok) ta) n
+       |GROUP BY tok.doc_id""".stripMargin
+  }
+
   /** Fit the corpus-derived surprisal band of the batch curation log
     * as two doubles — the helper a streaming deployment calls on a
-    * batch snapshot to obtain the band it pins a priori. */
+    * batch snapshot to obtain the band it pins a priori.  Session-
+    * memoized per dataset; reads the cached `sur` view, so the corpus
+    * LM fit is paid once. */
   def surprisalBand(spark: SparkSession, dir: String): (Double, Double) = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, dir).createOrReplaceTempView("documents")
-    val d: SqlDialect = SparkDialect
-    val row = spark.sql(
-      s"""WITH t AS (
-         |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
-         |${surCtes(d)},
-         |${surprisalBandCtes(d)}
-         |SELECT blo, bhi FROM bnd""".stripMargin).head()
-    (row.getDouble(0), row.getDouble(1))
+    registerSurView(spark, dir)
+    RelationCache.cachedScalar(spark, s"curation_band:$dir") {
+      val row = spark.sql(
+        s"WITH ${surprisalBandCtes(SparkDialect)}\nSELECT blo, bhi FROM bnd")
+        .head()
+      (row.getDouble(0), row.getDouble(1))
+    }
   }
 
   /** `curationLogSql` extended with the surprisal stage — the full
@@ -959,12 +981,35 @@ object TextAnalysis {
     * the central bulk and drops both tails, instead of rejecting
     * everything whenever a fixed band misses the corpus's surprisal
     * range. */
-  def curationLogFullSql(d: SqlDialect): String = {
+  def curationLogFullSql(d: SqlDialect): String =
+    curationLogFullSql(d, band = None)
+
+  /** `band = None` is the single-statement ORACLE form: the sur/bnd
+    * chains ride as CTEs (inlined per reference by both engines) and
+    * the band is derived inside the query.  The ENGINE entry point
+    * passes the pre-fitted band (from `surprisalBand`, the identical
+    * arithmetic over the session-cached `sur` view): `sur` then
+    * resolves to the cached temp view and the bounds ride as double
+    * literals, so the token explode + corpus LM fit runs ONCE per
+    * session — the cached-DataFrame fan-out discipline every
+    * multi-consumer operator here follows.  `Double.toString` is the
+    * shortest round-trip representation, so the literal parses back
+    * to the bit-identical double the oracle derives. */
+  private[ops] def curationLogFullSql(d: SqlDialect,
+      band: Option[(Double, Double)]): String = {
     val norm = d.reReplace("trim(lower(text))", "\\s+", " ")
     val piiCount = PiiFamilies.map { case (_, pat) =>
       d.regexpExtractAllSize("lower(text)", pat)
     }.mkString(" + ")
-    val inBand = s"sur.mean_surprisal BETWEEN bnd.blo AND bnd.bhi"
+    val (blo, bhi) = band match {
+      case Some((lo, hi)) =>
+        (s"CAST('${lo}' AS DOUBLE)", s"CAST('${hi}' AS DOUBLE)")
+      case None => ("bnd.blo", "bnd.bhi")
+    }
+    val inBand = s"sur.mean_surprisal BETWEEN $blo AND $bhi"
+    val surChain =
+      if (band.isEmpty) s"${surCtes(d)},\n${surprisalBandCtes(d)},\n" else ""
+    val bndJoin = if (band.isEmpty) "CROSS JOIN bnd " else ""
     s"""WITH t AS (
        |  SELECT doc_id, text, ${d.tokens("text")} AS toks
        |  FROM documents),
@@ -978,19 +1023,17 @@ object TextAnalysis {
        |  SELECT doc_id, text, round(${scoreExpr()}, 6) AS score,
        |    (($piiCount) > 0) AS has_pii
        |  FROM m),
-       |${surCtes(d)},
-       |${surprisalBandCtes(d)},
-       |keep AS (
+       |${surChain}keep AS (
        |  SELECT q.doc_id, md5($norm) AS text_md5
-       |  FROM q LEFT JOIN sur ON sur.doc_id = q.doc_id CROSS JOIN bnd
+       |  FROM q LEFT JOIN sur ON sur.doc_id = q.doc_id $bndJoin
        |  WHERE q.score >= 0.5 AND COALESCE($inBand, FALSE)),
        |rep AS (
        |  SELECT text_md5, min(doc_id) AS rep_id FROM keep GROUP BY text_md5)
        |SELECT q.doc_id, q.score AS quality_score,
        |  (q.score >= 0.5) AS passed_quality,
        |  sur.mean_surprisal,
-       |  round(bnd.blo, 6) AS surprisal_lo,
-       |  round(bnd.bhi, 6) AS surprisal_hi,
+       |  round($blo, 6) AS surprisal_lo,
+       |  round($bhi, 6) AS surprisal_hi,
        |  CASE WHEN q.score >= 0.5
        |       THEN COALESCE($inBand, FALSE) ELSE NULL END AS passed_surprisal,
        |  CASE WHEN k.doc_id IS NULL THEN NULL
@@ -999,8 +1042,7 @@ object TextAnalysis {
        |  ((q.score >= 0.5) AND COALESCE($inBand, FALSE)
        |    AND k.doc_id = r.rep_id) AS kept
        |FROM q
-       |CROSS JOIN bnd
-       |LEFT JOIN sur ON sur.doc_id = q.doc_id
+       |${bndJoin}LEFT JOIN sur ON sur.doc_id = q.doc_id
        |LEFT JOIN keep k ON k.doc_id = q.doc_id
        |LEFT JOIN rep r ON r.text_md5 = k.text_md5
        |ORDER BY q.doc_id""".stripMargin
@@ -1023,8 +1065,12 @@ object TextAnalysis {
     * Scale: one aggregation over the log relation into a single row,
     * unpivoted to 3 stage rows — the funnel costs one extra reduce
     * over whatever the log costs. */
-  def curationFunnelSql(d: SqlDialect): String = {
-    val log = curationLogFullSql(d)
+  def curationFunnelSql(d: SqlDialect): String =
+    curationFunnelSql(d, band = None)
+
+  private[ops] def curationFunnelSql(d: SqlDialect,
+      band: Option[(Double, Double)]): String = {
+    val log = curationLogFullSql(d, band)
     s"""SELECT CAST(s.stage_id AS BIGINT) AS stage_id, s.stage,
        |  CAST(s.n_in AS BIGINT) AS n_in,
        |  CAST(s.n_out AS BIGINT) AS n_out,
@@ -1155,10 +1201,31 @@ object TextAnalysis {
     run(spark, dir, piiSql(SparkDialect))
   def curationLog(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, curationLogSql(SparkDialect))
-  def curationLogFull(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir, curationLogFullSql(SparkDialect))
-  def curationFunnel(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir, curationFunnelSql(SparkDialect))
+  /** Engine-side materialization of the multi-consumer `sur` relation
+    * as a session-cached temp view: the gate and the verdict columns
+    * both reference it, and SQL CTEs are inlined PER REFERENCE in
+    * both engines — without this the token explode + corpus LM fit
+    * would run three times per query.  The view is built from the
+    * CTE-free `surViewSql` (see there for the Catalyst CTE-id
+    * collision this avoids).  The oracle keeps the single-statement
+    * inline form (its CTEs shadow this view, so registering it is
+    * also safe for the SQL-equivalence specs). */
+  private def registerSurView(spark: SparkSession, dir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    RelationCache.cached(spark, s"curation_sur:$dir") {
+      spark.sql(surViewSql(SparkDialect))
+    }.createOrReplaceTempView("sur")
+  }
+
+  def curationLogFull(spark: SparkSession, dir: String): DataFrame = {
+    val band = surprisalBand(spark, dir) // registers the sur view
+    spark.sql(curationLogFullSql(SparkDialect, Some(band)))
+  }
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val band = surprisalBand(spark, dir)
+    spark.sql(curationFunnelSql(SparkDialect, Some(band)))
+  }
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, unigramLogprobSql(SparkDialect))
   def novelty(spark: SparkSession, dir: String): DataFrame =
