@@ -67,6 +67,10 @@ object SparkEntry {
     "q13_cust_distribution" -> (SubqueryShapes.q13CustDistribution _),
     "q21_waiting_supplier" -> (SubqueryShapes.q21WaitingSupplier _),
     "q22_inactive_balance" -> (SubqueryShapes.q22InactiveBalance _),
+    "q9_product_profit" -> (SubqueryShapes.q9ProductProfit _),
+    "q12_priority_class" -> (SubqueryShapes.q12PriorityClass _),
+    "q16_supplier_diversity" -> (SubqueryShapes.q16SupplierDiversity _),
+    "q20_recent_share" -> (SubqueryShapes.q20RecentShare _),
     // Typed Aggregator extension surface (bounded-heap map-side top-k)
     "q_topk_per_group" -> (graft.functions.TopKQueries.qTopkPerGroup _),
     // Events analytics: profiling, funnel, cohort retention
@@ -491,6 +495,10 @@ object SparkEntry {
     "q13_cust_distribution" -> SubqueryShapes.q13CustDistributionSql,
     "q21_waiting_supplier" -> SubqueryShapes.q21WaitingSupplierSql,
     "q22_inactive_balance" -> SubqueryShapes.q22InactiveBalanceSql,
+    "q9_product_profit" -> SubqueryShapes.q9ProductProfitSql,
+    "q12_priority_class" -> SubqueryShapes.q12PriorityClassSql,
+    "q16_supplier_diversity" -> SubqueryShapes.q16SupplierDiversitySql,
+    "q20_recent_share" -> SubqueryShapes.q20RecentShareSql,
     "q_topk_per_group" -> graft.functions.TopKQueries.qTopkPerGroupOracleSql,
     "q_profile" -> RelationalExt.qProfileSql,
     "q_event_funnel" -> RelationalExt.qEventFunnelSql,

@@ -150,4 +150,96 @@ object SubqueryShapes {
   def q22InactiveBalance(spark: SparkSession, dir: String): DataFrame =
     runSql(spark, dir, q22InactiveBalanceSql,
       Seq("customer", "nation", "orders"))
+
+  // ------------------------------------------------- q9: product-type profit
+
+  /** Per-nation per-year profit on a part family — q9's five-way
+    * fact-dim join with a derived profit measure (p_retailprice-based
+    * cost stands in for the absent partsupp supplycost).  Cents are
+    * accumulated as exact BIGINTs so neither engine's
+    * partial-aggregation order moves the sum. */
+  val q9ProductProfitSql: String =
+    """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+      |    - 0.6 * p.p_retailprice * l.l_quantity) * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100 AS sum_profit
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE p.p_name LIKE '%gear%'
+      |GROUP BY n.n_name, year(o.o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame =
+    runSql(spark, dir, q9ProductProfitSql,
+      Seq("lineitem", "part", "supplier", "orders", "nation"))
+
+  // ------------------------------------------------- q12: priority classes
+
+  /** q12's CASE-sum priority-class split over a windowed fact join:
+    * per return flag, how many late 1998 shipments (> 30 days after
+    * order) belonged to high- vs low-priority orders (return flag
+    * stands in for the absent ship-mode column). */
+  val q12PriorityClassSql: String =
+    """SELECT l.l_returnflag,
+      |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1999-01-01'
+      |  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      |GROUP BY l.l_returnflag
+      |ORDER BY l.l_returnflag""".stripMargin
+
+  def q12PriorityClass(spark: SparkSession, dir: String): DataFrame =
+    runSql(spark, dir, q12PriorityClassSql, Seq("orders", "lineitem"))
+
+  // ------------------------------------------------- q16: supplier diversity
+
+  /** q16's distinct-supplier count per part attribute with a NOT IN
+    * exclusion subquery (suppliers in deficit stand in for the
+    * complaint filter) — the anti-membership + COUNT DISTINCT shape. */
+  val q16SupplierDiversitySql: String =
+    """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+      |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |WHERE p.p_brand <> 'Brand#7'
+      |  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l.l_suppkey NOT IN (
+      |    SELECT s.s_suppkey FROM supplier s WHERE s.s_acctbal < 0)
+      |GROUP BY p.p_brand, p.p_type, p.p_size
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size""".stripMargin
+
+  def q16SupplierDiversity(spark: SparkSession, dir: String): DataFrame =
+    runSql(spark, dir, q16SupplierDiversitySql,
+      Seq("part", "lineitem", "supplier"))
+
+  // ------------------------------------------------- q20: nested IN chain
+
+  /** q20's nested IN-subquery chain: suppliers whose recent (1998+)
+    * shipped quantity of a name-filtered part family exceeds 55 % of
+    * their all-time quantity — supplier IN (grouped fact subquery
+    * whose part filter is itself an IN subquery), with the share
+    * comparison in integer-scaled arithmetic (quantities are
+    * integer-valued, so 100·recent > 55·total is exact in both
+    * engines — no double-ratio boundary to drift across). */
+  val q20RecentShareSql: String =
+    """SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+      |FROM supplier s
+      |WHERE s.s_suppkey IN (
+      |  SELECT l.l_suppkey FROM lineitem l
+      |  WHERE l.l_partkey IN (
+      |    SELECT p.p_partkey FROM part p WHERE p.p_name LIKE '%rod%')
+      |  GROUP BY l.l_suppkey
+      |  HAVING 100 * sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1998-01-01'
+      |    THEN l.l_quantity ELSE 0 END) > 55 * sum(l.l_quantity))
+      |ORDER BY s.s_name""".stripMargin
+
+  def q20RecentShare(spark: SparkSession, dir: String): DataFrame =
+    runSql(spark, dir, q20RecentShareSql,
+      Seq("supplier", "lineitem", "part"))
 }

@@ -376,4 +376,19 @@ class PlanShapeSpec extends SparkSuite {
     // must NOT appear is a nested loop re-evaluating it per row
     assert(!all.exists(_.nodeName.contains("CartesianProduct")))
   }
+
+  test("q16 NOT IN and q20 nested INs rewrite to anti/semi joins") {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    val (a16, j16) = joinsOf("q16_supplier_diversity")
+    assert(j16.exists(_.joinType == LeftAnti),
+      s"NOT IN must be an anti join: ${j16.map(_.joinType).distinct}")
+    assert(!a16.exists(_.nodeName.contains("CartesianProduct")))
+    val (a20, j20) = joinsOf("q20_recent_share")
+    // both IN levels (supplier IN grouped-fact, partkey IN part-family)
+    // must plan as semi joins — never per-row subquery probes
+    assert(j20.count(_.joinType == LeftSemi) >= 2,
+      s"nested INs must be semi joins: ${j20.map(_.joinType)}")
+    assert(!a20.exists(_.nodeName.contains("Subquery")),
+      a20.map(_.nodeName).distinct.mkString(","))
+  }
 }
