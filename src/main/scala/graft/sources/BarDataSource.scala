@@ -52,19 +52,35 @@ private[sources] class BarTable(props: Map[String, String])
   override def schema(): StructType = BarGen.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    def opt(k: String, dflt: String): String =
+      options.getOrDefault(k, props.getOrElse(k, dflt))
+    // The transport seam's knobs (see BarTransport): page size, retry
+    // budget/backoff, per-task request interval, and opaque
+    // credentials.  Credentials are forwarded to the transport factory
+    // ONLY — they appear in no plan description, table name, or error.
+    val cfg = BarTransport.Config(
+      pageSizeDays = opt("pageSizeDays", "365").toInt,
+      maxRetries = opt("maxRetries", "3").toInt,
+      retryBaseMillis = opt("retryBaseMillis", "10").toLong,
+      minRequestIntervalMillis = opt("minRequestIntervalMillis", "0").toLong,
+      credentials = Seq("authKeyId", "authSecret")
+        .flatMap(k => Option(opt(k, null)).map(k -> _)).toMap)
     new BarScanBuilder(
-      options.getOrDefault("symbols", props.getOrElse("symbols", "")),
-      LocalDate.parse(options.getOrDefault("start", props.getOrElse("start", "2024-01-01"))),
-      LocalDate.parse(options.getOrDefault("end", props.getOrElse("end", "2024-01-31"))),
-      options.getOrDefault("timeframe", props.getOrElse("timeframe", "Day")),
-      options.getOrDefault("maxDaysPerBatch",
-        props.getOrElse("maxDaysPerBatch", Long.MaxValue.toString)).toLong)
+      opt("symbols", ""),
+      LocalDate.parse(opt("start", "2024-01-01")),
+      LocalDate.parse(opt("end", "2024-01-31")),
+      opt("timeframe", "Day"),
+      opt("maxDaysPerBatch", Long.MaxValue.toString).toLong,
+      opt("transport", "generator"), cfg)
+  }
 }
 
 private[sources] class BarScanBuilder(
     symbolsCsv: String, var start: LocalDate, var end: LocalDate, tf: String,
-    maxDaysPerBatch: Long = Long.MaxValue)
+    maxDaysPerBatch: Long = Long.MaxValue,
+    transport: String = "generator",
+    cfg: BarTransport.Config = BarTransport.Config())
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -115,13 +131,15 @@ private[sources] class BarScanBuilder(
 
   override def build(): Scan =
     new BarScan(symbolsCsv.split(",").map(_.trim).filter(_.nonEmpty),
-      start, end, tf, required, maxDaysPerBatch)
+      start, end, tf, required, maxDaysPerBatch, transport, cfg)
 }
 
 private[sources] class BarScan(
     symbols: Array[String], start: LocalDate, end: LocalDate,
     tf: String, required: StructType,
-    maxDaysPerBatch: Long = Long.MaxValue) extends Scan with Batch {
+    maxDaysPerBatch: Long = Long.MaxValue,
+    transport: String = "generator",
+    cfg: BarTransport.Config = BarTransport.Config()) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -129,7 +147,8 @@ private[sources] class BarScan(
     s"graft-bars symbols=${symbols.mkString(",")} range=[$start..$end]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    symbols.map(s => BarInputPartition(s, start, end, tf, required))
+    symbols.map(s =>
+      BarInputPartition(s, start, end, tf, required, transport, cfg))
 
   override def createReaderFactory(): PartitionReaderFactory =
     (p: InputPartition) => {
@@ -144,7 +163,7 @@ private[sources] class BarScan(
     * needs so a cold start doesn't fetch years in one batch). */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BarMicroBatchStream(symbols, start, end, tf, required,
-      maxDaysPerBatch)
+      maxDaysPerBatch, transport, cfg)
 }
 
 private[sources] case class BarOffset(daysDone: Long) extends Offset {
@@ -153,7 +172,9 @@ private[sources] case class BarOffset(daysDone: Long) extends Offset {
 
 private[sources] class BarMicroBatchStream(
     symbols: Array[String], start: LocalDate, end: LocalDate,
-    tf: String, required: StructType, maxDaysPerBatch: Long)
+    tf: String, required: StructType, maxDaysPerBatch: Long,
+    transport: String = "generator",
+    cfg: BarTransport.Config = BarTransport.Config())
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val totalDays = math.max(0L, end.toEpochDay - start.toEpochDay + 1L)
@@ -183,7 +204,8 @@ private[sources] class BarMicroBatchStream(
     val until = e.asInstanceOf[BarOffset].daysDone
     if (until <= from) Array.empty
     else symbols.map(sym => BarInputPartition(sym,
-      start.plusDays(from), start.plusDays(until - 1L), tf, required))
+      start.plusDays(from), start.plusDays(until - 1L), tf, required,
+      transport, cfg))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -193,19 +215,37 @@ private[sources] class BarMicroBatchStream(
 
 private[sources] case class BarInputPartition(
     symbol: String, start: LocalDate, end: LocalDate,
-    tf: String, required: StructType) extends InputPartition
+    tf: String, required: StructType,
+    transport: String = "generator",
+    cfg: BarTransport.Config = BarTransport.Config()) extends InputPartition
 
+/** Task-side reader: drives the transport's page loop (every scan
+  * exercises real pagination — the generator transport pages too) and
+  * converts rows.  The transport stack (rate limiter inside, retry
+  * outside — a retried request re-pays the interval, so a retry storm
+  * cannot exceed the remote quota) is constructed HERE, per task, so
+  * it may hold connections and budgets without being serializable. */
 private[sources] class BarPartitionReader(p: BarInputPartition)
     extends PartitionReader[InternalRow] {
-  private val nDays =
-    math.max(0L, p.end.toEpochDay - p.start.toEpochDay + 1L)
-  private var i = -1L
+  private val transport = BarTransport.stacked(p.transport, p.cfg)
+  private val rows: Iterator[(LocalDate, BarGen.Bar)] =
+    new Iterator[BarTransport.Page] {
+      private var token: Option[String] = None
+      private var first = true
+      override def hasNext: Boolean = first || token.isDefined
+      override def next(): BarTransport.Page = {
+        val pg = transport.fetchPage(p.symbol, p.start, p.end, p.tf,
+          if (first) None else token)
+        first = false; token = pg.next; pg
+      }
+    }.flatMap(_.rows)
+  private var cur: (LocalDate, BarGen.Bar) = _
 
-  override def next(): Boolean = { i += 1; i < nDays }
+  override def next(): Boolean =
+    rows.hasNext && { cur = rows.next(); true }
 
   override def get(): InternalRow = {
-    val day = p.start.plusDays(i)
-    val bar = BarGen.bar(p.symbol, day)
+    val (day, bar) = cur
     InternalRow.fromSeq(p.required.fieldNames.toSeq.map {
       case "symbol" => UTF8String.fromString(p.symbol)
       case "timeframe" => UTF8String.fromString(p.tf)
