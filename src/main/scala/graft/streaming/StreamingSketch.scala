@@ -87,13 +87,20 @@ object StreamingSketch {
     val hasBatch = fs.exists(p) &&
       fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
     if (!hasBatch) None
-    else {
-      val cells = spark.read.parquet(storePath)
-      val chosen = cells.groupBy("batch")
-        .agg(min("attempt").as("attempt"))
-      Some(cells.join(chosen, Seq("batch", "attempt"))
-        .select(valueCols.map(col): _*))
-    }
+    else
+      // a racing FIRST write can expose `batch=/attempt=` dirs whose
+      // data file hasn't committed yet: with zero parquet files in the
+      // whole store, schema inference throws — that reader must see an
+      // empty store, not an error (the committed-file state it races)
+      try {
+        val cells = spark.read.parquet(storePath)
+        val chosen = cells.groupBy("batch")
+          .agg(min("attempt").as("attempt"))
+        Some(cells.join(chosen, Seq("batch", "attempt"))
+          .select(valueCols.map(col): _*))
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
   }
 
   /** The merged sketch: cell-wise sum of one attempt per batch.

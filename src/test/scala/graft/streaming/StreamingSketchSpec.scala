@@ -72,6 +72,13 @@ class StreamingSketchSpec extends SparkSuite {
       spark, s"$missing/nope", 0.0, 1.0, 8, Seq(0.5)).isEmpty)
     // store dir exists but no batch committed yet (checkpoint dir only)
     assert(StreamingSketch.mergedHist(spark, missing).count() == 0)
+    // racing the FIRST write: batch/attempt dirs exist, data file not
+    // yet committed — reads as empty, never a schema-inference error
+    val racing = java.nio.file.Files.createTempDirectory("cm_race")
+    java.nio.file.Files.createDirectories(
+      racing.resolve("batch=0").resolve("attempt=1"))
+    assert(StreamingSketch.mergedSketch(spark, racing.toString).count() == 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(racing.toFile)
     // point estimates over an empty sketch: 0 (an empty cell is a zero
     // counter), not NULL and not a crash
     val est = StreamingSketch.estimate(spark, missing, Seq("tok"))
