@@ -13,8 +13,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional regex arg filters the query set (local iteration aid).
     val wanted = args.headOption.map(_.r)
+    // SPARK_GRAFT_BENCH_EXCLUDE: comma-separated exact query names to
+    // drop from the run — for scaling smokes where a documented
+    // by-design quadratic baseline (e.g. the exact all-pairs verify
+    // gate) would dominate hours of wall clock without measuring
+    // anything new.  Excluded ≠ failed: the artifact lists the names
+    // under "excluded" so a reader can't mistake the omission for
+    // silent truncation.
+    val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val queries = SparkEntry.queries.filter { case (name, _) =>
-      wanted.forall(_.findFirstIn(name).isDefined)
+      wanted.forall(_.findFirstIn(name).isDefined) && !excluded(name)
     }
     val spark = GraftSession.build("graft-bench")
     // Warm-up: run every query once at the smallest sf so JIT +
@@ -89,8 +99,12 @@ object Bench {
         f""","duckdb_total":$dt%.3f,"duckdb_failed":$df,"ratio":$ratio"""
       case None => ""","duckdb_total":null,"ratio":null"""
     }
+    val exclJson =
+      if (excluded.isEmpty) ""
+      else excluded.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString(""","excluded":[""", ",", "]")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"builds":$buildsJson,"sf":"$sfDir","runs":$runs,"failed":$failed$baseJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"builds":$buildsJson,"sf":"$sfDir","runs":$runs,"failed":$failed$exclJson$baseJson}"""
     // The full line (~3 KB with 80+ queries) overflows the harness's
     // output-tail capture, truncating its front into unparseable text —
     // so persist it to a file and ALSO print a short summary line LAST,
