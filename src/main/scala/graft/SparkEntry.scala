@@ -138,6 +138,7 @@ object SparkEntry {
     // Deduplication family
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_containment" -> (Dedup.ngramContainment _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_lsh_cap_report" -> (Dedup.minhashCapReport _),
     "dedup_simhash" -> (Dedup.simhash _),
@@ -554,6 +555,7 @@ object SparkEntry {
     "q_anomaly" -> Temporal.anomalySql,
     "dedup_exact" -> Dedup.exactSql(DuckDialect),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(DuckDialect),
+    "dedup_containment" -> Dedup.ngramContainmentSql(DuckDialect),
     "dedup_minhash_lsh" -> Dedup.minhashLshSql(DuckDialect),
     "dedup_lsh_cap_report" -> Dedup.minhashCapReportSql(DuckDialect),
     // SimHash oracle is deliberately a DIFFERENT algorithm (brute-force

@@ -160,6 +160,23 @@ object Dedup {
        |ORDER BY doc_id_a, doc_id_b""".stripMargin
   }
 
+  /** Oracle twin of the engine's `ngramContainment`: the identical
+    * capped-posting CTE chain as `ngramJaccardSql` (tok → t → s → e →
+    * ew → ec/hot → c → v), with the containment projections and the
+    * either-direction threshold as the tail.  Same statement runs in
+    * Spark and DuckDB. */
+  def ngramContainmentSql(d: SqlDialect, maxDf: Int = MaxGramDf): String = {
+    val base = ngramJaccardSql(d, maxDf)
+    val tail = base.indexOf("SELECT ia AS doc_id_a")
+    base.substring(0, tail) +
+      s"""SELECT ia AS doc_id_a, ib AS doc_id_b,
+         |  round(shared / na, 6) AS contain_ab,
+         |  round(shared / nb, 6) AS contain_ba
+         |FROM v
+         |WHERE greatest(shared / na, shared / nb) >= ${d.dlit(ContainThreshold)}
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin
+  }
+
   /** MinHash signature components: for perm i,
     * h_i = min over shingles of (a_i * (h60(gram) % P) + b_i) % P. */
   private def minhashSigExprs: Seq[String] =
@@ -659,6 +676,24 @@ object Dedup {
     val spark = posts.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    cappedSharedPairs(posts, maxDf)
+      .withColumn("jaccard", $"shared" / ($"na" + $"nb" - $"shared"))
+      .filter($"jaccard" >= 0.5)
+      .select($"ia".as("doc_id_a"), $"ib".as("doc_id_b"),
+        round($"jaccard", 6).as("jaccard"))
+      .orderBy($"doc_id_a", $"doc_id_b")
+  }
+
+  /** Shared capped pair stage: (ia, ib, na, nb, shared) over an
+    * exploded posting relation — the cold candidate join on df-capped
+    * postings plus the exact hot-gram fold-back.  Jaccard and
+    * containment are projections over this one relation; the blocking
+    * and cap semantics (and their 100 TB safety argument) live here
+    * once. */
+  private[ops] def cappedSharedPairs(posts: DataFrame, maxDf: Int): DataFrame = {
+    val spark = posts.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
     val (cold, hotPerDoc) = TextOps.capPostings(posts, maxDf)
     val c = cold.as("a")
       .join(cold.as("b"), $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
@@ -670,11 +705,40 @@ object Dedup {
       .withColumn("shared", $"cold_shared" + coalesce(
         size(array_intersect($"ha.hgrams", $"hb.hgrams")).cast("double"),
         lit(0.0)))
-      .withColumn("jaccard", $"shared" / ($"na" + $"nb" - $"shared"))
-      .filter($"jaccard" >= 0.5)
+      .select($"ia", $"ib", $"na", $"nb", $"shared")
+  }
+
+  /** Asymmetric n-gram containment pairs: |A∩B| / |A| per direction,
+    * kept when either direction reaches `ContainThreshold`.  Catches
+    * the sub-document duplication symmetric Jaccard under-scores — a
+    * short document wholly embedded in a much longer one has
+    * containment 1.0 but Jaccard ≈ |A|/|B|, far below any pair
+    * threshold.  Candidate generation is the SAME df-capped posting
+    * join + exact hot-gram fold-back as `ngramJaccardCapped` (one
+    * blocked stage, two score projections), so the 100 TB safety
+    * story — no O(f²) hot-gram fan-out, bounded per-gram join keys —
+    * is inherited, not re-argued. */
+  private[ops] def ngramContainmentCapped(posts: DataFrame,
+      maxDf: Int): DataFrame = {
+    val spark = posts.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    cappedSharedPairs(posts, maxDf)
+      .withColumn("contain_ab", $"shared" / $"na")
+      .withColumn("contain_ba", $"shared" / $"nb")
+      .filter(greatest($"contain_ab", $"contain_ba") >= ContainThreshold)
       .select($"ia".as("doc_id_a"), $"ib".as("doc_id_b"),
-        round($"jaccard", 6).as("jaccard"))
+        round($"contain_ab", 6).as("contain_ab"),
+        round($"contain_ba", 6).as("contain_ba"))
       .orderBy($"doc_id_a", $"doc_id_b")
+  }
+
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = gramsDF(spark, dir)
+      .select($"doc_id", $"ng", explode($"grams").as("gram"))
+    ngramContainmentCapped(e, MaxGramDf)
   }
 
   /** Engine-side MinHash: the signature and gram-set relations are

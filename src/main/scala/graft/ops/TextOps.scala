@@ -213,6 +213,12 @@ object TextOps {
     * tune it via the operator parameter. */
   val MaxGramDf = 64
 
+  /** Asymmetric containment gate: a pair is a containment dup when
+    * shared-gram mass covers ≥ 80 % of EITHER document's gram set.
+    * High enough that IID word-salad overlap never trips it; low
+    * enough to catch quoted/embedded sub-documents with light edits. */
+  val ContainThreshold = 0.8
+
   /** MinHash: 32 permutations, banded 8 × 4 for LSH candidates. */
   val NumPerms = 32
   val Bands = 8
