@@ -119,9 +119,11 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_mixture_plan" -> (TextAnalysis.mixturePlan _),
     "text_dup_spans" -> (TextAnalysis.dupSpans _),
+    "text_dup_span_cut" -> (TextAnalysis.dupSpanCut _),
     "text_pii" -> (TextAnalysis.pii _),
     "text_curation_log" -> (TextAnalysis.curationLog _),
     "text_curation_log_full" -> (TextAnalysis.curationLogFull _),
+    "text_surprisal_buckets" -> (TextAnalysis.surprisalBuckets _),
     "text_curation_funnel" -> (TextAnalysis.curationFunnel _),
     "text_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
     "text_bigram_logprob" -> (TextFilters.bigramLogprob _),
@@ -538,9 +540,11 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.repetitionSql(DuckDialect),
     "text_mixture_plan" -> TextAnalysis.mixturePlanSql(DuckDialect),
     "text_dup_spans" -> TextAnalysis.dupSpansSql(DuckDialect),
+    "text_dup_span_cut" -> TextAnalysis.dupSpanCutSql(DuckDialect),
     "text_pii" -> TextAnalysis.piiSql(DuckDialect),
     "text_curation_log" -> TextAnalysis.curationLogSql(DuckDialect),
     "text_curation_log_full" -> TextAnalysis.curationLogFullSql(DuckDialect),
+    "text_surprisal_buckets" -> TextAnalysis.surprisalBucketsSql(DuckDialect),
     "text_curation_funnel" -> TextAnalysis.curationFunnelSql(DuckDialect),
     "text_unigram_logprob" -> TextAnalysis.unigramLogprobSql(DuckDialect),
     "text_bigram_logprob" -> TextFilters.bigramLogprobSql(DuckDialect),

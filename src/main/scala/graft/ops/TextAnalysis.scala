@@ -620,6 +620,77 @@ object TextAnalysis {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  /** The REMOVAL half of Lee et al. 2021's exact-substring dedup
+    * (`text_dup_spans` is the measurement half): per document, the
+    * token budget left after cutting every position covered by a
+    * duplicated 8-gram span (a span whose 60-bit hash occurs ≥ 2×
+    * anywhere in the corpus).  A position p is cut iff some duplicated
+    * span starts in [p−7, p] — the union of the covering intervals,
+    * which is what an actual cut-list writer would delete.
+    *
+    * Scale shape: the occurrence table is the same map-side-combining
+    * `groupBy(gh)` as `text_dup_spans` (viral spans skew a JOIN key
+    * linearly, never quadratically — no pair generation, no cap
+    * needed).  Coverage is a per-document window (`max(start_flag)
+    * OVER (PARTITION BY doc_id ORDER BY pos ROWS 7 PRECEDING)`) —
+    * bounded by each document's own length, so the window never
+    * concentrates corpus-scale data in one task the way a global or
+    * per-gram window would.  Both explodes are token-linear.
+    * Deterministic: pure integer counts; the only double is the final
+    * round(cut/n, 6). */
+  def dupSpanCutSql(d: SqlDialect, n: Int = 8): String = {
+    val concatN = (0 until n).map(j =>
+      if (j == 0) d.arrAt("toks", "i") else d.arrAt("toks", s"i + $j"))
+      .mkString(" || ' ' || ")
+    val grams = d.arrTransform(
+      d.sequence1(s"${d.arrSize("toks")} - ${n - 1}"), "i", d.h60(concatN))
+    s"""WITH t AS (
+       |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, ${d.arrSize("toks")} AS n_toks, $grams AS ghs
+       |  FROM t),
+       |e AS (
+       |  SELECT doc_id, ${d.explode(d.sequence1(d.arrSize("ghs")))} AS pos,
+       |    ghs FROM s),
+       |sp AS (
+       |  -- e carries ghs only inside this pipeline-local projection
+       |  -- (explode -> element_at fuse in one codegen stage); nothing
+       |  -- array-valued ever crosses an exchange
+       |  SELECT doc_id, pos, ${d.arrAt("ghs", "pos")} AS gh FROM e),
+       |df AS (
+       |  SELECT gh FROM (
+       |    SELECT gh, count(*) AS occ FROM sp GROUP BY gh) o
+       |  WHERE o.occ >= 2),
+       |ds AS (
+       |  SELECT sp.doc_id, sp.pos FROM sp JOIN df ON df.gh = sp.gh),
+       |pp AS (
+       |  SELECT doc_id, ${d.explode(d.sequence1("n_toks"))} AS pos FROM s),
+       |cov AS (
+       |  SELECT pp.doc_id, pp.pos,
+       |    CASE WHEN ds.pos IS NOT NULL THEN 1 ELSE 0 END AS st
+       |  FROM pp LEFT JOIN ds
+       |    ON ds.doc_id = pp.doc_id AND ds.pos = pp.pos),
+       |w AS (
+       |  SELECT doc_id,
+       |    max(st) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) AS cut
+       |  FROM cov),
+       |a AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(cut) AS BIGINT) AS cut_tokens
+       |  FROM w GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  coalesce(CAST(a.n_tokens AS BIGINT), CAST(0 AS BIGINT)) AS n_tokens,
+       |  coalesce(a.cut_tokens, CAST(0 AS BIGINT)) AS cut_tokens,
+       |  coalesce(CAST(a.n_tokens AS BIGINT), CAST(0 AS BIGINT))
+       |    - coalesce(a.cut_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
+       |  round(CASE WHEN coalesce(a.n_tokens, 0) > 0
+       |    THEN CAST(a.cut_tokens AS DOUBLE) / a.n_tokens
+       |    ELSE ${d.dlit(0.0)} END, 6) AS cut_frac
+       |FROM t LEFT JOIN a ON a.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** Shared CTE chain ending in relation e(doc_id, split, gram) — one
     * definition for the oracle SQL and the engine's cached build. */
   private def contaminationGramCtes(d: SqlDialect): String =
@@ -1197,6 +1268,8 @@ object TextAnalysis {
     run(spark, dir, mixtureTemperatureSql(SparkDialect))
   def dupSpans(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, dupSpansSql(SparkDialect))
+  def dupSpanCut(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, dupSpanCutSql(SparkDialect))
   def pii(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, piiSql(SparkDialect))
   def curationLog(spark: SparkSession, dir: String): DataFrame =
@@ -1221,6 +1294,60 @@ object TextAnalysis {
   def curationLogFull(spark: SparkSession, dir: String): DataFrame = {
     val band = surprisalBand(spark, dir) // registers the sur view
     spark.sql(curationLogFullSql(SparkDialect, Some(band)))
+  }
+
+  /** CCNet-style corpus partition by LM surprisal: every scored
+    * document lands in `head` (mean surprisal below the corpus Q1 —
+    * most corpus-like), `middle` (inside the [Q1, Q3] band), or
+    * `tail` (above Q3), with per-bucket doc counts and µ-quantized
+    * surprisal stats.  The band is the SAME corpus-derived quantile
+    * estimate the curation gate uses (`surprisalBandCtes`), so the
+    * bucketing and the gate can never disagree about where the
+    * central bulk sits.  Deterministic across engines: per-doc
+    * surprisals are already round(·, 6); the per-bucket mean sums
+    * µ-quantized BIGINTs, so partial-aggregation order cannot move
+    * the result.  Scale: one pass over the cached `sur` relation +
+    * a 3-row aggregate — the LM fit amortizes across the whole
+    * curation family. */
+  def surprisalBucketsSql(d: SqlDialect): String =
+    surprisalBucketsSql(d, band = None)
+
+  private[ops] def surprisalBucketsSql(d: SqlDialect,
+      band: Option[(Double, Double)]): String = {
+    val (blo, bhi) = band match {
+      case Some((lo, hi)) =>
+        (s"CAST('${lo}' AS DOUBLE)", s"CAST('${hi}' AS DOUBLE)")
+      case None => ("bnd.blo", "bnd.bhi")
+    }
+    // surCtes reads token arrays from a preceding `t` CTE — provide it
+    // here (the curation statement does the same)
+    val surChain =
+      if (band.isEmpty)
+        s"""t AS (
+           |  SELECT doc_id, ${d.tokens("text")} AS toks FROM documents),
+           |${surCtes(d)},
+           |${surprisalBandCtes(d)},
+           |""".stripMargin
+      else ""
+    val bndJoin = if (band.isEmpty) "CROSS JOIN bnd" else ""
+    val mu = d.dlit(1000000.0)
+    s"""WITH ${surChain}lab AS (
+       |  SELECT sur.doc_id, sur.mean_surprisal,
+       |    CASE WHEN sur.mean_surprisal < $blo THEN 'head'
+       |         WHEN sur.mean_surprisal > $bhi THEN 'tail'
+       |         ELSE 'middle' END AS bucket
+       |  FROM sur $bndJoin)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS docs,
+       |  round(min(mean_surprisal), 6) AS lo_surprisal,
+       |  round(max(mean_surprisal), 6) AS hi_surprisal,
+       |  round(CAST(sum(CAST(round(mean_surprisal * $mu) AS BIGINT))
+       |    AS DOUBLE) / ($mu * count(*)), 6) AS avg_surprisal
+       |FROM lab GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  def surprisalBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val band = surprisalBand(spark, dir) // registers the sur view
+    spark.sql(surprisalBucketsSql(SparkDialect, Some(band)))
   }
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val band = surprisalBand(spark, dir)

@@ -139,6 +139,45 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got(5L) == ((9L, 2L, round6(2.0 / 9))))
   }
 
+  test("dup span cut removes exactly the union of covering intervals") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    Seq(
+      1L -> s"$shared a b c",      // dup start 1 covers pos 1-8 of 11
+      2L -> s"x y $shared",        // dup start 3 covers pos 3-10 of 10
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9", // no dup spans → nothing cut
+      4L -> "too short",           // < 8 tokens → nothing cut
+      5L -> s"$shared $shared")    // starts 1 and 9 cover all 16
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(TextAnalysis.dupSpanCutSql(SparkDialect)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((11L, 8L, 3L, round6(8.0 / 11))))
+    assert(got(2L) == ((10L, 8L, 2L, 0.8)))
+    assert(got(3L) == ((9L, 0L, 9L, 0.0)))
+    assert(got(4L) == ((2L, 0L, 2L, 0.0)))
+    assert(got(5L) == ((16L, 16L, 0L, 1.0)))
+  }
+
+  test("dup span cut is consistent with the dup spans measurement") {
+    val cut = TextAnalysis.dupSpanCut(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("cut_tokens"),
+          r.getAs[Long]("kept_tokens")))).toMap
+    val spans = TextAnalysis.dupSpans(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_spans")).toMap
+    assert(cut.keySet == spans.keySet && cut.nonEmpty)
+    cut.foreach { case (id, (n, c, k)) =>
+      assert(k == n - c && c >= 0 && c <= n, s"doc $id")
+      val nd = spans(id)
+      // a doc is cut iff it has a duplicated span; each dup start cuts
+      // at most 8 positions, and one cuts at least min(8, n)
+      if (nd == 0L) assert(c == 0L, s"doc $id")
+      else assert(c >= math.min(8L, n) && c <= math.min(n, nd * 8L),
+        s"doc $id: n=$n c=$c nd=$nd")
+    }
+  }
+
   test("repetition fractions are bounded on the fixture corpus") {
     val rows = TextAnalysis.repetition(spark, sf()).collect()
     assert(rows.length == 500)
@@ -370,5 +409,31 @@ class TextAnalysisSpec extends SparkSuite {
     val (flo, fhi) = TextAnalysis.surprisalBand(spark, dir.toString)
     assert(math.abs(flo - lo) < 1e-6 && math.abs(fhi - hi) < 1e-6)
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("surprisal buckets partition the corpus around the gate's band") {
+    val rows = TextAnalysis.surprisalBuckets(spark, sf()).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("docs"), r.getAs[Double]("lo_surprisal"),
+          r.getAs[Double]("hi_surprisal"))).toMap
+    // all three buckets live, and together they cover every scored doc
+    assert(rows.keySet == Set("head", "middle", "tail"))
+    assert(rows.values.map(_._1).sum == 500L)
+    // the [Q1, Q3] band keeps the central bulk in the middle (the
+    // histogram estimate lands near, not exactly on, the quartiles)
+    assert(rows("middle")._1 >= 200L && rows("middle")._1 <= 300L)
+    // buckets are ordered intervals: head below middle below tail
+    assert(rows("head")._3 <= rows("middle")._2)
+    assert(rows("middle")._3 <= rows("tail")._2)
+    // the engine's literal-injected band ≡ the single-statement
+    // in-query derivation (the oracle form)
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.documents(spark, sf()).createOrReplaceTempView("documents")
+    val oracleForm = spark.sql(
+      TextAnalysis.surprisalBucketsSql(SparkDialect)).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("docs"), r.getAs[Double]("lo_surprisal"),
+          r.getAs[Double]("hi_surprisal"))).toMap
+    assert(oracleForm == rows)
   }
 }
