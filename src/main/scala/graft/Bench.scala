@@ -50,6 +50,12 @@ object Bench {
     // total; reported separately in the artifact.
     val buildTimes =
       (if (wanted.isEmpty) SparkEntry.builds.toSeq.sortBy(_._1) else Nil)
+        // skip builds none of the included queries can consume (an
+        // EXCLUDE-filtered smoke of one text query must not pay the
+        // k-means training — ~20 min at the 100x fixture)
+        .filter { case (name, _) =>
+          SparkEntry.buildConsumers.get(name)
+            .forall(pred => queries.keys.exists(pred)) }
         .map { case (name, fn) =>
           val t0 = System.nanoTime()
           try fn(spark, sfDir)

@@ -153,6 +153,7 @@ object SparkEntry {
     "dedup_semantic_scaled" -> (Dedup.semanticScaled _),
     "dedup_report" -> (Dedup.report _),
     "dedup_report_tokens" -> (Dedup.reportTokens _),
+    "dedup_cross_source" -> (Dedup.crossSource _),
     // Finishing-pass keeper election (stream-then-batch compaction)
     "dedup_compact" -> (Dedup.compactKept _),
     // Daily-increment dedup against the persisted signature store
@@ -184,6 +185,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) =>
         Similarity.ivfKmeansQuantizedRerankPersisted(s, d)),
     "sim_source_coherence" -> (Similarity.sourceCoherence _),
+    "sim_outlier_report" -> (Similarity.outlierReport _),
     "sim_pca_projection" -> (Similarity.pca _),
     "sim_embedding_stats" -> (Similarity.embeddingStats _),
     // Per-list skew report over the persisted k-means store — the
@@ -253,6 +255,21 @@ object SparkEntry {
     "bm25_store" -> ((s, d) => LexIndex.prebuildStore(s, d)),
     "minhash_sig_store" ->
       ((s, d) => { Dedup.prebuildSignatureStore(s, d); () }),
+  )
+
+  /** Per-build predicate over query names: does this query consume the
+    * build's artifacts?  Bench skips a build when nothing in its
+    * (possibly EXCLUDE-filtered) query set can read it — a filtered
+    * scaling smoke of one text query must not pay the k-means training
+    * (~20 min at the 100× fixture).  Predicates err on the inclusive
+    * side: an unnecessary build only costs time, a missed one fails
+    * visibly in the build-if-absent consumer. */
+  def buildConsumers: Map[String, String => Boolean] = Map(
+    "kmeans_codebooks_and_stores" -> (n => n.startsWith("sim_")),
+    "bm25_store" -> (n => n.startsWith("text_bm25") ||
+      n.startsWith("text_chunk") || n.startsWith("sim_hybrid") ||
+      n == "lex_index_health"),
+    "minhash_sig_store" -> (n => n.startsWith("dedup_")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -577,6 +594,7 @@ object SparkEntry {
     "dedup_semantic_scaled" -> Dedup.semanticScaledSql(DuckDialect),
     "dedup_report" -> Dedup.reportSql(DuckDialect),
     "dedup_report_tokens" -> Dedup.reportTokensSql(DuckDialect),
+    "dedup_cross_source" -> Dedup.crossSourceSql(DuckDialect),
     "dedup_compact" -> Dedup.compactKeptOracleSql(DuckDialect),
     "dedup_incremental" -> Dedup.incrementalSql(DuckDialect),
     "sim_topk_bruteforce" -> Similarity.topKSql(DuckDialect),
@@ -600,6 +618,7 @@ object SparkEntry {
     "sim_ivf_kmeans_pq_rerank" ->
       Similarity.ivfKmeansQuantizedRerankSql(DuckDialect),
     "sim_source_coherence" -> Similarity.sourceCoherenceSql(DuckDialect),
+    "sim_outlier_report" -> Similarity.outlierReportSql(DuckDialect),
     "sim_pca_projection" -> Similarity.pcaSql(DuckDialect),
     "sim_embedding_stats" -> Similarity.embeddingStatsSql(DuckDialect),
     "sim_index_health" -> Similarity.indexHealthSql(DuckDialect),

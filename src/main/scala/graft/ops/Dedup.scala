@@ -105,6 +105,51 @@ object Dedup {
   def reportTokens(spark: SparkSession, dir: String): DataFrame =
     runDocs(spark, dir, reportTokensSql(SparkDialect))
 
+  /** Cross-source duplication matrix: for every unordered source pair
+    * (a ≤ b), how many exact-duplicate document pairs span them — the
+    * provenance dashboard that tells a pipeline operator WHICH feeds
+    * re-send each other's content (syndication, mirrors, scraper
+    * overlap), where `dedup_report` only says how much each feed
+    * duplicates overall.  Same normalized digest as `exactSql` (built
+    * from the identical fragment, so the matrix and the reports cannot
+    * disagree on what counts as a duplicate).
+    *
+    * Scale shape: the per-(digest, source) count is a map-side-
+    * combining hash aggregate, after which the digest self-join's
+    * fan-out is bounded by the number of DISTINCT SOURCES sharing that
+    * digest — never by the digest's document count (a 10⁶-copy viral
+    * doc in 3 feeds meets 3 rows, not 10⁶).  Pair counts come from the
+    * closed forms C(cnt,2) within a source and cnt_a·cnt_b across, so
+    * no document-level pair is ever materialized.  Documents with a
+    * NULL source are excluded by the pair join (SQL comparison
+    * semantics), matching the convention that the matrix is a
+    * per-feed view. */
+  def crossSourceSql(d: SqlDialect): String = {
+    val norm = d.reReplace("trim(lower(text))", "\\s+", " ")
+    s"""WITH n AS (
+       |  SELECT doc_id, source, md5($norm) AS text_md5 FROM documents),
+       |c AS (
+       |  SELECT text_md5, source, count(*) AS cnt
+       |  FROM n GROUP BY text_md5, source),
+       |p AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CASE WHEN a.source = b.source
+       |      THEN ${d.intDiv("(a.cnt * (a.cnt - 1))", "2")}
+       |      ELSE a.cnt * b.cnt END AS pairs
+       |  FROM c a JOIN c b
+       |    ON a.text_md5 = b.text_md5 AND a.source <= b.source)
+       |SELECT source_a, source_b,
+       |  CAST(sum(CASE WHEN pairs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS shared_digests,
+       |  CAST(sum(pairs) AS BIGINT) AS dup_pairs
+       |FROM p GROUP BY source_a, source_b
+       |HAVING sum(pairs) > 0
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
+  def crossSource(spark: SparkSession, dir: String): DataFrame =
+    runDocs(spark, dir, crossSourceSql(SparkDialect))
+
   /** Word-3-gram Jaccard near-dup pairs (J ≥ 0.5).  Candidates are
     * blocked on shared shingles, and postings for hot grams
     * (document frequency > maxDf) are dropped from candidate

@@ -527,6 +527,8 @@ object Similarity {
        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
        |  WHERE $initPred),
        |$lloyd,
+       |cfin AS (
+       |  SELECT cid, cv, cnrm FROM c$f),
        |xf AS (
        |  SELECT n.vec_id, c.cid,
        |    row_number() OVER (PARTITION BY n.vec_id
@@ -1962,6 +1964,92 @@ object Similarity {
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
     spark.sql(sourceCoherenceSql(SparkDialect))
+  }
+
+  /** Embedding-space outlier report over the TRAINED √n-cluster
+    * partition: within each cluster, the bottom 5 % of members by
+    * cosine to their own centroid (at least one per cluster) are
+    * flagged as pruning candidates — the SemDeDup-adjacent
+    * "far-from-centroid" cleaning pass a curation pipeline runs to
+    * drop mis-embedded or off-distribution documents — then rolled
+    * up per ingest source (a source whose members sit
+    * disproportionately in cluster tails is feeding noise).
+    * `sim_source_coherence` measures distance to the SOURCE mean;
+    * this measures rank within the trained TOPIC cluster, so a
+    * coherent-but-tiny source can't hide behind its own centroid.
+    *
+    * Deterministic: the Lloyd chain is the µ-quantized oracle-checked
+    * scaled trainer of `sim_ivf_kmeans_scaled`; the 5 % boundary is a
+    * row_number over (cs, vec_id), and per-source means accumulate
+    * µ-quantized integers.  Scale: with k ∝ √n clusters each window
+    * partition holds ~√n rows (never a global or per-source sort),
+    * and the flagged fraction is rank-based, so no threshold retuning
+    * as the corpus grows. */
+  def outlierReportSql(d: SqlDialect): String = {
+    val q = d.dlit(1000000.0)
+    s"""WITH ${kmeansCandCtesScaled(d)},
+       |dvec AS (
+       |  SELECT a.vec_id, a.cid,
+       |    ${d.dot("n.v", "c.cv")} / (n.nrm * c.cnrm) AS cs
+       |  FROM asgn a
+       |  JOIN n ON n.vec_id = a.vec_id
+       |  JOIN cfin c ON c.cid = a.cid),
+       |r AS (
+       |  SELECT vec_id, cs,
+       |    row_number() OVER (PARTITION BY cid ORDER BY cs ASC, vec_id) AS rn,
+       |    count(*) OVER (PARTITION BY cid) AS csz
+       |  FROM dvec),
+       |o AS (
+       |  SELECT vec_id, cs,
+       |    CASE WHEN rn <= greatest(1, ${d.intDiv("csz", "20")})
+       |      THEN 1 ELSE 0 END AS is_outlier
+       |  FROM r),
+       |j AS (
+       |  SELECT doc.source, o.cs, o.is_outlier
+       |  FROM o JOIN documents doc ON doc.doc_id = o.vec_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(is_outlier) AS BIGINT) AS outliers,
+       |  round(CAST(sum(CAST(round(cs * $q) AS BIGINT)) AS DOUBLE)
+       |    / ($q * count(*)), 6) AS mean_centroid_sim,
+       |  round(min(cs), 6) AS min_centroid_sim
+       |FROM j GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  /** Engine side reuses the session-cached √n codebook
+    * (`trainScaledCodebookCached` — shared with every `_scaled`
+    * serving variant, so the training cost amortizes) and computes
+    * the same assignment + centroid cosine with the codegen'd
+    * `graft_dot`; the SQL form recomputes the whole scaled Lloyd
+    * chain from raw embeddings as the oracle. */
+  def outlierReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val n = ivfBase(spark, dir)
+    val cents = trainScaledCodebookCached(spark, dir, n)
+    val cdf = broadcast(cents.toDF("cid", "cv", "cnrm"))
+    val ds = assignedCid(n, cents)
+      .join(cdf, "cid")
+      .select($"vec_id", $"cid",
+        (expr("graft_dot(v, cv)") / ($"nrm" * $"cnrm")).as("cs"))
+    val w = Window.partitionBy($"cid")
+    val r = ds
+      .withColumn("rn", row_number().over(w.orderBy($"cs".asc, $"vec_id")))
+      .withColumn("csz", count(lit(1)).over(w))
+    val o = r.withColumn("is_outlier",
+      when($"rn" <= greatest(lit(1L), expr("csz DIV 20")), 1L).otherwise(0L))
+    val doc = Tables.documents(spark, dir).select($"doc_id", $"source")
+    o.join(doc, $"vec_id" === $"doc_id")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).cast("long").as("n_vecs"),
+        sum($"is_outlier").cast("long").as("outliers"),
+        round(sum(round($"cs" * 1e6).cast("long")).cast("double") /
+          (lit(1e6) * count(lit(1))), 6).as("mean_centroid_sim"),
+        round(min($"cs"), 6).as("min_centroid_sim"))
+      .orderBy($"source")
   }
 
   /** Power-iteration rounds for the PCA projection (unrolled, like

@@ -19,6 +19,43 @@ class DedupSpec extends SparkSuite {
       r.getAs[Long]("doc_id_a") < r.getAs[Long]("doc_id_b")))
   }
 
+  test("cross-source matrix counts hand-computed digest pairs") {
+    import spark.implicits._
+    Seq(
+      (1L, "s1", "Same  Content"),  // normalization: case + whitespace
+      (2L, "s1", "same content"),
+      (3L, "s2", "same content"),
+      (4L, "s2", "other thing"),
+      (5L, "s2", "other thing"),
+      (6L, "s3", "unique text"))
+      .toDF("doc_id", "source", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(Dedup.crossSourceSql(SparkDialect)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // digest X: s1 x2, s2 x1 -> within s1 C(2,2)=1, cross s1-s2 2*1=2
+    // digest Y: s2 x2 -> within s2 C(2,2)=1; s3's unique doc -> no row
+    assert(got == Map(
+      ("s1", "s1") -> ((1L, 1L)),
+      ("s1", "s2") -> ((1L, 2L)),
+      ("s2", "s2") -> ((1L, 1L))))
+  }
+
+  test("cross-source pair mass equals the exact-dedup group combinatorics") {
+    // total dup pairs in the matrix == sum over digest groups of
+    // C(group_size, 2) — the matrix is a partition of the same pairs
+    val matrixPairs = Dedup.crossSource(spark, sf()).collect()
+      .map(_.getAs[Long]("dup_pairs")).sum
+    val groups = Dedup.exact(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("rep_doc_id"), r.getAs[Long]("group_size")))
+      .distinct
+    val groupPairs = groups.map { case (_, gs) => gs * (gs - 1) / 2 }.sum
+    assert(matrixPairs == groupPairs)
+    // and the matrix is empty exactly when no digest group has >= 2
+    // members (the sf0.001 fixture plants no exact duplicates; the
+    // synthetic corpus above proves the nonzero path)
+    assert((matrixPairs > 0) == groups.exists(_._2 > 1))
+  }
+
   test("minhash LSH recovers the same verified pairs as exact ngram jaccard") {
     // Banded candidate generation + exact verify should find the same
     // J >= 0.5 pairs as the exact blocked all-pairs scan (the planted

@@ -413,6 +413,29 @@ class SimilaritySpec extends SparkSuite {
     assert(got.forall(t => t._3 > t._4 && t._3 <= 1.0))
   }
 
+  test("outlier report: engine path serves its SQL form with sane bounds") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.embeddings(spark, sf()).createOrReplaceTempView("embeddings")
+    graft.Tables.documents(spark, sf()).createOrReplaceTempView("documents")
+    val sqlForm = spark.sql(Similarity.outlierReportSql(SparkDialect))
+      .collect().map(_.toSeq).toSeq
+    val got = Similarity.outlierReport(spark, sf()).collect()
+    assert(got.nonEmpty && got.map(_.toSeq).toSeq == sqlForm)
+    val totVecs = got.map(_.getAs[Long]("n_vecs")).sum
+    assert(totVecs == graft.Tables.embeddings(spark, sf()).count())
+    // rank-based flagging: bottom 5% per ~√n cluster, at least one per
+    // cluster — strictly between "nothing" and "a tenth of the corpus"
+    val totOut = got.map(_.getAs[Long]("outliers")).sum
+    assert(totOut >= 1 && totOut <= totVecs / 10, s"outliers=$totOut")
+    got.foreach { r =>
+      val (nv, o) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("outliers"))
+      val m = r.getAs[Double]("mean_centroid_sim")
+      val mn = r.getAs[Double]("min_centroid_sim")
+      assert(o >= 0 && o <= nv && mn <= m && m <= 1.0 && mn >= -1.0,
+        s"${r.getString(0)}: n=$nv o=$o mean=$m min=$mn")
+    }
+  }
+
   test("zero vectors quantize to NULL scale and are excluded from quantized serving") {
     import spark.implicits._
     val vecs = Seq(
