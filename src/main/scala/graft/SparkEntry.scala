@@ -186,6 +186,7 @@ object SparkEntry {
         Similarity.ivfKmeansQuantizedRerankPersisted(s, d)),
     "sim_source_coherence" -> (Similarity.sourceCoherence _),
     "sim_outlier_report" -> (Similarity.outlierReport _),
+    "sim_embedding_drift" -> (Similarity.embeddingDrift _),
     "sim_pca_projection" -> (Similarity.pca _),
     "sim_embedding_stats" -> (Similarity.embeddingStats _),
     // Per-list skew report over the persisted k-means store — the
@@ -619,6 +620,7 @@ object SparkEntry {
       Similarity.ivfKmeansQuantizedRerankSql(DuckDialect),
     "sim_source_coherence" -> Similarity.sourceCoherenceSql(DuckDialect),
     "sim_outlier_report" -> Similarity.outlierReportSql(DuckDialect),
+    "sim_embedding_drift" -> Similarity.embeddingDriftSql(DuckDialect),
     "sim_pca_projection" -> Similarity.pcaSql(DuckDialect),
     "sim_embedding_stats" -> Similarity.embeddingStatsSql(DuckDialect),
     "sim_index_health" -> Similarity.indexHealthSql(DuckDialect),

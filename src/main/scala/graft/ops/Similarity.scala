@@ -2018,10 +2018,16 @@ object Similarity {
 
   /** Engine side reuses the session-cached √n codebook
     * (`trainScaledCodebookCached` — shared with every `_scaled`
-    * serving variant, so the training cost amortizes) and computes
-    * the same assignment + centroid cosine with the codegen'd
-    * `graft_dot`; the SQL form recomputes the whole scaled Lloyd
-    * chain from raw embeddings as the oracle. */
+    * serving variant, so training amortizes) and computes the same
+    * assignment + own-centroid cosine with the codegen'd `graft_dot`.
+    * Measured against the alternative of reading the assignment back
+    * from the persisted `kmsc` store: the in-memory argmax wins at
+    * every fixture scale (10×: 1.7 s vs 5.1 s; 100×: 54 s vs 60 s,
+    * where both paths share the dominant base-relation conversion) —
+    * with k ∝ √n the argmax is the cheap part, and the store path
+    * pays per-partition small-file overhead instead.  The SQL form
+    * recomputes the whole scaled Lloyd chain from raw embeddings as
+    * the oracle. */
   def outlierReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -2157,6 +2163,98 @@ object Similarity {
 
   def pca(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, pcaSql(SparkDialect))
+
+  /** Per-dimension embedding drift between the two deterministic
+    * halves of the corpus (vec_id parity — the stand-in for "old
+    * crawl vs new crawl"): the population stability index over 16
+    * shared-range bins,
+    * PSI_d = Σ_b (p0 − p1)·ln(p0/p1), with Laplace-smoothed bin
+    * masses so empty bins never produce ±∞.  PSI is THE standard
+    * production drift monitor (< 0.1 stable, > 0.2 action): run it
+    * between ingest epochs before trusting frozen downstream
+    * artifacts (trained codebooks, quality classifiers, DSIR
+    * weights) on the new data.
+    *
+    * Determinism: bin edges come from exact per-dim min/max, bin ids
+    * from one IEEE divide+floor (identical in both engines), bin
+    * masses are exact rationals of integer counts, and each PSI term
+    * is ln-rounded at 1e-9 then summed as BIGINTs (the BM25-idf
+    * discipline), so aggregation order and libm tails cannot move the
+    * rounded output.  Scale: the explode is a narrow (grp, dim, val)
+    * stream — D·n rows but pipeline-local until the map-side-combining
+    * (grp, dim, bin) count, whose output is 2·D·16 cells; everything
+    * after is per-dim joins over ≤ D·16 rows. */
+  def embeddingDriftSql(d: SqlDialect): String = {
+    val q9 = d.dlit(1.0e9)
+    val dim = EmbeddingDim
+    val bins = 16
+    s"""WITH e AS (
+       |  SELECT vec_id % 2 AS grp, ${d.toDoubleArr("embedding")} AS v
+       |  FROM embeddings),
+       |x AS (
+       |  SELECT grp, ${d.explode(d.sequence1(dim.toString))} AS dim, v
+       |  FROM e),
+       |c AS (
+       |  -- v rides only through this pipeline-local projection
+       |  SELECT grp, dim, ${d.arrAt("v", "dim")} AS val FROM x),
+       |r AS (
+       |  SELECT dim, min(val) AS lo, max(val) AS hi FROM c GROUP BY dim),
+       |b AS (
+       |  SELECT c.grp, c.dim,
+       |    CASE WHEN r.hi = r.lo THEN CAST(0 AS BIGINT)
+       |         ELSE least(CAST(${bins - 1} AS BIGINT),
+       |           CAST(floor((c.val - r.lo)
+       |             / ((r.hi - r.lo) / ${d.dlit(bins.toDouble)})) AS BIGINT))
+       |    END AS bin
+       |  FROM c JOIN r ON r.dim = c.dim),
+       |h AS (
+       |  SELECT grp, dim, bin, count(*) AS n FROM b GROUP BY grp, dim, bin),
+       |tot AS (
+       |  SELECT grp, dim, sum(n) AS tn FROM h GROUP BY grp, dim),
+       |grid AS (
+       |  SELECT r.dim, ${d.explode(d.sequence0(bins.toString))} AS bin
+       |  FROM r),
+       |pq AS (
+       |  SELECT g.dim, g.bin,
+       |    (CAST(coalesce(h0.n, 0) AS DOUBLE) + ${d.dlit(0.5)})
+       |      / (CAST(t0.tn AS DOUBLE) + ${d.dlit(bins / 2.0)}) AS p0,
+       |    (CAST(coalesce(h1.n, 0) AS DOUBLE) + ${d.dlit(0.5)})
+       |      / (CAST(t1.tn AS DOUBLE) + ${d.dlit(bins / 2.0)}) AS p1
+       |  FROM grid g
+       |  JOIN tot t0 ON t0.dim = g.dim AND t0.grp = 0
+       |  JOIN tot t1 ON t1.dim = g.dim AND t1.grp = 1
+       |  LEFT JOIN h h0 ON h0.dim = g.dim AND h0.bin = g.bin AND h0.grp = 0
+       |  LEFT JOIN h h1 ON h1.dim = g.dim AND h1.bin = g.bin AND h1.grp = 1),
+       |terms AS (
+       |  SELECT dim,
+       |    CAST(round((p0 - p1) * ln(p0 / p1) * $q9) AS BIGINT) AS t9
+       |  FROM pq),
+       |psi AS (
+       |  SELECT dim, CAST(sum(t9) AS DOUBLE) / $q9 AS psi FROM terms
+       |  GROUP BY dim),
+       |-- finite-sample debiasing: under NO drift, E[PSI] is the
+       |-- chi-square expectation (B-1)*(1/n0 + 1/n1) — ~0.13 already
+       |-- at 250-vector halves — so a fixed 0.2 cut would flag pure
+       |-- sampling noise on small corpora and the alert would mean a
+       |-- different thing at every scale.  The floor vanishes as the
+       |-- corpus grows; at scale the verdict converges to plain
+       |-- psi > 0.2.
+       |nf AS (
+       |  SELECT t0.dim,
+       |    ${d.dlit(bins - 1.0)} * (${d.dlit(1.0)} / t0.tn
+       |      + ${d.dlit(1.0)} / t1.tn) AS noise_floor
+       |  FROM tot t0 JOIN tot t1
+       |    ON t1.dim = t0.dim AND t0.grp = 0 AND t1.grp = 1)
+       |SELECT CAST(psi.dim AS BIGINT) AS dim, round(psi, 6) AS psi,
+       |  round(nf.noise_floor, 6) AS noise_floor,
+       |  CASE WHEN psi > ${d.dlit(0.2)} + nf.noise_floor
+       |    THEN 1 ELSE 0 END AS drifted
+       |FROM psi JOIN nf ON nf.dim = psi.dim
+       |ORDER BY psi.dim""".stripMargin
+  }
+
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, embeddingDriftSql(SparkDialect))
 
   /** Per-dimension embedding health — the cheap companion to the PCA
     * diagnostic: mean and variance of every coordinate (a dead or

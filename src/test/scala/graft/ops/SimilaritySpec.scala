@@ -413,6 +413,41 @@ class SimilaritySpec extends SparkSuite {
     assert(got.forall(t => t._3 > t._4 && t._3 <= 1.0))
   }
 
+  test("embedding drift: IID halves are stable, a planted shift trips PSI") {
+    import spark.implicits._
+    // fixture halves are draws from one distribution: psi sits at the
+    // chi-square noise floor (B-1)(1/n0+1/n1) ≈ 0.13 at 250-vec halves
+    // and the debiased verdict flags nothing
+    val fx = Similarity.embeddingDrift(spark, sf()).collect()
+    assert(fx.length == 64)
+    assert(fx.forall(_.getAs[Int]("drifted") == 0))
+    fx.foreach { r =>
+      val (p, nfl) = (r.getAs[Double]("psi"), r.getAs[Double]("noise_floor"))
+      assert(p >= 0.0 && nfl > 0.0 && p <= 0.2 + nfl + 0.2,
+        s"dim ${r.getAs[Long]("dim")}: psi=$p floor=$nfl")
+    }
+    // synthetic corpus: dim 1 shifted by +3 in the odd half, the other
+    // 63 dims identical across halves
+    val rows = (0L until 400L).map { id =>
+      val v = Array.tabulate(64) { j =>
+        val base = math.sin(id * 0.37 + j).toFloat // deterministic spread
+        if (j == 0 && id % 2 == 1) base + 3.0f else base
+      }
+      (id, v)
+    }
+    rows.toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    val got = spark.sql(Similarity.embeddingDriftSql(SparkDialect)).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        ((r.getAs[Double]("psi"), r.getAs[Int]("drifted")))).toMap
+    assert(got.size == 64)
+    assert(got(1L)._2 == 1 && got(1L)._1 > 1.0, s"dim1=${got(1L)}")
+    // unshifted dims stay at the noise floor, far under the planted one
+    (2L to 64L).foreach { j =>
+      assert(got(j)._2 == 0 && got(j)._1 < got(1L)._1 / 3,
+        s"dim$j=${got(j)}")
+    }
+  }
+
   test("outlier report: engine path serves its SQL form with sane bounds") {
     graft.functions.GraftFunctions.register(spark)
     graft.Tables.embeddings(spark, sf()).createOrReplaceTempView("embeddings")
