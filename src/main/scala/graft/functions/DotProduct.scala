@@ -96,6 +96,8 @@ object GraftFunctions {
       es => GraftShingles3(es.head)),
     ("graft_minhash", classOf[GraftMinHash],
       es => GraftMinHash(es.head)),
+    ("graft_top_cids", classOf[GraftTopCids],
+      es => GraftTopCids(es(0), es(1), es(2), es(3), es(4), es(5))),
     ("graft_bloom_agg",
       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
       es => org.apache.spark.sql.catalyst.expressions.aggregate

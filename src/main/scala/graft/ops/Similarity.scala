@@ -2402,29 +2402,26 @@ object Similarity {
     val spark = rows.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val c = broadcast(
-      cents.map { case (cid, cv, cnrm) => (cid, cv.toSeq, cnrm) }
-        .toDF("cid", "cv", "cnrm"))
-    val topk = new graft.functions.TopKPairs(top).toColumn.name("topk")
-    rows.select($"vec_id", $"v", $"nrm").join(c)
-      .select($"vec_id",
-        // Zero-norm rows or centroids must not reach the division at
-        // all (ANSI sessions throw DIVIDE_BY_ZERO; non-ANSI yields
-        // NULL, which the typed encoder rejects and TopKPairs'
-        // insertion order cannot total-order).  They rank LAST
-        // deterministically instead: cosine ∈ [-1,1], so -2 sorts
-        // below every real score and ties resolve by cid.
-        when($"nrm" * $"cnrm" > 0.0,
-          call_function("graft_dot", $"v", $"cv")
-            .divide($"nrm" * $"cnrm"))
-          .otherwise(lit(-2.0)).as("cs"),
-        $"cid")
-      .as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._2, r._3))
-      .agg(topk)
-      .map { case (vid, pairs) => (vid, pairs.map(_._2)) }
-      .toDF("vec_id", "cids")
+    graft.functions.GraftFunctions.register(spark)
+    // The codebook rides as THREE foldable literals into the native
+    // graft_top_cids kernel (one Literal node each — never k·D
+    // expression leaves, the Janino/constant-folding bomb
+    // CentroidExprMaxK guards the unrolled form against), so
+    // assignment runs inside the row pipeline: no broadcast join, no
+    // n·k intermediate rows, no per-group shuffle.  Replaces the
+    // broadcast-join + TopKPairs bounded-heap form — same contract
+    // bit for bit: cs = graft_dot(v, cv)/(nrm·cnrm) with non-positive
+    // norm products pinned to the -2.0 sentinel (cosine ∈ [-1,1], so
+    // they rank last), order (cs desc, cid asc).  Measured at the
+    // 100× fixture (k = 447, n = 200 k) the join form cost ~47 s of
+    // every _scaled serve; the kernel runs the same k·D flops in-row.
+    val sorted = cents.sortBy(_._1)
+    rows.select($"vec_id",
+      call_function("graft_top_cids", $"v", $"nrm",
+        typedLit(sorted.map(_._1)),
+        typedLit(sorted.map(_._2.toSeq)),
+        typedLit(sorted.map(_._3)),
+        lit(top)).as("cids"))
   }
 
   /** `df` + an assigned `cid` column (rank-1 centroid), dispatching
