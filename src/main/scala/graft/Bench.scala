@@ -20,8 +20,13 @@ object Bench {
     // anything new.  Excluded ≠ failed: the artifact lists the names
     // under "excluded" so a reader can't mistake the omission for
     // silent truncation.
+    // the literal token `baselines` expands to the registered
+    // documented-quadratic set (SparkEntry.scaleBaselines), so scaling
+    // smokes name ONE word instead of hand-maintaining the list
     val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        .flatMap((e: String) =>
+          if (e == "baselines") SparkEntry.scaleBaselines else Set(e)))
       .getOrElse(Set.empty[String])
     val queries = SparkEntry.queries.filter { case (name, _) =>
       wanted.forall(_.findFirstIn(name).isDefined) && !excluded(name)

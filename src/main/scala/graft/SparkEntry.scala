@@ -273,6 +273,24 @@ object SparkEntry {
     "minhash_sig_store" -> (n => n.startsWith("dedup_")),
   )
 
+  /** Queries that are DOCUMENTED brute-force / fixed-k ground-truth
+    * baselines — correct and oracle-checked, but quadratic (or
+    * near-quadratic) BY DESIGN, kept as the verify gates and simple
+    * contrasts their scale-safe twins are measured against.  Each
+    * names its scale path in its Scaladoc:
+    *   - `dedup_embedding` (exact all-pairs cosine) → `dedup_embedding_lsh_scaled`
+    *   - `dedup_embedding_lsh` (fixed 4-bit grid contrast) → the `_scaled` twin
+    *   - `dedup_lsh_recall` (diagnostic CONTAINING the all-pairs subquery)
+    *   - `dedup_semantic` (fixed-k clusters, uncapped in-cluster pairs) → `dedup_semantic_scaled`
+    *   - `sim_hybrid_rrf` (brute-force vector modality) → `sim_hybrid_rrf_ann(_scaled)`
+    * Large-scale smokes exclude exactly this set
+    * (`SPARK_GRAFT_BENCH_EXCLUDE=baselines` expands to it), so a
+    * scaling artifact can't silently carry an hours-long baseline row
+    * — and anything NOT in this set is asserting it holds at scale. */
+  def scaleBaselines: Set[String] = Set(
+    "dedup_embedding", "dedup_embedding_lsh", "dedup_lsh_recall",
+    "dedup_semantic", "sim_hybrid_rrf")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(

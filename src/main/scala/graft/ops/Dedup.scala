@@ -1285,11 +1285,13 @@ object Dedup {
     * for.
     *
     * SCALE CAVEAT: this fixed-k variant is the documented simple
-    * oracle baseline.  With k constant, cluster population grows
-    * ~n/k and the within-cluster pair join ~n²/k — quadratic.  The
-    * 100 TB form is `semanticScaled` below: √n TRAINED clusters plus
-    * a per-cluster candidate cap with exact dropped-pair accounting,
-    * which removes both growth terms (same keep/drop rule). */
+    * oracle baseline (registered in `SparkEntry.scaleBaselines`,
+    * default-excluded from large-scale smokes).  With k constant,
+    * cluster population grows ~n/k and the within-cluster pair join
+    * ~n²/k — quadratic.  The 100 TB form is `semanticScaled` below:
+    * √n TRAINED clusters plus a per-cluster candidate cap with exact
+    * dropped-pair accounting, which removes both growth terms (same
+    * keep/drop rule). */
   def semantic(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

@@ -806,6 +806,13 @@ object Retrieval {
     run(spark, dir, bm25Sql(SparkDialect))
   def chunkBm25(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, chunkBm25Sql(SparkDialect))
+  /** SCALE CAVEAT: documented brute-force baseline (registered in
+    * `SparkEntry.scaleBaselines`, default-excluded from large-scale
+    * smokes) — the vector modality scores every (query, doc) pair
+    * exactly.  The 100 TB forms are `hybridRrfAnn` /
+    * `hybridRrfAnnScaled` below: identical fusion arithmetic, vector
+    * candidates served from the persisted partition-pruned k-means
+    * stores. */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, hybridRrfSql(SparkDialect))
 

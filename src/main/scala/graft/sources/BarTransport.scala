@@ -46,7 +46,16 @@ object BarTransport {
                     maxRetries: Int = 3,
                     retryBaseMillis: Long = 10L,
                     minRequestIntervalMillis: Long = 0L,
-                    credentials: Map[String, String] = Map.empty)
+                    credentials: Map[String, String] = Map.empty) {
+    // The case-class toString would echo the credentials map verbatim
+    // into any log line or exception that stringifies the config (or a
+    // BarInputPartition carrying it) — redact it structurally so no
+    // accidental stringification can leak a secret once a real
+    // transport registers keys.
+    override def toString: String =
+      s"Config($pageSizeDays,$maxRetries,$retryBaseMillis," +
+        s"$minRequestIntervalMillis,credentials=<${credentials.size} keys>)"
+  }
 
   // ---------------------------------------------------------------
   // Default transport: the deterministic generator, paginated.
