@@ -105,9 +105,19 @@ object Bench {
     // the fields are null and the engine numbers stand alone.
     val baseline = timeDuckBaseline(sfDir, queries.keySet)
     val baseJson = baseline match {
-      case Some((dt, df)) =>
+      case Some((dt, df, dq)) =>
         val ratio = if (dt > 0) f"${total / dt}%.3f" else "null"
-        f""","duckdb_total":$dt%.3f,"duckdb_failed":$df,"ratio":$ratio"""
+        val dqJson = dq.toSeq.sorted
+          .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+          .mkString("{", ",", "}")
+        // the 2x gate is auditable PER QUERY: name every query whose
+        // engine/oracle ratio exceeds 2x (oracle times under 50 ms are
+        // noise-floor measurements, not a meaningful denominator)
+        val over = dq.toSeq.collect {
+          case (k, v) if v >= 0.05 && results.getOrElse(k, -1.0) > 2 * v =>
+            "\"" + k + "\""
+        }.sorted.mkString("[", ",", "]")
+        f""","duckdb_total":$dt%.3f,"duckdb_failed":$df,"ratio":$ratio,"duckdb_queries":$dqJson,"over_2x":$over"""
       case None => ""","duckdb_total":null,"ratio":null"""
     }
     val exclJson =
@@ -133,11 +143,11 @@ object Bench {
   }
 
   /** Time the DuckDB oracle suite for the measured query set in one
-    * subprocess: (total seconds, failed count).  None when the
-    * python+duckdb stack is unavailable or errors — the baseline is
-    * best-effort context, never a bench failure. */
+    * subprocess: (total seconds, failed count, per-query seconds).
+    * None when the python+duckdb stack is unavailable or errors — the
+    * baseline is best-effort context, never a bench failure. */
   private def timeDuckBaseline(sfDir: String,
-      names: Set[String]): Option[(Double, Int)] =
+      names: Set[String]): Option[(Double, Int, Map[String, Double])] =
     if (sys.env.get("SPARK_GRAFT_BASELINE").contains("0")) None
     else scala.util.Try {
       def q(s: String): String = "\"" + s.flatMap {
@@ -167,15 +177,18 @@ object Bench {
           |    if os.path.exists(p):
           |        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
           |oracle = json.load(open(op))
-          |total, failed = 0.0, 0
+          |total, failed, per = 0.0, 0, {}
           |for name in sorted(oracle):
           |    t0 = time.time()
           |    try:
           |        con.execute(oracle[name]).fetchall()
-          |        total += time.time() - t0
+          |        dt = time.time() - t0
+          |        total += dt
+          |        per[name] = round(dt, 3)
           |    except Exception:
           |        failed += 1
           |print(f"{total:.3f} {failed}")
+          |print(json.dumps(per))
           |""".stripMargin)
       val out = boundedRun(
         Seq("python3", script.toString, sfDir, oPath.toString),
@@ -185,11 +198,31 @@ object Bench {
         java.nio.file.Files.deleteIfExists(oPath)
         java.nio.file.Files.deleteIfExists(dir)
       } catch { case _: Throwable => () }
-      out.flatMap(_.trim.split("\\s+") match {
-        case Array(t, f) => Some((t.toDouble, f.toInt))
-        case _ => None
-      })
+      out.flatMap { text =>
+        text.trim.split("\n").toList match {
+          case first :: rest =>
+            first.trim.split("\\s+") match {
+              case Array(t, f) =>
+                // per-query line is best-effort: a missing/garbled map
+                // degrades to empty, never fails the baseline
+                val per = rest.headOption.map(parseFlatJsonDoubles)
+                  .getOrElse(Map.empty[String, Double])
+                Some((t.toDouble, f.toInt, per))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
     }.toOption.flatten
+
+  /** Parse a FLAT one-level JSON object of string->number (the shape
+    * the baseline subprocess prints) without a JSON library — keys
+    * here are query names ([a-z0-9_], no escapes). */
+  private[graft] def parseFlatJsonDoubles(s: String): Map[String, Double] =
+    "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r
+      .findAllMatchIn(s.trim)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
 
   /** Run a child process under a hard wall-clock bound: stderr goes
     * to DISCARD (an unread stderr pipe back-pressures a chatty child

@@ -44,14 +44,30 @@ case class GraftTopCids(v: Expression, nrm: Expression,
   override def prettyName: String = "graft_top_cids"
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = v.dataType.isInstanceOf[ArrayType] &&
-      v.dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
+    // pin the codebook literals' ELEMENT types too — graft_top_cids is
+    // a registered SQL function, so a caller passing e.g. array(1, 2)
+    // (ints) must fail at analysis, not ClassCastException in the lazy
+    // codebook extraction on the first task
+    def arrOf(e: Expression, elem: DataType): Boolean = e.dataType match {
+      case ArrayType(t, _) => t == elem
+      case _ => false
+    }
+    val ok = arrOf(v, DoubleType) &&
       nrm.dataType == DoubleType &&
-      Seq(cids, cvs, cnrms, top).forall(_.foldable)
+      Seq(cids, cvs, cnrms, top).forall(_.foldable) &&
+      arrOf(cids, LongType) &&
+      (cvs.dataType match { // nullability of the nesting is irrelevant
+        case ArrayType(ArrayType(DoubleType, _), _) => true
+        case _ => false
+      }) &&
+      arrOf(cnrms, DoubleType) &&
+      top.dataType == IntegerType
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "graft_top_cids requires (array<double>, double) row arguments " +
-        "and a foldable literal codebook (cids, cvs, cnrms, top)")
+      "graft_top_cids requires (v array<double>, nrm double) row " +
+        "arguments and a foldable literal codebook typed " +
+        "(cids array<bigint>, cvs array<array<double>>, " +
+        "cnrms array<double>, top int)")
   }
 
   // The codebook literals, extracted ONCE into flat primitive arrays.

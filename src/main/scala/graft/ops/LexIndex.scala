@@ -133,9 +133,15 @@ object LexIndex {
           "idf_u", "tf", "ndl", "avgdl")).as("c_u"))
     scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_u")).as("s_u"))
+      // global top-k as orderBy().limit(k) — TakeOrderedAndProject
+      // keeps per-partition heaps map-side and merges K rows on the
+      // driver, where the rank<=k-filtered global window form sorts
+      // every surviving row in ONE partition.  The rank column is
+      // re-derived by a window over the ≤ k survivors only.
+      .orderBy(col("s_u").desc, col("doc_id"))
+      .limit(Retrieval.TopK)
       .withColumn("rn",
         row_number().over(Window.orderBy(col("s_u").desc, col("doc_id"))))
-      .filter(col("rn") <= Retrieval.TopK)
       .select(col("rn").cast("long").as("rank"), col("doc_id"),
         round(col("s_u").cast("double") / 1e6, 6).as("bm25"),
         col("n_hit_terms").cast("long").as("n_hit_terms"))

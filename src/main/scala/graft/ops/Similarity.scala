@@ -347,7 +347,7 @@ object Similarity {
 
   /** ADC scoring + top-5 over final `codesRel`/`cbRel`. */
   private def pqAdcTail(d: SqlDialect, codesRel: String,
-      cbRel: String): String = {
+      cbRel: String, candRel: String = "cand"): String = {
     val q = d.dlit(1e6)
     s"""rn0 AS (
        |  SELECT a.vec_id,
@@ -359,14 +359,14 @@ object Similarity {
        |  SELECT vec_id, sqrt(CAST(nrm2_u AS DOUBLE) / $q) AS rnrm
        |  FROM rn0 WHERE nrm2_u > 0),
        |adc AS (
-       |  SELECT cand.qid, cand.nid,
+       |  SELECT c.qid, c.nid,
        |    CAST(sum(CAST(round(${d.dot("qs.sv", "cb.cw")} * $q) AS BIGINT))
        |      AS BIGINT) AS ip_u
-       |  FROM cand
-       |  JOIN $codesRel a ON a.vec_id = cand.nid
+       |  FROM $candRel c
+       |  JOIN $codesRel a ON a.vec_id = c.nid
        |  JOIN $cbRel cb ON cb.s = a.s AND cb.j = a.code
-       |  JOIN sub qs ON qs.vec_id = cand.qid AND qs.s = a.s
-       |  GROUP BY cand.qid, cand.nid),
+       |  JOIN sub qs ON qs.vec_id = c.qid AND qs.s = a.s
+       |  GROUP BY c.qid, c.nid),
        |sc AS (
        |  SELECT adc.qid, adc.nid,
        |    (CAST(ip_u AS DOUBLE) / $q) / (q.nrm * v.rnrm) AS cs
@@ -2326,10 +2326,45 @@ object Similarity {
     val n = ivfBase(spark, dir)
     exactIvfServe(spark, n, fixedCentsCached(spark, dir, n))
   }
+  /** Engine ADC forms: the COARSE stage (assignment + probing → cand)
+    * runs through the collected capped codebook and the kernel — no
+    * n·k CROSS JOIN, no per-vector window — registered as a temp view
+    * the PQ scoring SQL then references (the view is CTE-free, so the
+    * Catalyst CTE-id collision documented in `surViewSql` cannot
+    * bite).  The PQ chain itself is n·PqM·PqK narrow work — linear —
+    * and stays in SQL shared verbatim with the oracle, which
+    * recomputes the coarse stage from raw embeddings as the check
+    * that the kernel candidates ARE the CROSS JOIN's. */
   def ivfAdc(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir, ivfAdcSql(SparkDialect))
-  def ivfAdcTrained(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir, ivfAdcTrainedSql(SparkDialect))
+    adcWithKernelCand(spark, dir,
+      s"""${pqCommonCtes(SparkDialect)},
+         |${pqAssignCte(SparkDialect, "codes", "cb0")},
+         |${pqAdcTail(SparkDialect, "codes", "cb0", "graft_adc_cand")}"""
+        .stripMargin)
+
+  def ivfAdcTrained(spark: SparkSession, dir: String): DataFrame = {
+    val d = SparkDialect
+    val rounds = (1 to PqIters).map { i =>
+      s"""${pqAssignCte(d, s"a${i - 1}", s"cb${i - 1}")},
+         |${pqLloydCtes(d, i, s"a${i - 1}")}""".stripMargin
+    }.mkString(",\n")
+    adcWithKernelCand(spark, dir,
+      s"""${pqCommonCtes(d)},
+         |$rounds,
+         |${pqAssignCte(d, "codes", s"cb$PqIters")},
+         |${pqAdcTail(d, "codes", s"cb$PqIters", "graft_adc_cand")}"""
+        .stripMargin)
+  }
+
+  private def adcWithKernelCand(spark: SparkSession, dir: String,
+      pqChain: String): DataFrame = {
+    requirePqGeometry()
+    import spark.implicits._
+    val n = ivfBase(spark, dir)
+    val cents = fixedCentsCached(spark, dir, n)
+    ivfCand(spark, n, cents).createOrReplaceTempView("graft_adc_cand")
+    run(spark, dir, s"WITH ${baseCtes(SparkDialect)},\n$pqChain")
+  }
 
   /** Engine-side k-means IVF: the single-statement SQL form (kept as
     * the oracle) inlines the whole Lloyd chain at every reference, so
@@ -2559,6 +2594,20 @@ object Similarity {
     exactIvfServe(spark, n, trainCodebookCached(spark, dir, n))
   }
 
+  /** IVF candidate pairs (qid, nid) over any collected codebook:
+    * kernel/unrolled assignment + nprobe=2 probing — the coarse stage
+    * shared by the exact serve and the ADC engine forms (where it
+    * replaces the oracle's n·k CROSS JOIN + per-vector window). */
+  private def ivfCand(spark: SparkSession, n: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
+    import spark.implicits._
+    val asgn = assignedCid(n, cents).select($"vec_id", $"cid")
+    val probe = probeCids(n.filter($"vec_id" % 100 === 0), cents)
+    probe.join(asgn, "cid")
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"))
+  }
+
   /** In-memory IVF serve over ANY collected codebook: kernel/unrolled
     * assignment, nprobe=2 probing, exact cosine scoring, top-5 per
     * query — the shared tail of `ivfKmeans` (trained codebook) and
@@ -2568,11 +2617,7 @@ object Similarity {
       cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val asgn = assignedCid(n, cents).select($"vec_id", $"cid")
-    val probe = probeCids(n.filter($"vec_id" % 100 === 0), cents)
-    val cand = probe.join(asgn, "cid")
-      .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id".as("nid"))
+    val cand = ivfCand(spark, n, cents)
     val sc = cand
       .join(n.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")), "qid")
       .join(n.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nn")), "nid")

@@ -1019,13 +1019,19 @@ object TextAnalysis {
     * batch snapshot to obtain the band it pins a priori.  Session-
     * memoized per dataset; reads the cached `sur` view, so the corpus
     * LM fit is paid once. */
-  def surprisalBand(spark: SparkSession, dir: String): (Double, Double) = {
+  def surprisalBand(spark: SparkSession, dir: String): Option[(Double, Double)] = {
     registerSurView(spark, dir)
     RelationCache.cachedScalar(spark, s"curation_band:$dir") {
       val row = spark.sql(
         s"WITH ${surprisalBandCtes(SparkDialect)}\nSELECT blo, bhi FROM bnd")
         .head()
-      (row.getDouble(0), row.getDouble(1))
+      // A corpus where NO document has tokens fits no LM: the band
+      // quantiles are NULL.  Return None so callers fall back to the
+      // in-query band form (bnd.blo/bnd.bhi — NULL band fails every
+      // doc via the COALESCE-to-FALSE gate), matching the
+      // single-statement oracle instead of NPE-ing on getDouble.
+      if (row.isNullAt(0) || row.isNullAt(1)) None
+      else Some((row.getDouble(0), row.getDouble(1)))
     }
   }
 
@@ -1293,7 +1299,7 @@ object TextAnalysis {
 
   def curationLogFull(spark: SparkSession, dir: String): DataFrame = {
     val band = surprisalBand(spark, dir) // registers the sur view
-    spark.sql(curationLogFullSql(SparkDialect, Some(band)))
+    spark.sql(curationLogFullSql(SparkDialect, band))
   }
 
   /** CCNet-style corpus partition by LM surprisal: every scored
@@ -1347,11 +1353,11 @@ object TextAnalysis {
 
   def surprisalBuckets(spark: SparkSession, dir: String): DataFrame = {
     val band = surprisalBand(spark, dir) // registers the sur view
-    spark.sql(surprisalBucketsSql(SparkDialect, Some(band)))
+    spark.sql(surprisalBucketsSql(SparkDialect, band))
   }
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val band = surprisalBand(spark, dir)
-    spark.sql(curationFunnelSql(SparkDialect, Some(band)))
+    spark.sql(curationFunnelSql(SparkDialect, band))
   }
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, unigramLogprobSql(SparkDialect))

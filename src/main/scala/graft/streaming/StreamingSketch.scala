@@ -99,7 +99,13 @@ object StreamingSketch {
         Some(cells.join(chosen, Seq("batch", "attempt"))
           .select(valueCols.map(col): _*))
       } catch {
-        case _: org.apache.spark.sql.AnalysisException => None
+        // ONLY the no-committed-file race reads as empty — any other
+        // analysis failure (schema drift in a corrupted store, a
+        // renamed column) must surface as the error it is, or a
+        // monitoring sketch reports "no heavy hitters" for a broken
+        // store
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
       }
   }
 

@@ -26,4 +26,11 @@ class BenchHarnessSpec extends AnyFunSuite {
       Seq("python3", "-c", "import sys; print('partial'); sys.exit(3)"),
       30000).isEmpty)
   }
+
+  test("the flat per-query JSON line parses; garbage degrades to empty") {
+    assert(Bench.parseFlatJsonDoubles("""{"q1_agg":0.12,"q2_x":3.0}""") ==
+      Map("q1_agg" -> 0.12, "q2_x" -> 3.0))
+    assert(Bench.parseFlatJsonDoubles("not json at all").isEmpty)
+    assert(Bench.parseFlatJsonDoubles("{}").isEmpty)
+  }
 }

@@ -391,4 +391,40 @@ class PlanShapeSpec extends SparkSuite {
     assert(!a20.exists(_.nodeName.contains("Subquery")),
       a20.map(_.nodeName).distinct.mkString(","))
   }
+
+  test("serve-side top-k never runs an unbounded single-partition window") {
+    // VERDICT r12 item 7: a global `row_number() OVER (ORDER BY ...)`
+    // moves ALL data to one partition.  Serve paths must either plan
+    // the top-k as TakeOrderedAndProject (orderBy().limit(k)) or show
+    // WindowGroupLimit above the global sort, so the single-partition
+    // stage only ever sees ≤ k rows per upstream partition.
+    import org.apache.spark.sql.execution.window.WindowExec
+    def check(name: String): Unit = {
+      val q = SparkEntry.queries(name)(spark, sf())
+      q.count() // materialize (builds any absent store)
+      val nodes = planSubtree(q.queryExecution.executedPlan)
+      val names = nodes.map(_.nodeName)
+      val globalWindows = nodes.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      globalWindows.foreach { w =>
+        // every empty-partition window must sit above a group-limit
+        // (rank<=k pushed below the sort) or a limit — assert the
+        // bounding operator exists in the same plan
+        assert(names.exists(n => n.contains("WindowGroupLimit") ||
+            n.contains("TakeOrderedAndProject") ||
+            n.contains("GlobalLimit")),
+          s"$name: unbounded global WindowExec in\n${names.mkString(",")}")
+      }
+    }
+    Seq("text_bm25_persisted", "text_bm25_topk", "sim_hybrid_rrf_ann")
+      .foreach(check)
+    // the persisted lexical serve specifically plans the final top-k
+    // as a bounded take, not a global window at all
+    val serve = SparkEntry.queries("text_bm25_persisted")(spark, sf())
+    serve.count()
+    val serveNodes = planSubtree(serve.queryExecution.executedPlan)
+    assert(serveNodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      serveNodes.map(_.nodeName).distinct.mkString(","))
+  }
 }

@@ -407,8 +407,37 @@ class TextAnalysisSpec extends SparkSuite {
     spark.table("documents").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     val (flo, fhi) = TextAnalysis.surprisalBand(spark, dir.toString)
+      .getOrElse(fail("a tokenized corpus must fit a band"))
     assert(math.abs(flo - lo) < 1e-6 && math.abs(fhi - hi) < 1e-6)
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("an untokenizable corpus yields no band and all-failed gates, never an NPE") {
+    // ADVICE r12: a corpus where NO document has tokens fits no LM —
+    // the band quantiles are NULL.  The fit helper must return None
+    // (not NPE on getDouble) and the engine entry points must fall
+    // back to the in-query NULL band, whose COALESCE-to-FALSE gate
+    // fails every document — the single-statement oracle's behavior.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("band_degrade")
+    try {
+      Seq((1L, "!!! ???"), (2L, "..."), (3L, "--- ***"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      assert(TextAnalysis.surprisalBand(spark, dir.toString).isEmpty)
+      val log = TextAnalysis.curationLogFull(spark, dir.toString).collect()
+      assert(log.length == 3)
+      assert(log.forall(!_.getAs[Boolean]("kept")))
+      // the surprisal stage never passes a doc without LM evidence
+      assert(log.forall(r => r.isNullAt(r.fieldIndex("passed_surprisal")) ||
+        !r.getAs[Boolean]("passed_surprisal")))
+      // the sibling entry points take the same fallback without error
+      TextAnalysis.surprisalBuckets(spark, dir.toString).collect()
+      TextAnalysis.curationFunnel(spark, dir.toString).collect()
+    } finally {
+      RelationCache.clear(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
   }
 
   test("surprisal buckets partition the corpus around the gate's band") {

@@ -112,6 +112,22 @@ class BarTransportSpec extends SparkSuite {
     assert(scan("generator").size == 20)
   }
 
+  test("config stringification never echoes credential values") {
+    // ADVICE r12: the case-class toString would print the credentials
+    // map verbatim into any log/exception that stringifies the config
+    // (or a partition carrying it).  Redaction is structural: only the
+    // key COUNT survives stringification.
+    val cfg = Config(credentials =
+      Map("authKeyId" -> "AKIDSECRET42", "authSecret" -> "hunter2"))
+    val shown = Seq(cfg.toString, s"$cfg",
+      new RuntimeException(s"failed with $cfg").getMessage)
+    shown.foreach { s =>
+      assert(!s.contains("AKIDSECRET42") && !s.contains("hunter2"),
+        s"credential leaked into: $s")
+      assert(s.contains("credentials=<2 keys>"))
+    }
+  }
+
   test("an unknown transport name fails with the registered list") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.BarDataSource")

@@ -88,6 +88,25 @@ class StreamingSketchSpec extends SparkSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(missing))
   }
 
+  test("a corrupted store surfaces its analysis error — never reads as empty") {
+    // ADVICE r12: only the no-committed-file race may degrade to an
+    // empty sketch.  A store whose files exist but carry the WRONG
+    // schema (drift/corruption) must throw — a monitoring sketch that
+    // silently reports 'no heavy hitters' for a broken store is worse
+    // than one that fails.
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("cm_drift")
+    try {
+      Seq((1, "x")).toDF("wrong", "columns")
+        .write.parquet(s"$store/batch=0/attempt=1")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        StreamingSketch.mergedSketch(spark, store.toString).count()
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(store.toFile)
+    }
+  }
+
   test("stream-merged histogram serves quantiles within the bin-width bound") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
