@@ -20,11 +20,16 @@ object Plans {
       val src = scala.io.Source.fromFile(benchJson)
       try src.mkString finally src.close()
     }
-    // tiny extractor for the flat {"name": seconds, ...} map — only
-    // keys that are registered queries survive, so envelope fields
-    // ("value", "sf", ...) can never be selected
+    // tiny extractor for the ENGINE per-query map: scope to the
+    // `"queries":{...}` object first (the artifact also carries
+    // `duckdb_queries` with the same key set — grabbing the whole line
+    // would mix oracle seconds in), then keep registered query keys
+    val queriesObj = """"queries"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(txt)
+      .map(_.group(1))
+      .getOrElse(sys.error(s"no \"queries\" object in $benchJson"))
     val timed = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
-      .findAllMatchIn(txt)
+      .findAllMatchIn(queriesObj)
       .map(m => m.group(1) -> m.group(2).toDouble).toSeq
       .filter { case (k, _) => SparkEntry.queries.contains(k) }
       .sortBy(-_._2).take(n)
