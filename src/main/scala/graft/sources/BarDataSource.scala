@@ -65,7 +65,8 @@ private[sources] class BarTable(props: Map[String, String])
       retryBaseMillis = opt("retryBaseMillis", "10").toLong,
       minRequestIntervalMillis = opt("minRequestIntervalMillis", "0").toLong,
       credentials = Seq("authKeyId", "authSecret")
-        .flatMap(k => Option(opt(k, null)).map(k -> _)).toMap)
+        .flatMap(k => Option(opt(k, null)).map(k -> _)).toMap,
+      endpoint = opt("endpoint", ""))
     new BarScanBuilder(
       opt("symbols", ""),
       LocalDate.parse(opt("start", "2024-01-01")),

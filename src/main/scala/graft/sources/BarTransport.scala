@@ -46,15 +46,18 @@ object BarTransport {
                     maxRetries: Int = 3,
                     retryBaseMillis: Long = 10L,
                     minRequestIntervalMillis: Long = 0L,
-                    credentials: Map[String, String] = Map.empty) {
+                    credentials: Map[String, String] = Map.empty,
+                    endpoint: String = "") {
     // The case-class toString would echo the credentials map verbatim
     // into any log line or exception that stringifies the config (or a
     // BarInputPartition carrying it) — redact it structurally so no
     // accidental stringification can leak a secret once a real
-    // transport registers keys.
+    // transport registers keys.  The endpoint is not a secret (it
+    // names the remote, like a JDBC URL) and aids diagnosis.
     override def toString: String =
       s"Config($pageSizeDays,$maxRetries,$retryBaseMillis," +
-        s"$minRequestIntervalMillis,credentials=<${credentials.size} keys>)"
+        s"$minRequestIntervalMillis,credentials=<${credentials.size} keys>," +
+        s"endpoint=$endpoint)"
   }
 
   // ---------------------------------------------------------------
@@ -76,6 +79,126 @@ object BarTransport {
         day -> BarGen.bar(symbol, day)
       }
       Page(rows, if (until < total) Some(until.toString) else None)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // HTTP transport: a REAL remote client over the same seam.
+  // ---------------------------------------------------------------
+
+  /** HTTP/JSON bar transport — the second `BarTransport`
+    * implementation, proving the seam's contract holds for a remote
+    * with real latency, failures and pagination (the reference's
+    * client is exactly this shape behind an SDK,
+    * `/root/reference/app/alpaca_service.py:117-132`).
+    *
+    * Protocol (one GET per page):
+    *   `{endpoint}/bars?symbol=S&timeframe=T&start=YYYY-MM-DD&`
+    *   `end=YYYY-MM-DD&limit=N[&page_token=TOK]`
+    * with every credential entry sent as a request HEADER (the
+    * Alpaca/Polygon convention — never in the URL, so tokens cannot
+    * leak into server access logs or error messages carrying the
+    * URI).  Expected 200 body:
+    *   `{"bars": [{"t": "YYYY-MM-DD", "o":…, "h":…, "l":…, "c":…,
+    *     "v":…}, …], "next_page_token": "…" | null}`
+    * with bars in ascending day order (validated — an out-of-order
+    * page is a server bug that must fail the task loudly, not corrupt
+    * downstream watermark logic).
+    *
+    * Failure mapping (the seam's contract):
+    *  - 429 / 5xx → `RetryableFailure`, honoring a `Retry-After`
+    *    seconds header as the backoff floor;
+    *  - IO errors / timeouts → `RetryableFailure` (transient network);
+    *  - any other non-200 (401/403/404…) → fail FAST — auth or
+    *    protocol errors must surface, not burn the retry budget.
+    *
+    * Constructed per task like every transport (the factory runs
+    * inside the executor), so the HttpClient and its connection pool
+    * are task-local — no shared mutable state across partitions. */
+  final class Http(cfg: Config,
+      client: java.net.http.HttpClient = Http.defaultClient)
+      extends BarTransport {
+    require(cfg.endpoint.nonEmpty,
+      "http transport requires the 'endpoint' option (base URL)")
+
+    override def fetchPage(symbol: String, start: LocalDate, end: LocalDate,
+        timeframe: String, pageToken: Option[String]): Page = {
+      import java.net.http.{HttpRequest, HttpResponse}
+      def enc(s: String): String =
+        java.net.URLEncoder.encode(s, "UTF-8")
+      val url = s"${cfg.endpoint.stripSuffix("/")}/bars?symbol=${enc(symbol)}" +
+        s"&timeframe=${enc(timeframe)}&start=$start&end=$end" +
+        s"&limit=${math.max(1, cfg.pageSizeDays)}" +
+        pageToken.fold("")(t => s"&page_token=${enc(t)}")
+      val b = HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(Http.RequestTimeoutMillis))
+        .GET()
+      cfg.credentials.foreach { case (k, v) => b.header(k, v) }
+      val resp =
+        try client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+        catch {
+          case e: java.io.IOException =>
+            throw new RetryableFailure(s"io failure fetching $url: " +
+              s"${e.getClass.getSimpleName}")
+        }
+      resp.statusCode() match {
+        case 200 => Http.parsePage(resp.body(), url)
+        case s if s == 429 || s >= 500 =>
+          val retryAfter = resp.headers().firstValue("Retry-After")
+            .map[Long](v => v.toLong * 1000L).orElse(0L)
+          throw new RetryableFailure(s"HTTP $s from $url", retryAfter)
+        case s =>
+          // 4xx other than 429: auth/protocol — fail the task now
+          throw new IllegalArgumentException(
+            s"HTTP $s from $url (non-retryable)")
+      }
+    }
+  }
+
+  object Http {
+    val RequestTimeoutMillis = 30000L
+
+    private[sources] lazy val defaultClient: java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(5000))
+        .build()
+
+    /** Parse one page body.  Jackson (shipped with Spark) for the
+      * tree walk; strict field checks so a drifted server schema
+      * fails loudly with the URL, never as silent zeros. */
+    private[sources] def parsePage(body: String, url: String): Page = {
+      val root =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        catch {
+          case e: com.fasterxml.jackson.core.JacksonException =>
+            throw new IllegalArgumentException(
+              s"unparseable JSON from $url: ${e.getMessage}")
+        }
+      val barsNode = root.get("bars")
+      require(barsNode != null && barsNode.isArray,
+        s"response from $url lacks a 'bars' array")
+      import scala.jdk.CollectionConverters._
+      val rows = barsNode.elements().asScala.map { n =>
+        def f(k: String): com.fasterxml.jackson.databind.JsonNode = {
+          val v = n.get(k)
+          require(v != null, s"bar from $url lacks field '$k'")
+          v
+        }
+        val day = LocalDate.parse(f("t").asText())
+        day -> BarGen.Bar(f("o").asDouble(), f("h").asDouble(),
+          f("l").asDouble(), f("c").asDouble(), f("v").asLong())
+      }.toSeq
+      rows.sliding(2).foreach {
+        case Seq((a, _), (b, _)) =>
+          require(a.isBefore(b),
+            s"server returned out-of-order days $a >= $b from $url")
+        case _ => ()
+      }
+      val nextNode = root.get("next_page_token")
+      val next =
+        if (nextNode == null || nextNode.isNull) None
+        else Some(nextNode.asText())
+      Page(rows, next)
     }
   }
 
@@ -147,6 +270,7 @@ object BarTransports {
     new java.util.concurrent.ConcurrentHashMap[
       String, BarTransport.Config => BarTransport]()
   register("generator", cfg => new BarTransport.Generator(cfg))
+  register("http", cfg => new BarTransport.Http(cfg))
 
   def register(name: String,
                factory: BarTransport.Config => BarTransport): Unit =
