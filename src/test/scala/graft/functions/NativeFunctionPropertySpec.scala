@@ -94,4 +94,50 @@ class NativeFunctionPropertySpec extends AnyFunSuite {
       assert(mergedFlip == want, s"merge must commute, seed $i")
     }
   }
+
+  test("graft_top_cids kernel equals a brute-force rank on random codebooks") {
+    // The kernel's bounded insertion sort + sentinel handling against
+    // an independent recomputation: (cs desc, cid asc) with
+    // non-positive norm products pinned below every real cosine.
+    // Pure expression-level eval — no Spark session.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val dim = 8
+    val vec: Gen[Array[Double]] =
+      Gen.listOfN(dim, Gen.choose(-5, 5).map(_.toDouble)).map(_.toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    (1 to 120).foreach { i =>
+      val k = 1 + math.abs(sample(Gen.choose(1, 90), 7000L + i))
+      val cents = (0 until k).map { j =>
+        val cv = sample(vec, 8000L + i * 100 + j)
+        // every ~7th centroid is the zero vector (norm 0): the
+        // sentinel path must rank it last, ties by cid
+        val c = if (j % 7 == 3) Array.fill(dim)(0.0) else cv
+        (j.toLong * 2 + 1, c, math.sqrt(dot(c, c)))
+      }
+      val v = sample(vec, 9000L + i)
+      val nrm = math.sqrt(dot(v, v))
+      val top = 1 + i % 6
+      val expr = GraftTopCids(
+        Literal.create(v.toSeq, ArrayType(DoubleType)),
+        Literal(nrm),
+        Literal.create(cents.map(_._1), ArrayType(LongType)),
+        Literal.create(cents.map(_._2.toSeq),
+          ArrayType(ArrayType(DoubleType))),
+        Literal.create(cents.map(_._3), ArrayType(DoubleType)),
+        Literal(top))
+      val got = expr.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      val want = cents.map { case (cid, cv, cnrm) =>
+        val den = nrm * cnrm
+        val cs = if (den > 0) dot(v, cv) / den else -2.0
+        (cs, cid)
+      }.sortBy { case (cs, cid) => (-cs, cid) }.take(top).map(_._2)
+      assert(got == want, s"seed $i k=$k top=$top")
+    }
+  }
 }
