@@ -102,6 +102,36 @@ class BarHttpTransportSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("micro-batch streaming over HTTP drains the range exactly — " +
+      "stream ≡ batch through a flaky remote") {
+    // The T1-T8 streaming path over the REAL remote: bounded
+    // micro-batches, each page fetched over HTTP with injected 429s,
+    // must drain the full range with no skips and no duplicates.
+    import org.apache.spark.sql.streaming.Trigger
+    val (server, base) = startServer(flakyPer = 1)
+    try {
+      val df = spark.readStream.format("graft.sources.BarDataSource")
+        .option("symbols", "AAPL,MSFT")
+        .option("start", "2024-01-01").option("end", "2024-01-10")
+        .option("maxDaysPerBatch", "3")
+        .option("pageSizeDays", "2")
+        .option("transport", "http").option("endpoint", base)
+        .option("retryBaseMillis", "1")
+        .load()
+      val q = df.writeStream.format("memory").queryName("bars_http_stream")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val streamed = spark.table("bars_http_stream").collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
+      val batch = spark.read.format("graft.sources.BarDataSource")
+        .option("symbols", "AAPL,MSFT")
+        .option("start", "2024-01-01").option("end", "2024-01-10")
+        .load().collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(streamed == batch)
+      assert(streamed.length == 20)
+    } finally server.stop(0)
+  }
+
   test("auth rejection fails fast — no retry burn, no partial rows") {
     val (server, base) = startServer(requireKey = Some("right-key"))
     try {
