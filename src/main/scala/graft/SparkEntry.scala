@@ -283,13 +283,24 @@ object SparkEntry {
     *   - `dedup_lsh_recall` (diagnostic CONTAINING the all-pairs subquery)
     *   - `dedup_semantic` (fixed-k clusters, uncapped in-cluster pairs) → `dedup_semantic_scaled`
     *   - `sim_hybrid_rrf` (brute-force vector modality) → `sim_hybrid_rrf_ann(_scaled)`
+    * plus the GROUND-TRUTH MEASUREMENT tools, brute-force by
+    * definition (their output IS the exact answer the approximate
+    * operators are scored against — there is no "scale path", only
+    * sampling):
+    *   - `sim_topk_bruteforce`, `sim_quantized_topk` (exact all-pairs serving baselines)
+    *   - `sim_recall`, `sim_recall_rerank`, `sim_adc_recall`,
+    *     `sim_hybrid_recall` (each CONTAINS the all-pairs subquery by
+    *     construction — recall needs the true top-k)
     * Large-scale smokes exclude exactly this set
     * (`SPARK_GRAFT_BENCH_EXCLUDE=baselines` expands to it), so a
     * scaling artifact can't silently carry an hours-long baseline row
     * — and anything NOT in this set is asserting it holds at scale. */
   def scaleBaselines: Set[String] = Set(
     "dedup_embedding", "dedup_embedding_lsh", "dedup_lsh_recall",
-    "dedup_semantic", "sim_hybrid_rrf")
+    "dedup_semantic", "sim_hybrid_rrf",
+    "sim_topk_bruteforce", "sim_quantized_topk",
+    "sim_recall", "sim_recall_rerank", "sim_adc_recall",
+    "sim_hybrid_recall")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

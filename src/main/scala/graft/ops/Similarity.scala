@@ -1056,12 +1056,27 @@ object Similarity {
     * path appeared meanwhile, or the rename failed) discards its temp
     * dir, so readers only ever see a complete index.  Existence goes
     * through Hadoop's FileSystem so the check is correct on non-local
-    * storage too (java.io.File is always false for hdfs:// / s3a://). */
+    * storage too (java.io.File is always false for hdfs:// / s3a://).
+    *
+    * The published marker (`_GRAFT_PUBLISHED`) is OWNED BY THIS
+    * PROTOCOL, written after the winning rename — never inferred from
+    * Spark's `_SUCCESS`.  Under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` (the session
+    * default here, needed by the bar store's MERGE) a partitioned
+    * `mode("overwrite")` write commits through the dynamic-overwrite
+    * staging path, which produces NO `_SUCCESS` at the output root —
+    * so a marker check against `_SUCCESS` never passes and every
+    * "build-if-absent" call silently rebuilt the whole index into a
+    * tmp sibling and discarded it (measured: every persisted-store
+    * serve paid a full store build).  `_SUCCESS` is still accepted as
+    * evidence of a complete store for indexes published by older
+    * builds of this library. */
   private[ops] def publishIndex(spark: SparkSession,
       store: org.apache.hadoop.fs.Path)(build: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(store, "_SUCCESS"))) {
+    val published = new Path(store, "_GRAFT_PUBLISHED")
+    if (!fs.exists(published) && !fs.exists(new Path(store, "_SUCCESS"))) {
       // sweep tmp siblings leaked by CRASHED builders; the one-hour age
       // bar keeps a live concurrent build's tmp safe from the sweep
       val stale = fs.globStatus(
@@ -1082,6 +1097,8 @@ object Similarity {
         // the nested artifact so list scans never see mixed depths
         val nested = new Path(store, tmp.getName)
         if (fs.exists(nested)) fs.delete(nested, true)
+        // mark complete LAST: readers/re-builders gate on this
+        fs.create(published, true).close()
       }
     }
   }

@@ -761,6 +761,39 @@ class SimilaritySpec extends SparkSuite {
       .size == 20)
   }
 
+  test("publish-if-absent is a real no-op on the second call") {
+    // Round-13 find: under partitionOverwriteMode=dynamic (the session
+    // default) Spark's committer writes NO _SUCCESS for a partitioned
+    // overwrite, so a marker check against it never passed and EVERY
+    // persisted-store serve silently rebuilt the whole index into a
+    // tmp sibling and discarded it.  publishIndex now owns its marker
+    // (_GRAFT_PUBLISHED): after the first build, a repeat call must
+    // leave the store byte-identical — same files, same mtimes — and
+    // spawn no tmp sibling.
+    val base = java.nio.file.Files.createTempDirectory("pub_once")
+    try {
+      Similarity.ivfPersisted(spark, sf(), Some(base.toString)).count()
+      val store = base.toFile.listFiles()
+        .filter(_.getName.startsWith("graft_ivf_fix")).head
+      assert(new java.io.File(store, "_GRAFT_PUBLISHED").exists(),
+        "winning publish must leave the protocol marker")
+      def snapshot(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(store).map(f => f.getPath -> f.lastModified()).toMap
+      }
+      val before = snapshot()
+      Similarity.ivfPersisted(spark, sf(), Some(base.toString)).count()
+      assert(snapshot() == before,
+        "second publish call must not touch the store")
+      assert(!base.toFile.listFiles()
+        .exists(_.getName.contains("_tmp_")),
+        "second publish call must not even stage a tmp build")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   test("graft_top_cids rejects a mistyped codebook at analysis time") {
     // ADVICE r12: the kernel is a registered SQL function — a caller
     // passing int cids or a BIGINT top must get an analysis-time type
