@@ -133,6 +133,7 @@ object SparkEntry {
     "text_gopher_rules" -> (TextFilters.gopherRules _),
     "text_gopher_by_source" -> (TextFilters.gopherBySource _),
     "text_heavy_hitters" -> (TextFilters.heavyHitters _),
+    "text_source_cap" -> (TextFilters.sourceCap _),
     "text_shard_plan" -> (TextFilters.shardPlan _),
     "text_shard_manifest" -> (TextFilters.shardManifest _),
     "q_ts_correlation" -> (Temporal.tsCorrelation _),
@@ -600,6 +601,7 @@ object SparkEntry {
     "text_gopher_rules" -> TextFilters.gopherRulesSql(DuckDialect),
     "text_gopher_by_source" -> TextFilters.gopherBySourceSql(DuckDialect),
     "text_heavy_hitters" -> TextFilters.heavyHittersSql(DuckDialect),
+    "text_source_cap" -> TextFilters.sourceCapSql(DuckDialect),
     "text_shard_plan" -> TextFilters.shardPlanSql(DuckDialect),
     "text_shard_manifest" -> TextFilters.shardManifestSql(DuckDialect),
     "q_ts_correlation" -> Temporal.tsCorrelationOracleSql,

@@ -585,4 +585,56 @@ object TextFilters {
     run(spark, dir, bigramLogprobSql(SparkDialect))
   def pmiPairs(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, pmiPairsSql(SparkDialect))
+
+  /** Per-source document cap — the Common-Crawl-style per-domain cap
+    * every production pretraining mix applies so one over-crawled
+    * domain cannot dominate the corpus.  Within each source the
+    * keepers are elected by a SALTED HASH of the doc id (rank ≤ cap
+    * under (hash, doc_id) order): a content-independent deterministic
+    * uniform sample — the same coin `writeShards`' pseudo-shuffle and
+    * the weighted sampler flip — so re-runs keep the SAME documents
+    * with no RNG state.  The cap is corpus-derived
+    * (`SourceCapShare` × the even share n/k, ceil'd), so the operator
+    * trips on every fixture's skew instead of needing per-corpus
+    * retuning; production calls pick their own absolute cap.
+    *
+    * Scale: one shuffle by source + a per-source sort for the rank —
+    * the `q_topk_per_group` shape, linearithmic, no all-pairs and no
+    * global window.  (At extreme per-source cardinality the
+    * rank-free variant thresholds the uniform hash at cap/n_s — an
+    * approximate cap with no sort at all; the exact rank form is the
+    * oracle-checkable contract.)  Output: per source, the doc count,
+    * the cap, kept/dropped, and kept character mass — the audit a
+    * curation run publishes next to `dedup_report`. */
+  val SourceCapShare = 0.75
+
+  def sourceCapSql(d: SqlDialect): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, coalesce(source, '(null)') AS source,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    ${d.h60(s"'cap#' || ${d.castStr("doc_id")}")} AS rnk
+       |  FROM documents),
+       |tot AS (
+       |  SELECT CAST(ceil(${d.dlit(SourceCapShare)}
+       |      * CAST(count(*) AS DOUBLE)
+       |      / count(DISTINCT source)) AS BIGINT) AS cap
+       |  FROM s),
+       |r AS (
+       |  SELECT source, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY rnk, doc_id) AS rn
+       |  FROM s),
+       |j AS (
+       |  SELECT source, n_chars, cap,
+       |    CASE WHEN rn <= cap THEN 1 ELSE 0 END AS kept
+       |  FROM r CROSS JOIN tot)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, cap,
+       |  CAST(sum(kept) AS BIGINT) AS kept,
+       |  CAST(count(*) - sum(kept) AS BIGINT) AS dropped,
+       |  CAST(sum(kept * n_chars) AS BIGINT) AS kept_chars
+       |FROM j GROUP BY source, cap
+       |ORDER BY source""".stripMargin
+
+  def sourceCap(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, sourceCapSql(SparkDialect))
 }
