@@ -162,6 +162,7 @@ object SparkEntry {
     // Similarity search over embeddings
     "sim_topk_bruteforce" -> (Similarity.topK _),
     "sim_ann_lsh" -> (Similarity.annLsh _),
+    "sim_ann_lsh_scaled" -> (Similarity.annLshScaled _),
     "sim_ann_ivf" -> (Similarity.ivf _),
     "sim_ivf_kmeans" -> (Similarity.ivfKmeans _),
     "sim_recall" -> (Similarity.recall _),
@@ -283,6 +284,9 @@ object SparkEntry {
     *   - `dedup_embedding_lsh` (fixed 4-bit grid contrast) → the `_scaled` twin
     *   - `dedup_lsh_recall` (diagnostic CONTAINING the all-pairs subquery)
     *   - `dedup_semantic` (fixed-k clusters, uncapped in-cluster pairs) → `dedup_semantic_scaled`
+    *   - `sim_ann_lsh` (fixed 4-bit-grid serve: bucket population ∝ n,
+    *     measured 1.30/decade) → `sim_ann_lsh_scaled` (corpus-scaled
+    *     band width) and the trained-IVF family
     *   - `sim_hybrid_rrf` (brute-force vector modality) → `sim_hybrid_rrf_ann(_scaled)`
     * plus the GROUND-TRUTH MEASUREMENT tools, brute-force by
     * definition (their output IS the exact answer the approximate
@@ -298,7 +302,7 @@ object SparkEntry {
     * — and anything NOT in this set is asserting it holds at scale. */
   def scaleBaselines: Set[String] = Set(
     "dedup_embedding", "dedup_embedding_lsh", "dedup_lsh_recall",
-    "dedup_semantic", "sim_hybrid_rrf",
+    "dedup_semantic", "sim_ann_lsh", "sim_hybrid_rrf",
     "sim_topk_bruteforce", "sim_quantized_topk",
     "sim_recall", "sim_recall_rerank", "sim_adc_recall",
     "sim_hybrid_recall")
@@ -631,6 +635,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.incrementalSql(DuckDialect),
     "sim_topk_bruteforce" -> Similarity.topKSql(DuckDialect),
     "sim_ann_lsh" -> Similarity.annLshSql(DuckDialect),
+    "sim_ann_lsh_scaled" -> Similarity.annLshScaledSql(DuckDialect),
     "sim_ann_ivf" -> Similarity.ivfSql(DuckDialect),
     "sim_ivf_kmeans" -> Similarity.ivfKmeansSql(DuckDialect),
     "sim_recall" -> Similarity.recallSql(DuckDialect),

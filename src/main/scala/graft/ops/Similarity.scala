@@ -150,7 +150,15 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-5: candidates share ≥1 of 4 band
-    * values (4 bits each from 16 hyperplane sign bits). */
+    * values (4 bits each from 16 hyperplane sign bits).
+    *
+    * SCALE CAVEAT: the band space is FIXED (4 bands × 16 buckets), so
+    * bucket population grows ∝ n and the band self-join degrades
+    * superlinearly (measured 1.30/decade, SCALING.md) — this variant
+    * is the small-corpus / grid-contrast form, registered in
+    * `SparkEntry.scaleBaselines`.  The 100 TB paths are
+    * `annLshScaledSql` below (corpus-scaled band width, ~constant
+    * bucket occupancy) and the IVF family (`sim_ivf_kmeans_scaled`). */
   def annLshSql(d: SqlDialect): String = {
     val bitCols = (0 until AnnPlanes)
       .map(p => s"${projBit(d, p)} AS bit$p").mkString(",\n    ")
@@ -171,6 +179,75 @@ object Similarity {
        |  SELECT DISTINCT q.vec_id AS qid, x.vec_id AS nid
        |  FROM bands q JOIN bands x
        |    ON q.band = x.band AND q.bval = x.bval
+       |   AND q.vec_id % 100 = 0 AND q.vec_id != x.vec_id),
+       |p AS (
+       |  SELECT c.qid, c.nid,
+       |    ${d.dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
+       |  FROM cand c
+       |  JOIN n a ON a.vec_id = c.qid
+       |  JOIN n b ON b.vec_id = c.nid),
+       |r AS (
+       |  SELECT qid, nid, cs,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+       |  FROM p)
+       |SELECT qid AS query_id, nid AS neighbor_id,
+       |  round(cs, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+       |FROM r WHERE rn <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Corpus-scaled hyperplane-LSH ANN — `annLshSql`'s fix for the
+    * fixed band space's quadratic floor, mirroring
+    * `Dedup.embeddingLshScaledSql` exactly: same 4 bands, but each
+    * band key is the FIRST `nb` bits of a 16-bit-per-band hyperplane
+    * signature, where `nb = clamp(4..16, ceil(log2(n / 32)))` comes
+    * from a scalar subquery over the corpus count.  Expected bucket
+    * occupancy stays ~32 vectors at any corpus size, so per-query
+    * candidate volume is ~4·32 instead of ~4·n/16 — the serve is
+    * genuinely sublinear.  The integer threshold ladder (not float
+    * log2) keeps the width engine-exact; the SQL text is static, so
+    * the identical statement runs in Spark and DuckDB and the result
+    * stays hash-checked.  At oracle scales where nb floors at 4 the
+    * bucket granularity matches the fixed grid's band WIDTH (the
+    * plane sets differ, so results may still differ); the standard
+    * LSH recall tradeoff (narrower buckets ⇒ lower per-band collision
+    * probability for true neighbors) is measured by the recall
+    * family, with the trained-IVF path as the production alternative
+    * when recall at depth matters more than raw serve cost. */
+  def annLshScaledSql(d: SqlDialect): String = {
+    val maxBits = 16
+    val bitCols = (0 until AnnBands * maxBits).map { p =>
+      val proj = d.dot("v", d.arrOf(planeWeights(p).map(d.dlit)))
+      s"(CASE WHEN $proj > 0 THEN 1 ELSE 0 END) AS bit$p"
+    }.mkString(",\n    ")
+    val bandStrs = (0 until AnnBands).map { b =>
+      val cat = (0 until maxBits)
+        .map(r => d.castStr(s"bit${b * maxBits + r}"))
+        .mkString(", ")
+      s"SELECT vec_id, $b AS band, concat($cat) AS bstr FROM bits"
+    }.mkString("\n  UNION ALL\n  ")
+    val nbLadder = (4 until maxBits)
+      .map(b => s"WHEN count(*) <= ${32L * (1L << b)} THEN $b")
+      .mkString("\n    ")
+    s"""WITH ${baseCtes(d)},
+       |w AS (
+       |  SELECT CAST(CASE
+       |    $nbLadder
+       |    ELSE $maxBits END AS INT) AS nb
+       |  FROM n),
+       |bits AS (
+       |  SELECT vec_id,
+       |    $bitCols
+       |  FROM n),
+       |bands AS (
+       |  $bandStrs),
+       |keys AS (
+       |  SELECT vec_id, band, substring(bstr, 1, w.nb) AS bkey
+       |  FROM bands CROSS JOIN w),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, x.vec_id AS nid
+       |  FROM keys q JOIN keys x
+       |    ON q.band = x.band AND q.bkey = x.bkey
        |   AND q.vec_id % 100 = 0 AND q.vec_id != x.vec_id),
        |p AS (
        |  SELECT c.qid, c.nid,
@@ -2336,6 +2413,8 @@ object Similarity {
     run(spark, dir, quantizedTopKSql(SparkDialect))
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, annLshSql(SparkDialect))
+  def annLshScaled(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, annLshScaledSql(SparkDialect))
   def ivf(spark: SparkSession, dir: String): DataFrame = {
     // engine form assigns through the kernel against the collected
     // capped fixed codebook — the single-statement `ivfSql` (whose n·k

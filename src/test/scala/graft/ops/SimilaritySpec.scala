@@ -149,6 +149,51 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("corpus-scaled ANN LSH agrees with brute-force cosines and is well-formed") {
+    val ann = Similarity.annLshScaled(spark, sf()).collect()
+    assert(ann.nonEmpty)
+    val byQuery = ann.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length) && ranks.length <= 5)
+    }
+    val brute = Similarity.topK(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    ann.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      brute.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+  }
+
+  test("scaled ANN LSH never loses exact duplicates as bands narrow") {
+    // Double the sf0.001 corpus (500 → 1000 vectors, copies at
+    // vec_id + 10000): n/32 > 16 pushes the scaled band width past
+    // the fixed grid's 4 bits.  An identical vector shares EVERY band
+    // key at any width and has cosine 1.0, so each query's duplicate
+    // must be retrieved at rank 1 — the recall floor of the
+    // narrowing tradeoff (DedupSpec pins the same invariant for the
+    // near-dup twin).
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val base = graft.Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    base.union(base.withColumn("vec_id", col("vec_id") + lit(10000L)))
+      .createOrReplaceTempView("embeddings")
+    val got = spark.sql(Similarity.annLshScaledSql(SparkDialect)).collect()
+    val rank1 = got.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // queries are vec_id % 100 == 0 in BOTH halves; each has its twin
+    val queries = got.map(_.getAs[Long]("query_id")).distinct
+    assert(queries.nonEmpty)
+    queries.foreach { q =>
+      val twin = if (q >= 10000L) q - 10000L else q + 10000L
+      assert(rank1.get(q).contains(twin), s"query $q lost duplicate $twin")
+      assert(got.exists(r => r.getAs[Long]("query_id") == q &&
+        r.getAs[Long]("neighbor_id") == twin &&
+        r.getAs[Double]("cosine") == 1.0))
+    }
+  }
+
   test("ANN results agree with brute-force cosines on shared pairs") {
     val ann = Similarity.annLsh(spark, sf()).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
