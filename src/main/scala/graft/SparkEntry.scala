@@ -166,6 +166,7 @@ object SparkEntry {
     "sim_ann_ivf" -> (Similarity.ivf _),
     "sim_ivf_kmeans" -> (Similarity.ivfKmeans _),
     "sim_recall" -> (Similarity.recall _),
+    "sim_recall_sampled" -> (Similarity.recallSampled _),
     "sim_recall_rerank" -> (Similarity.recallRerank _),
     "sim_quantize" -> (Similarity.quantize _),
     "sim_ann_ivf_persisted" ->
@@ -217,6 +218,7 @@ object SparkEntry {
     "lex_index_health" ->
       ((s: SparkSession, d: String) => LexIndex.indexHealth(s, d)),
     "sim_hybrid_recall" -> (Retrieval.hybridRecall _),
+    "sim_hybrid_recall_sampled" -> (Retrieval.hybridRecallSampled _),
     "sim_hybrid_rrf" -> (Retrieval.hybridRrf _),
     "sim_hybrid_rrf_ann" -> (Retrieval.hybridRrfAnn _),
     "sim_hybrid_rrf_ann_scaled" -> (Retrieval.hybridRrfAnnScaled _),
@@ -639,6 +641,7 @@ object SparkEntry {
     "sim_ann_ivf" -> Similarity.ivfSql(DuckDialect),
     "sim_ivf_kmeans" -> Similarity.ivfKmeansSql(DuckDialect),
     "sim_recall" -> Similarity.recallSql(DuckDialect),
+    "sim_recall_sampled" -> Similarity.recallSampledSql(DuckDialect),
     "sim_recall_rerank" -> Similarity.recallRerankSql(DuckDialect),
     "sim_quantize" -> Similarity.quantizeSql(DuckDialect),
     // identical semantics to sim_ann_ivf / sim_ivf_kmeans by
@@ -671,6 +674,8 @@ object SparkEntry {
     "text_bm25_persisted" -> Retrieval.bm25Sql(DuckDialect),
     "lex_index_health" -> Retrieval.lexIndexHealthSql(DuckDialect),
     "sim_hybrid_recall" -> Retrieval.hybridRecallSql(DuckDialect),
+    "sim_hybrid_recall_sampled" ->
+      Retrieval.hybridRecallSampledSql(DuckDialect),
     "sim_hybrid_rrf" -> Retrieval.hybridRrfSql(DuckDialect),
     "sim_hybrid_rrf_ann" -> Retrieval.hybridRrfAnnSql(DuckDialect),
     "sim_hybrid_rrf_ann_scaled" ->

@@ -238,13 +238,20 @@ object Retrieval {
     * in `vtop(qid, nid, vrank)` — factored out so the engine side can
     * run it standalone and fuse against the CACHED lexical rank
     * relation instead of re-inlining the whole lexical chain. */
-  private def bruteVtopCtes(d: SqlDialect): String =
+  private def bruteVtopCtes(d: SqlDialect, sampled: Boolean = false): String = {
+    val sampleCtes =
+      if (sampled) s"${Similarity.qsampleCtes(d)},\n" else ""
+    val qBody =
+      if (sampled)
+        """SELECT n.vec_id, n.v, n.nrm
+          |  FROM n JOIN qsample s ON s.vec_id = n.vec_id""".stripMargin
+      else "SELECT vec_id, v, nrm FROM n WHERE vec_id % 100 = 0"
     s"""e AS (
        |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
        |n AS (
        |  SELECT vec_id, v, sqrt(${d.dot("v", "v")}) AS nrm FROM e),
-       |q AS (
-       |  SELECT vec_id, v, nrm FROM n WHERE vec_id % 100 = 0),
+       |${sampleCtes}q AS (
+       |  $qBody),
        |vs AS (
        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
        |    round(${d.dot("q.v", "n.v")} / (q.nrm * n.nrm), 6) AS cs
@@ -255,6 +262,7 @@ object Retrieval {
        |  FROM vs),
        |vtop AS (
        |  SELECT qid, nid, vrank FROM vr WHERE vrank <= $FuseDepth)""".stripMargin
+  }
 
   /** `sim_hybrid_rrf` with the SUB-LINEAR vector side: the exact
     * brute-force cosine ranking is replaced by the trained-k-means
@@ -326,7 +334,11 @@ object Retrieval {
   /** Lexical document-as-query ranking CTEs (query docs ≡ 0 mod 100),
     * ending in `ltop(qid, nid, lrank)` — shared by both hybrid
     * variants. */
-  private def lexRankCtes(d: SqlDialect): String =
+  private def lexRankCtes(d: SqlDialect, sampled: Boolean = false): String = {
+    val qPred =
+      if (sampled)
+        "tf.doc_id IN (SELECT vec_id FROM qsample)"
+      else "tf.doc_id % 100 = 0"
     s"""${lexCtes(d)},
        |${idfCte(d)},
        |qt AS (
@@ -335,7 +347,7 @@ object Retrieval {
        |      row_number() OVER (PARTITION BY tf.doc_id
        |        ORDER BY i.idf_u * tf.tf DESC, tf.term) AS trn
        |    FROM tf JOIN idf i ON i.term = tf.term
-       |    WHERE tf.doc_id % 100 = 0) z
+       |    WHERE $qPred) z
        |  WHERE trn <= $MltTerms),
        |ltf AS (
        |  SELECT doc_id, term, tf FROM (
@@ -359,6 +371,7 @@ object Retrieval {
        |  FROM ls),
        |ltop AS (
        |  SELECT qid, nid, lrank FROM lr WHERE lrank <= $FuseDepth)""".stripMargin
+  }
 
   /** RRF fusion of `vtop(qid, nid, vrank)` and `ltop(qid, nid,
     * lrank)` plus the final top-k projection — the closing CTEs of
@@ -757,6 +770,39 @@ object Retrieval {
        |    AS recall_frac
        |FROM c ORDER BY query_id""".stripMargin
 
+  /** The exact hybrid restricted to the deterministic √|Q| query
+    * sample — both modalities filter the query side BEFORE their
+    * expensive stages (the brute-force vector join and the MLT term
+    * pick), so the statement's cost is ~√|Q|·n instead of |Q|·n.
+    * Per-query semantics are UNCHANGED: every ranking (vector,
+    * lexical, fused) is per-query independent, so a sampled query's
+    * rows are bit-identical to its rows in `hybridRrfSql`. */
+  def hybridRrfSampledSql(d: SqlDialect): String =
+    s"""WITH ${bruteVtopCtes(d, sampled = true)},
+       |${lexRankCtes(d, sampled = true)},
+       |${fusionTail(d)}""".stripMargin
+
+  /** `sim_hybrid_recall` with the SAMPLED exact hybrid as ground
+    * truth — the variant that runs at 10×/100× fixtures where the
+    * full harness is a registered baseline (its brute-force side is
+    * |Q|·n by definition).  The ANN hybrid side serves all queries
+    * (that IS the production workload); the LEFT JOIN from the
+    * sampled exact side restricts the comparison to the sample. */
+  def hybridRecallSampledSql(d: SqlDialect): String =
+    s"""WITH x AS (
+       |  SELECT query_id, neighbor_id FROM (${hybridRrfSampledSql(d)}) hx),
+       |y AS (
+       |  SELECT query_id, neighbor_id FROM (${hybridRrfAnnSql(d)}) hy),
+       |c AS (
+       |  SELECT x.query_id, count(y.neighbor_id) AS n_common
+       |  FROM x LEFT JOIN y
+       |    ON y.query_id = x.query_id AND y.neighbor_id = x.neighbor_id
+       |  GROUP BY x.query_id)
+       |SELECT query_id, CAST(n_common AS BIGINT) AS n_common,
+       |  round(CAST(n_common AS DOUBLE) / ${d.dlit(TopK.toDouble)}, 6)
+       |    AS recall_frac
+       |FROM c ORDER BY query_id""".stripMargin
+
   /** Per-shard health of the persisted lexical postings index — the
     * `sim_index_health` projection for the BM25 store: posting and
     * distinct-term counts per `tshard=` partition, corpus fraction,
@@ -790,6 +836,39 @@ object Retrieval {
   def hybridRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val ex = hybridRrf(spark, dir).select("query_id", "neighbor_id")
+    val an = hybridRrfAnn(spark, dir).select("query_id", "neighbor_id")
+    val common = ex.join(an, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    ex.select("query_id").distinct()
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).cast("long").as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") / TopK, 6)
+          .as("recall_frac"))
+      .orderBy("query_id")
+  }
+
+  /** Engine side of `sim_hybrid_recall_sampled`: the sampled exact
+    * hybrid is composed from the standalone sampled brute vtop and
+    * the CACHED full lexical rank filtered to the sample (per-query
+    * rankings are independent, so filtering the full relation equals
+    * computing it sampled — and reuses the one build the other three
+    * hybrid queries share); the ANN side is the store-served
+    * production form.  The single-statement SQL recomputing both
+    * pipelines from raw tables stays as the oracle. */
+  def hybridRecallSampled(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val qsample = run(spark, dir,
+      s"""WITH e AS (SELECT vec_id FROM embeddings),
+         |n AS (SELECT vec_id FROM e),
+         |${Similarity.qsampleCtes(SparkDialect)}
+         |SELECT vec_id FROM qsample""".stripMargin)
+    val vtop = run(spark, dir,
+      s"WITH ${bruteVtopCtes(SparkDialect, sampled = true)} " +
+        "SELECT qid, nid, vrank FROM vtop")
+    val ltopSampled = lexTop(spark, dir)
+      .join(qsample, col("qid") === col("vec_id"), "left_semi")
+    val ex = fuse(vtop, ltopSampled).select("query_id", "neighbor_id")
     val an = hybridRrfAnn(spark, dir).select("query_id", "neighbor_id")
     val common = ex.join(an, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_common"))

@@ -176,6 +176,25 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("sampled hybrid recall equals the full harness restricted to the sample") {
+    // Per-query rankings are independent, so the sampled harness must
+    // reproduce the full harness's rows verbatim for the sampled ids —
+    // the invariant that makes the sampled variant a valid stand-in at
+    // scaling fixtures where the full harness cannot run.
+    val full = Retrieval.hybridRecall(spark, sf()).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_common"), r.getAs[Double]("recall_frac")))).toMap
+    val got = Retrieval.hybridRecallSampled(spark, sf()).collect()
+    val nq = full.size
+    assert(got.length == math.ceil(math.sqrt(nq.toDouble)).toLong)
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(full.contains(q))
+      assert(full(q) ==
+        ((r.getAs[Long]("n_common"), r.getAs[Double]("recall_frac"))))
+    }
+  }
+
   test("dsir resampling applies the exact acceptance coin per doc") {
     val weights = Retrieval.dsirWeights(spark, sf()).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_logratio"))

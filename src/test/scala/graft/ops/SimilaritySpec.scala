@@ -149,6 +149,24 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("sampled recall harness scores the scaled paths against sampled truth") {
+    val full = Similarity.recall(spark, sf()).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_true")).toMap
+    val got = Similarity.recallSampled(spark, sf()).collect()
+    // sample size ⌈√|Q|⌉, every sampled id a member of the query set,
+    // truth cardinality identical to the full harness's per query
+    assert(got.length == math.ceil(math.sqrt(full.size.toDouble)).toLong)
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(full.contains(q))
+      assert(r.getAs[Long]("n_true") == full(q))
+      Seq("recall_lsh_scaled", "recall_kmeans_scaled").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0)
+      }
+    }
+  }
+
   test("corpus-scaled ANN LSH agrees with brute-force cosines and is well-formed") {
     val ann = Similarity.annLshScaled(spark, sf()).collect()
     assert(ann.nonEmpty)
