@@ -241,6 +241,7 @@ object SparkEntry {
     "mm_video_frames" -> (Multimodal.videoFrames _),
     "mm_image_resize" -> (Multimodal.imageResize _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
+    "mm_decode_wav" -> (Multimodal.decodeWav _),
     "mm_audio_windows" -> (Multimodal.audioWindows _),
     "mm_dedup" -> (Multimodal.payloadDedup _),
   )
@@ -701,6 +702,7 @@ object SparkEntry {
     "mm_video_frames" -> Multimodal.videoFramesOracleSql,
     "mm_image_resize" -> Multimodal.imageResizeOracleSql,
     "mm_decode_features" -> Multimodal.decodeFeaturesOracleSql,
+    "mm_decode_wav" -> Multimodal.decodeWavOracleSql,
     "mm_audio_windows" -> Multimodal.audioWindowsOracleSql,
     "mm_dedup" -> Multimodal.payloadDedupOracleSql,
   )

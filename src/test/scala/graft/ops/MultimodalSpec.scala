@@ -60,6 +60,62 @@ class MultimodalSpec extends SparkSuite {
     })
   }
 
+  test("WAV parser decodes hand-built real bytes, header fields included") {
+    // 44-byte canonical header written out LITERALLY (not via
+    // wavEncode) so the parser is checked against the RIFF spec, not
+    // against its own encoder: 8000 Hz mono PCM16, four samples
+    // [100, -100, 32767, -32768].
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val bytes =
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + 8) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(8) ++
+      le16(100) ++ le16(0xff9c) ++ le16(0x7fff) ++ le16(0x8000)
+    val (rate, ch, samples) = Multimodal.wavDecode(bytes)
+    assert(rate == 8000 && ch == 1)
+    assert(samples.toSeq == Seq[Short](100, -100, 32767, -32768))
+    // extra chunk before data is walked over, not misread as samples
+    val withJunk = bytes.take(12) ++
+      "LIST".getBytes("US-ASCII") ++ le32(4) ++ "INFO".getBytes("US-ASCII") ++
+      bytes.drop(12)
+    assert(Multimodal.wavDecode(withJunk)._3.toSeq ==
+      Seq[Short](100, -100, 32767, -32768))
+    // corrupt magic and truncated data must fail loudly, not zero-fill
+    intercept[IllegalArgumentException] {
+      Multimodal.wavDecode("JUNK".getBytes("US-ASCII") ++ bytes.drop(4))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.wavDecode(bytes.dropRight(3))
+    }
+  }
+
+  test("WAV encode/decode round-trips and mm_decode_wav matches direct arithmetic") {
+    val pcm = Array[Short](0, 1, -1, 12345, -12345, 32767, -32768)
+    val (r, c, s) = Multimodal.wavDecode(Multimodal.wavEncode(44100, 2, pcm))
+    assert(r == 44100 && c == 2 && s.toSeq == pcm.toSeq)
+    val rows = Multimodal.decodeWav(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val frames = (id % 50 + 10).toInt
+      val ch = (id % 2 + 1).toInt
+      val total = frames * ch
+      val sv = (0 until total).map(j => ((id * 31 + j.toLong * 17) % 65536) - 32768)
+      assert(row.getAs[Long]("sample_rate") == 8000 * (id % 3 + 1))
+      assert(row.getAs[Long]("channels") == ch)
+      assert(row.getAs[Long]("n_samples") == total)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getAs[Double]("mean_amp") == r6(sv.sum.toDouble / total))
+      assert(row.getAs[Double]("rms") ==
+        r6(math.sqrt(sv.map(x => x * x).sum.toDouble / total)))
+    }
+  }
+
   test("payload dedup matches a Scala recomputation over raw text bytes") {
     val docs = graft.Tables.documents(spark, sf())
       .select("doc_id", "text").collect()
