@@ -87,6 +87,24 @@ object RelationCache {
     }
   }
 
+  private val tokens = new java.util.IdentityHashMap[DataFrame, java.lang.Long]()
+  private val tokenSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** A session-lifetime UNIQUE token for a relation instance — the
+    * safe replacement for `System.identityHashCode` in memo keys.
+    * Identity hashes are not unique: after a relation is dropped, a
+    * new object can land on the dead object's hash and silently
+    * inherit whatever the old key memoized (ADVICE r13: a regenerated
+    * dataset serving a stale store fingerprint).  Tokens are handed
+    * out monotonically and never reused, so two distinct relation
+    * instances can never share a key; entries drop with the same
+    * `clear`/shutdown paths as everything else here. */
+  def instanceToken(df: DataFrame): Long = tokens.synchronized {
+    val t = tokens.get(df)
+    if (t != null) t
+    else { val v = tokenSeq.incrementAndGet(); tokens.put(df, v); v }
+  }
+
   /** Unpersist and forget every relation (and derived scalar)
     * memoized for `spark`. */
   def clear(spark: SparkSession): Unit = {
@@ -95,6 +113,9 @@ object RelationCache {
       Option(memo.remove(k)).foreach(_.unpersist())
     }
     scalars.keySet.asScala.filter(_._1 eq spark).toSeq.foreach(scalars.remove)
+    tokens.synchronized {
+      tokens.keySet.removeIf(df => df.sparkSession eq spark)
+    }
   }
 
   /** Drop the entries without touching storage (shutdown fallback). */
@@ -102,5 +123,8 @@ object RelationCache {
     import scala.jdk.CollectionConverters._
     memo.keySet.asScala.filter(_._1 eq spark).toSeq.foreach(memo.remove)
     scalars.keySet.asScala.filter(_._1 eq spark).toSeq.foreach(scalars.remove)
+    tokens.synchronized {
+      tokens.keySet.removeIf(df => df.sparkSession eq spark)
+    }
   }
 }

@@ -1197,9 +1197,13 @@ object Similarity {
     // — memoize it per (session, relation instance).  Relations here
     // come out of RelationCache, so the instance is stable for the
     // session and the memo dies with it; a regenerated dataset goes
-    // through RelationCache.clear, which drops this entry too.
+    // through RelationCache.clear, which drops this entry too.  The
+    // instance token (not identityHashCode) keys the memo: tokens are
+    // never reused, so a fresh relation can never inherit a dead
+    // instance's fingerprint, and maintainStore's drifted-lists
+    // relation can never alias ivfBase's on the same dir.
     val fp = RelationCache.cachedScalar(spark,
-      s"index_fp:$dir:${System.identityHashCode(n)}") {
+      s"index_fp:$dir:${RelationCache.instanceToken(n)}") {
       n.agg(count(lit(1)), max(col("vec_id"))).head()
     }
     require(fp.getLong(0) > 0,
@@ -1250,6 +1254,14 @@ object Similarity {
       val tmp = new Path(store.getParent,
         store.getName + "_tmp_" + java.util.UUID.randomUUID().toString)
       build(tmp.toString)
+      // the marker ships INSIDE tmp so marker and data publish in the
+      // same atomic rename — written after the build, so a builder
+      // that crashes mid-build leaves an unmarked tmp (swept above),
+      // and one that crashes between rename and marker cannot exist:
+      // with a post-rename marker, that window left a complete but
+      // permanently marker-less store that every later call rebuilt
+      // into tmp and discarded forever
+      fs.create(new Path(tmp, "_GRAFT_PUBLISHED"), true).close()
       if (fs.exists(store) || !fs.rename(tmp, store))
         fs.delete(tmp, true) // lost the race: discard our build
       else {
@@ -1258,8 +1270,6 @@ object Similarity {
         // the nested artifact so list scans never see mixed depths
         val nested = new Path(store, tmp.getName)
         if (fs.exists(nested)) fs.delete(nested, true)
-        // mark complete LAST: readers/re-builders gate on this
-        fs.create(published, true).close()
       }
     }
   }

@@ -144,8 +144,13 @@ object BarTransport {
       resp.statusCode() match {
         case 200 => Http.parsePage(resp.body(), url)
         case s if s == 429 || s >= 500 =>
+          // RFC 7231 allows delta-seconds OR an HTTP-date; anything
+          // unparseable degrades to the default backoff — a malformed
+          // header must not turn a retryable response into a crash
           val retryAfter = resp.headers().firstValue("Retry-After")
-            .map[Long](v => v.toLong * 1000L).orElse(0L)
+            .map[Long](v => scala.util.Try(v.trim.toLong * 1000L)
+              .getOrElse(0L))
+            .orElse(0L)
           throw new RetryableFailure(s"HTTP $s from $url", retryAfter)
         case s =>
           // 4xx other than 429: auth/protocol — fail the task now
@@ -182,6 +187,11 @@ object BarTransport {
         def f(k: String): com.fasterxml.jackson.databind.JsonNode = {
           val v = n.get(k)
           require(v != null, s"bar from $url lacks field '$k'")
+          // Jackson's asDouble/asLong return 0 for object/array/bool
+          // nodes — exactly the silent zeros this parser documents
+          // itself as refusing to emit
+          require(k == "t" || v.isNumber,
+            s"bar field '$k' from $url is not numeric (${v.getNodeType})")
           v
         }
         val day = LocalDate.parse(f("t").asText())
