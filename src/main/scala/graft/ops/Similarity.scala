@@ -1190,7 +1190,7 @@ object Similarity {
     * data (any Hadoop-visible URI works). */
   private[ops] def indexStorePath(spark: SparkSession, dir: String,
       tag: String, storeBase: Option[String],
-      n: DataFrame): org.apache.hadoop.fs.Path = {
+      n: DataFrame, params: String = ""): org.apache.hadoop.fs.Path = {
     import org.apache.spark.sql.functions._
     // The (count, max vec_id) fingerprint is a whole Spark job per
     // call, and EVERY persisted-store serve re-derives its store path
@@ -1208,11 +1208,19 @@ object Similarity {
     }
     require(fp.getLong(0) > 0,
       s"cannot key an IVF index for an EMPTY embeddings relation at $dir")
+    // `params` folds the family's CAP SETTINGS (codebook size k,
+    // seed stride) into the name: two cap settings over the same
+    // corpus produce the same (count, max) fingerprint but different
+    // list contents, and without the params segment a store built
+    // under the old cap would silently serve stale lists (SCALING.md
+    // round-13: "wipe /tmp/graft_ivf_* between cap changes" — now
+    // structural, not operational)
+    val ps = if (params.isEmpty) "" else s"_$params"
     new org.apache.hadoop.fs.Path(
       storeBase.getOrElse(sys.props("java.io.tmpdir")),
       s"graft_ivf_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
         "_" + java.lang.Integer.toHexString(dir.hashCode) +
-        s"_${fp.getLong(0)}_${fp.getLong(1)}")
+        s"_${fp.getLong(0)}_${fp.getLong(1)}$ps")
   }
 
   /** Build-if-absent with an atomic publish: `build` writes into a
@@ -1343,7 +1351,8 @@ object Similarity {
     // crossJoin, no per-vector window; same (cs desc, cid asc)
     // contract as the oracle's asgn0 chain
     val cents = fixedCentsCached(spark, dir, n)
-    val store = indexStorePath(spark, dir, "fix", storeBase, n)
+    val store = indexStorePath(spark, dir, "fix", storeBase, n,
+      s"k${cents.size}")
     publishIndex(spark, store) { tmp =>
       assignedCid(n, cents)
         .select($"vec_id", $"embedding", $"cid")
@@ -1500,7 +1509,8 @@ object Similarity {
       cents: Seq[(Long, Array[Double], Double)]): org.apache.hadoop.fs.Path = {
     import spark.implicits._
     val n = ivfBase(spark, dir)
-    val store = indexStorePath(spark, dir, tag, storeBase, n)
+    val store = indexStorePath(spark, dir, tag, storeBase, n,
+      s"k${cents.size}")
     publishIndex(spark, store) { tmp =>
       assignedCid(n, cents)
         .select($"vec_id", $"embedding", $"cid")
@@ -1625,7 +1635,8 @@ object Similarity {
       val base = lists.select($"vec_id", $"embedding",
           expr(SparkDialect.toDoubleArr("embedding")).as("v"))
         .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-      val store2 = indexStorePath(spark, dir, "kmr", storeBase, base)
+      val store2 = indexStorePath(spark, dir, "kmr", storeBase, base,
+        s"s${scaledStride(base)}")
       // training lives INSIDE the build closure: the idempotent
       // re-run (store already published) must not pay the Lloyd loop
       publishIndex(spark, store2) { tmp =>
@@ -1784,7 +1795,8 @@ object Similarity {
       .filter($"scale".isNotNull)
       .withColumn("code", expr(SparkDialect.arrTransform(
         "v", "x", "CAST(floor(x * scale + 0.5) AS TINYINT)")))
-    val store = indexStorePath(spark, dir, "pqkm", storeBase, n)
+    val store = indexStorePath(spark, dir, "pqkm", storeBase, n,
+      s"k${cents.size}")
     publishIndex(spark, store) { tmp =>
       assignedCid(quantized, cents)
         .select($"vec_id", $"code", $"scale", $"nrm", $"cid")
@@ -1881,7 +1893,8 @@ object Similarity {
       .filter($"scale".isNotNull)
       .withColumn("code", expr(SparkDialect.arrTransform(
         "v", "x", "CAST(floor(x * scale + 0.5) AS TINYINT)")))
-    val store = indexStorePath(spark, dir, "pq", storeBase, n)
+    val store = indexStorePath(spark, dir, "pq", storeBase, n,
+      s"k${cents.size}")
     publishIndex(spark, store) { tmp =>
       assignedCid(quantized, cents)
         .select($"vec_id", $"code", $"scale", $"nrm", $"cid")
@@ -2682,7 +2695,7 @@ object Similarity {
     * store, so `RelationCache.clear` — the documented refresh hook for
     * a regenerated dataset — and the shutdown listener release it
     * together with the base relation it was trained from. */
-  private def trainCodebookCached(spark: SparkSession, dir: String,
+  private[ops] def trainCodebookCached(spark: SparkSession, dir: String,
       n: DataFrame): Seq[(Long, Array[Double], Double)] =
     RelationCache.cachedScalar(spark, s"kmeans_codebook:$dir") {
       // corpus-capped fixed init (mod 100 below 10k vectors, √n

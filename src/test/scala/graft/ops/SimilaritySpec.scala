@@ -250,9 +250,20 @@ class SimilaritySpec extends SparkSuite {
   }
 
   private def storeDir(tag: String, dir: String,
-                       base: Option[String] = None): java.io.File =
+                       base: Option[String] = None): java.io.File = {
+    // mirror the engine's store naming exactly, INCLUDING the cap
+    // params segment (codebook size k) folded into the fingerprint
+    val n = Similarity.ivfBase(spark, dir)
+    val params = tag match {
+      case "fix"  => s"k${Similarity.fixedCentsCached(spark, dir, n).size}"
+      case "km"   => s"k${Similarity.trainCodebookCached(spark, dir, n).size}"
+      case "kmsc" =>
+        s"k${Similarity.trainScaledCodebookCached(spark, dir, n).size}"
+      case _ => ""
+    }
     new java.io.File(Similarity.indexStorePath(spark, dir, tag, base,
-      graft.Tables.embeddings(spark, dir)).toUri.getPath)
+      n, params).toUri.getPath)
+  }
 
   test("persisted IVF index reproduces sim_ann_ivf exactly") {
     val mem = Similarity.ivf(spark, sf()).collect().map(_.toSeq).toSeq
@@ -822,6 +833,22 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.fixedPickMod(small) == 100L)
     assert(Similarity.fixedCentsCached(spark, "spec_fixed_small", small)
       .size == 20)
+  }
+
+  test("store path distinguishes cap settings over the same corpus") {
+    // SCALING.md round-13 residual: a capped-family store rebuilt
+    // under different cap parameters (codebook size, seed stride) has
+    // the same (count, max vec_id) fingerprint but different list
+    // contents — the params segment must make the two paths distinct
+    // so a stale store CANNOT serve old lists after a cap change.
+    val n = Similarity.ivfBase(spark, sf())
+    val a = Similarity.indexStorePath(spark, sf(), "fix", None, n, "k5")
+    val b = Similarity.indexStorePath(spark, sf(), "fix", None, n, "k84")
+    assert(a != b)
+    assert(a.getName.endsWith("_k5") && b.getName.endsWith("_k84"))
+    // same cap → same path (build-if-absent still keys correctly)
+    assert(a ==
+      Similarity.indexStorePath(spark, sf(), "fix", None, n, "k5"))
   }
 
   test("publish-if-absent is a real no-op on the second call") {
