@@ -1,0 +1,123 @@
+package graft.serve
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import graft.ingest.BarStore
+import graft.streaming.RunStatusListener
+
+/** The reference's serving loop (E2/E3) as a pull-model HTTP surface
+  * over the engine's queryable state — `app/main.py:103-157`:
+  *
+  *  - `GET /` ≡ the reference's root health check: a status summary
+  *    WITHOUT the heavy bar payload, plus `bars_count`
+  *    (`app/main.py:105-121` copies the status dict, counts bars,
+  *    deletes the list).
+  *  - `GET /snapshot` ≡ the `/ws` connect-push (`app/main.py:124-157`
+  *    sends the full status *including all bars* to each connecting
+  *    client).  HTTP pull replaces the push socket: same payload, and
+  *    a client that polls gets exactly the WS-on-connect semantics —
+  *    the reference's socket never pushes again after connect either
+  *    (it only listens), so pull loses nothing.
+  *  - `GET /summaries` — the per-asset A1 summary over the live store
+  *    (what the reference publishes per asset to Pub/Sub).
+  *
+  * Scale note: `/` and `/summaries` are aggregates (1 row / ~catalog
+  * rows).  `/snapshot` serializes bars and is capped at
+  * `snapshotLimit` rows with an explicit `truncated` flag — the
+  * reference's payload is "the last fetch, in RAM", inherently small;
+  * against a 100 TB store a snapshot endpoint must bound its own
+  * response rather than stream the table. */
+final class StatusServer(spark: SparkSession, storeDir: String,
+    listener: RunStatusListener, snapshotLimit: Int = 50000) {
+
+  @volatile private var server: HttpServer = _
+
+  def start(port: Int = 0): Int = synchronized {
+    require(server == null, "StatusServer already started")
+    server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", handler(_ => rootJson()))
+    server.createContext("/snapshot", handler(_ => snapshotJson()))
+    server.createContext("/summaries", handler(_ => summariesJson()))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  private def handler(body: HttpExchange => String)
+      : com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) => {
+    val (status, payload) =
+      try {
+        if (ex.getRequestMethod != "GET")
+          (405, """{"error":"method not allowed"}""")
+        else (200, body(ex))
+      } catch {
+        case e: Throwable =>
+          (500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+      }
+    val bytes = payload.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Status projection without bars + bars_count — ref `read_root`. */
+  private def rootJson(): String = {
+    val s = listener.snapshot
+    val status = listener.statusDf(spark).toJSON.collect().head
+    // statusDf carries bars_in_last_batch; the ref ALSO reports
+    // bars_count (len of the in-RAM list) — here, the last batch's
+    // landed rows, the same quantity
+    val statusWithCount =
+      status.stripSuffix("}") + s""","bars_count":${s.barsInLastBatch}}"""
+    s"""{"message":"graft historical data service is running",""" +
+      s""""latest_data_status":$statusWithCount}"""
+  }
+
+  /** Full connect-push payload: status + the store's bars (capped). */
+  private def snapshotJson(): String = {
+    val status = listener.statusDf(spark).toJSON.collect().head
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val bars =
+      if (!exists) Array.empty[String]
+      else BarStore.read(spark, storeDir)
+        .orderBy("symbol", "timestamp")
+        .limit(snapshotLimit + 1)
+        .toJSON.collect()
+    val truncated = bars.length > snapshotLimit
+    val kept = if (truncated) bars.take(snapshotLimit) else bars
+    s"""{"status":$status,"bars_count":${kept.length},""" +
+      s""""truncated":$truncated,""" +
+      kept.mkString("\"bars\":[", ",", "]}")
+  }
+
+  /** Per-asset ingest summary over the live store (A1 shape). */
+  private def summariesJson(): String = {
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val rows =
+      if (!exists) Array.empty[String]
+      else graft.ingest.BarPipeline
+        .ingestSummaries(BarStore.read(spark, storeDir))
+        .orderBy("asset_symbol", "timeframe")
+        .toJSON.collect()
+    rows.mkString("{\"summaries\":[", ",", "]}")
+  }
+}

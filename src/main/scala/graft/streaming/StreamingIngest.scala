@@ -203,8 +203,14 @@ object StreamingIngest {
       checkpointDir: String, timeframe: String = "Day",
       trigger: Trigger = Trigger.AvailableNow(),
       eventsDir: Option[String] = None,
-      quarantineDir: Option[String] = None)
+      quarantineDir: Option[String] = None,
+      eventSink: Option[graft.ingest.EventSink] = None)
       : (StreamingQuery, Option[StreamingQuery]) = {
+    // eventsDir is the default-sink shorthand; both forms publish
+    // through the same EventSink seam (S5) after the store write
+    val sinks: Seq[graft.ingest.EventSink] =
+      eventsDir.map(new graft.ingest.EventSink.DatedFileSink(_)).toSeq ++
+        eventSink
     val quarantineQuery = quarantineDir.map { qd =>
       val (_, rejects) =
         Quarantine.split(readEvents(spark, srcDir), Quarantine.eventRules())
@@ -239,13 +245,11 @@ object StreamingIngest {
             }
             if (!canonical.isEmpty) {
               BarStore.merge(canonical, storeDir)
-              eventsDir.foreach { dir =>
-                graft.ingest.SinkRetention.appendDated(
-                  graft.ingest.BarPipeline
-                    .summaryEventJson(
-                      graft.ingest.BarPipeline.ingestSummaries(canonical))
-                    .withColumn("batch_id", lit(batchId)),
-                  dir, format = "json")
+              if (sinks.nonEmpty) {
+                val summaryEvents = graft.ingest.BarPipeline
+                  .summaryEventJson(
+                    graft.ingest.BarPipeline.ingestSummaries(canonical))
+                sinks.foreach(_.publish(summaryEvents, batchId))
               }
             }
           case None => // structural reject: isolate, never throw (T7)
