@@ -174,6 +174,12 @@ class PlanShapeSpec extends SparkSuite {
     import org.apache.spark.sql.catalyst.plans.LeftAnti
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // inspect a FRESH build: once another suite materializes the
+    // shared candidate-pair cache, the cached plan is AQE-final and
+    // the (empty-at-this-fixture) hot-gram anti-join has been elided
+    // by empty-relation propagation — correct execution, but the
+    // pre-AQE shape is what this test pins
+    graft.ops.RelationCache.clear(spark)
     Seq("dedup_ngram_jaccard", "text_contamination").foreach { q =>
       val root = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
       val all = planSubtree(root)
