@@ -220,6 +220,7 @@ object SparkEntry {
     "sim_hybrid_recall" -> (Retrieval.hybridRecall _),
     "sim_hybrid_recall_sampled" -> (Retrieval.hybridRecallSampled _),
     "sim_hybrid_rrf" -> (Retrieval.hybridRrf _),
+    "sim_hybrid_rrf_sampled" -> (Retrieval.hybridRrfSampled _),
     "sim_hybrid_rrf_ann" -> (Retrieval.hybridRrfAnn _),
     "sim_hybrid_rrf_ann_scaled" -> (Retrieval.hybridRrfAnnScaled _),
     "text_dsir_weights" -> (Retrieval.dsirWeights _),
@@ -678,6 +679,7 @@ object SparkEntry {
     "sim_hybrid_recall_sampled" ->
       Retrieval.hybridRecallSampledSql(DuckDialect),
     "sim_hybrid_rrf" -> Retrieval.hybridRrfSql(DuckDialect),
+    "sim_hybrid_rrf_sampled" -> Retrieval.hybridRrfSampledSql(DuckDialect),
     "sim_hybrid_rrf_ann" -> Retrieval.hybridRrfAnnSql(DuckDialect),
     "sim_hybrid_rrf_ann_scaled" ->
       Retrieval.hybridRrfAnnScaledSql(DuckDialect),

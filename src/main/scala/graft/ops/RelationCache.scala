@@ -68,6 +68,16 @@ object RelationCache {
     }
   }
 
+  /** Non-building lookup: the cached relation for `key` if THIS session
+    * already built it, else None.  For derive-from-superset shortcuts —
+    * a consumer whose relation is a semantics-preserving restriction of
+    * an already-cached one (e.g. the sampled hybrid ground truth vs the
+    * full rank relation, per-query independent) can serve from the
+    * superset when present and fall back to its own bounded build when
+    * not (the scale path, where the superset query is excluded). */
+  def peek(spark: SparkSession, key: String): Option[DataFrame] =
+    Option(memo.get((spark, key)))
+
   /** Session-scoped memo for small driver-side values DERIVED from the
     * cached relations (trained k-means codebooks, …), released by the
     * same `clear` / shutdown paths as the relations themselves — so

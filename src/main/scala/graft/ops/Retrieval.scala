@@ -848,27 +848,44 @@ object Retrieval {
       .orderBy("query_id")
   }
 
-  /** Engine side of `sim_hybrid_recall_sampled`: the sampled exact
-    * hybrid is composed from the standalone sampled brute vtop and
-    * the CACHED full lexical rank filtered to the sample (per-query
-    * rankings are independent, so filtering the full relation equals
-    * computing it sampled — and reuses the one build the other three
-    * hybrid queries share); the ANN side is the store-served
-    * production form.  The single-statement SQL recomputing both
-    * pipelines from raw tables stays as the oracle. */
+  /** Engine side of `sim_hybrid_rrf_sampled`: the exact hybrid
+    * restricted to the deterministic √|Q| query sample — the
+    * ground-truth generator that stays runnable at the scaling
+    * fixtures where the full exact hybrid is a registered baseline.
+    * Memoized because TWO queries consume it (this one and the
+    * sampled recall harness).  The brute vector side derives from
+    * the cached FULL rank relation when the full harness already ran
+    * this session (per-query independence makes the restriction
+    * bit-identical — spec-pinned) and falls back to the standalone
+    * √|Q|·n sampled build otherwise (the scale path); the lexical
+    * side filters the one cached rank the whole family shares. */
+  def hybridRrfSampled(spark: SparkSession, dir: String): DataFrame =
+    RelationCache.cached(spark, s"hybrid_rrf_sampled:$dir") {
+      import org.apache.spark.sql.functions._
+      val qsample = run(spark, dir,
+        s"""WITH e AS (SELECT vec_id FROM embeddings),
+           |n AS (SELECT vec_id FROM e),
+           |${Similarity.qsampleCtes(SparkDialect)}
+           |SELECT vec_id FROM qsample""".stripMargin)
+      val vtop = RelationCache.peek(spark, s"hybrid_vtop:$dir")
+        .map(_.join(qsample, col("qid") === col("vec_id"), "left_semi"))
+        .getOrElse(RelationCache.cached(spark, s"hybrid_vtop_sampled:$dir") {
+          run(spark, dir,
+            s"WITH ${bruteVtopCtes(SparkDialect, sampled = true)} " +
+              "SELECT qid, nid, vrank FROM vtop")
+        })
+      val ltopSampled = lexTop(spark, dir)
+        .join(qsample, col("qid") === col("vec_id"), "left_semi")
+      fuse(vtop, ltopSampled)
+    }
+
+  /** Engine side of `sim_hybrid_recall_sampled`: the CACHED sampled
+    * exact hybrid (`hybridRrfSampled`) compared against the
+    * store-served production ANN hybrid.  The single-statement SQL
+    * recomputing both pipelines from raw tables stays as the oracle. */
   def hybridRecallSampled(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val qsample = run(spark, dir,
-      s"""WITH e AS (SELECT vec_id FROM embeddings),
-         |n AS (SELECT vec_id FROM e),
-         |${Similarity.qsampleCtes(SparkDialect)}
-         |SELECT vec_id FROM qsample""".stripMargin)
-    val vtop = run(spark, dir,
-      s"WITH ${bruteVtopCtes(SparkDialect, sampled = true)} " +
-        "SELECT qid, nid, vrank FROM vtop")
-    val ltopSampled = lexTop(spark, dir)
-      .join(qsample, col("qid") === col("vec_id"), "left_semi")
-    val ex = fuse(vtop, ltopSampled).select("query_id", "neighbor_id")
+    val ex = hybridRrfSampled(spark, dir).select("query_id", "neighbor_id")
     val an = hybridRrfAnn(spark, dir).select("query_id", "neighbor_id")
     val common = ex.join(an, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_common"))
@@ -916,11 +933,17 @@ object Retrieval {
     * stores.  Engine side fuses the standalone brute vtop against the
     * CACHED lexical rank (same arithmetic as the single-statement
     * oracle, which stays fully inlined). */
-  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val vtop = run(spark, dir,
-      s"WITH ${bruteVtopCtes(SparkDialect)} SELECT qid, nid, vrank FROM vtop")
-    fuse(vtop, lexTop(spark, dir))
-  }
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    fuse(bruteVtop(spark, dir), lexTop(spark, dir))
+
+  /** The full brute-force vector rank relation — memoized like
+    * [[lexTop]] because two queries consume it (`sim_hybrid_rrf` and
+    * the recall harness via `hybridRrf`); ≤ |Q|·FuseDepth rows. */
+  private def bruteVtop(spark: SparkSession, dir: String): DataFrame =
+    RelationCache.cached(spark, s"hybrid_vtop:$dir") {
+      run(spark, dir,
+        s"WITH ${bruteVtopCtes(SparkDialect)} SELECT qid, nid, vrank FROM vtop")
+    }
 
   /** Engine side of `sim_hybrid_rrf_ann`: the vector modality is
     * SERVED FROM the persisted trained-k-means store
@@ -931,10 +954,16 @@ object Retrieval {
     * recomputes everything from raw tables, stays as the oracle — a
     * green check proves the store-served candidates and the
     * from-scratch chain agree end-to-end. */
-  def hybridRrfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val vtop = Similarity.kmeansStoreTopN(spark, dir, FuseDepth)
-    fuse(vtop, lexTop(spark, dir))
-  }
+  def hybridRrfAnn(spark: SparkSession, dir: String): DataFrame =
+    // memoized: THREE queries consume this fused relation back-to-back
+    // (sim_hybrid_rrf_ann and both recall harnesses compare against
+    // it); ≤ |Q|·TopK rows, so the cache holds results, and
+    // RelationCache.clear — the store-refresh hook — releases it with
+    // the underlying index relations
+    RelationCache.cached(spark, s"hybrid_ann:$dir") {
+      fuse(Similarity.kmeansStoreTopN(spark, dir, FuseDepth),
+        lexTop(spark, dir))
+    }
 
   /** Engine side of `sim_hybrid_rrf_ann_scaled`: vector candidates
     * from the persisted √n-scaled store, lexical side and fusion

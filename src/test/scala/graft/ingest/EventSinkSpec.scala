@@ -14,19 +14,26 @@ class EventSinkSpec extends SparkSuite {
   private def tmp(tag: String) = Files.createTempDirectory(tag).toString
 
   /** In-process event collector: records (batchIdHeader, body) per
-    * POST; responds with `status`. */
-  private def startCollector(status: Int = 200)
+    * SUCCESSFUL POST; the first `rejectFirst` hits get `failStatus`
+    * and are NOT recorded (the transport-outage injection). */
+  private def startCollector(status: Int = 200, rejectFirst: Int = 0,
+      failStatus: Int = 503)
       : (com.sun.net.httpserver.HttpServer, String,
          CopyOnWriteArrayList[(String, String)]) = {
     val received = new CopyOnWriteArrayList[(String, String)]()
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/events",
       (ex: com.sun.net.httpserver.HttpExchange) => {
         val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-        received.add(
-          (ex.getRequestHeaders.getFirst("X-Graft-Batch-Id"), body))
-        ex.sendResponseHeaders(status, 0)
+        if (hits.incrementAndGet() <= rejectFirst) {
+          ex.sendResponseHeaders(failStatus, 0)
+        } else {
+          received.add(
+            (ex.getRequestHeaders.getFirst("X-Graft-Batch-Id"), body))
+          ex.sendResponseHeaders(status, 0)
+        }
         ex.close()
       })
     server.start()
@@ -79,6 +86,44 @@ class EventSinkSpec extends SparkSuite {
           received.asScala.flatMap(_._2.split("\n")).toSeq.toDS)
         .select("event_type", "message").collect().toSet
       assert(fromFiles.nonEmpty && fromFiles == fromHttp)
+    } finally server.stop(0)
+  }
+
+  test("transport outage → failed batch → checkpoint replay redelivers") {
+    // The EventSink contract end-to-end: a sink failure fails the
+    // micro-batch (the query terminates with the error), and a restart
+    // from the same checkpoint REPLAYS the batch — the outage becomes
+    // redelivery, never silent loss.  The store write is keyed-
+    // idempotent, so the replayed merge is a no-op on content.
+    val (server, url, received) = startCollector(rejectFirst = 1)
+    try {
+      val store = tmp("store") + "/bars"
+      val ckpt = tmp("ckpt")
+      val sink = new EventSink.HttpPostSink(url)
+      val (q1, _) = StreamingIngest.start(spark, sf(), store, ckpt,
+        eventSink = Some(sink))
+      val failed = intercept[Exception](q1.awaitTermination(120000))
+      val chain = Iterator.iterate[Throwable](failed)(_.getCause)
+        .takeWhile(_ != null).map(e => String.valueOf(e.getMessage))
+        .mkString("\n")
+      assert(chain.contains("503"), chain)
+      assert(received.isEmpty, "rejected POST must not count as delivered")
+
+      val (q2, _) = StreamingIngest.start(spark, sf(), store, ckpt,
+        eventSink = Some(sink))
+      q2.awaitTermination(120000)
+      assert(!received.isEmpty, "replay did not redeliver")
+      import scala.jdk.CollectionConverters._
+      val got = spark.read.json(
+        received.asScala.flatMap(_._2.split("\n")).toSeq.toDS)
+      val expected = BarPipeline.summaryEventJson(
+        BarPipeline.ingestSummaries(BarPipeline.canonicalBars(spark, sf())))
+      assert(got.select("event_type", "message").collect().toSet ==
+        expected.collect().toSet)
+      // and the keyed store holds exactly one copy of every bar
+      val bars = graft.ingest.BarStore.read(spark, store)
+      assert(bars.count() ==
+        bars.dropDuplicates(BarStore.key).count())
     } finally server.stop(0)
   }
 

@@ -195,6 +195,23 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("sampled harness is identical on its standalone and derived paths") {
+    // hybridRecallSampled serves its ground truth from the cached FULL
+    // rank relation when the full harness already ran this session
+    // (derive-from-superset) and from its own √|Q|·n sampled build when
+    // not (the scaling-fixture path, full harness excluded).  Both
+    // paths must produce bit-identical rows.
+    RelationCache.clear(spark)
+    val standalone = Retrieval.hybridRecallSampled(spark, sf()).collect()
+      .map(_.toSeq).toSeq
+    RelationCache.clear(spark)
+    Retrieval.hybridRecall(spark, sf()).collect() // populates hybrid_vtop
+    assert(RelationCache.peek(spark, s"hybrid_vtop:${sf()}").isDefined)
+    val derived = Retrieval.hybridRecallSampled(spark, sf()).collect()
+      .map(_.toSeq).toSeq
+    assert(standalone.nonEmpty && standalone == derived)
+  }
+
   test("dsir resampling applies the exact acceptance coin per doc") {
     val weights = Retrieval.dsirWeights(spark, sf()).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_logratio"))
