@@ -262,6 +262,8 @@ object SparkEntry {
     "bm25_store" -> ((s, d) => LexIndex.prebuildStore(s, d)),
     "minhash_sig_store" ->
       ((s, d) => { Dedup.prebuildSignatureStore(s, d); () }),
+    "shared_gram_pairs" -> ((s, d) => Dedup.prebuildSharedPairs(s, d)),
+    "hybrid_lex_rank" -> ((s, d) => Retrieval.prebuildLexRank(s, d)),
   )
 
   /** Per-build predicate over query names: does this query consume the
@@ -277,6 +279,9 @@ object SparkEntry {
       n.startsWith("text_chunk") || n.startsWith("sim_hybrid") ||
       n == "lex_index_health"),
     "minhash_sig_store" -> (n => n.startsWith("dedup_")),
+    "shared_gram_pairs" ->
+      (n => n == "dedup_ngram_jaccard" || n == "dedup_containment"),
+    "hybrid_lex_rank" -> (n => n.startsWith("sim_hybrid")),
   )
 
   /** Queries that are DOCUMENTED brute-force / fixed-k ground-truth

@@ -924,6 +924,16 @@ object Retrieval {
         s"WITH ${lexRankCtes(SparkDialect)} SELECT qid, nid, lrank FROM ltop")
     }
 
+  /** Force the shared lexical rank relation — registered in
+    * `SparkEntry.builds` so the tokenize → idf → MLT-pick → posting
+    * join → window chain is priced as its own labeled bench line
+    * (deliberately NOT forcing the ANN-side relations here: those
+    * depend on the k-means stores, which have their own build line).
+    * Idempotent: session-memoized. */
+  def prebuildLexRank(spark: SparkSession, dir: String): Unit = {
+    lexTop(spark, dir).count(); ()
+  }
+
   /** SCALE CAVEAT: documented brute-force baseline (registered in
     * `SparkEntry.scaleBaselines`, default-excluded from large-scale
     * smokes) — the vector modality scores every (query, doc) pair

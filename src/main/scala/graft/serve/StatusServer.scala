@@ -39,6 +39,7 @@ final class StatusServer(spark: SparkSession, storeDir: String,
     server.createContext("/", handler(_ => rootJson()))
     server.createContext("/snapshot", handler(_ => snapshotJson()))
     server.createContext("/summaries", handler(_ => summariesJson()))
+    server.createContext("/state_metrics", handler(_ => stateMetricsJson()))
     server.start()
     server.getAddress.getPort
   }
@@ -105,6 +106,13 @@ final class StatusServer(spark: SparkSession, storeDir: String,
       s""""truncated":$truncated,""" +
       kept.mkString("\"bars\":[", ",", "]}")
   }
+
+  /** Per-stateful-operator metrics of the latest micro-batch (T6
+    * observability — the watermark-sizing feedback loop); empty array
+    * when the last query ran no stateful operators. */
+  private def stateMetricsJson(): String =
+    listener.stateMetricsDf(spark).toJSON.collect()
+      .mkString("{\"state_operators\":[", ",", "]}")
 
   /** Per-asset ingest summary over the live store (A1 shape). */
   private def summariesJson(): String = {

@@ -54,6 +54,9 @@ class ServeSpec extends SparkSuite {
       val missing = keys.filterNot(k => snap.contains(s""""bar_key":"$k""""))
       assert(missing.isEmpty, s"snapshot missing ${missing.take(3).toSeq}")
 
+      val (c4, metrics) = get(s"http://127.0.0.1:$port/state_metrics")
+      assert(c4 == 200 && metrics.startsWith("{\"state_operators\":["))
+
       val (c3, sums) = get(s"http://127.0.0.1:$port/summaries")
       assert(c3 == 200)
       val expected = BarPipeline.ingestSummaries(stored).collect()
