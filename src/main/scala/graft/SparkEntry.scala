@@ -264,6 +264,8 @@ object SparkEntry {
       ((s, d) => { Dedup.prebuildSignatureStore(s, d); () }),
     "shared_gram_pairs" -> ((s, d) => Dedup.prebuildSharedPairs(s, d)),
     "hybrid_lex_rank" -> ((s, d) => Retrieval.prebuildLexRank(s, d)),
+    "fixed_ivf_stores" ->
+      ((s, d) => Similarity.prebuildFixedStores(s, d)),
   )
 
   /** Per-build predicate over query names: does this query consume the
@@ -282,6 +284,7 @@ object SparkEntry {
     "shared_gram_pairs" ->
       (n => n == "dedup_ngram_jaccard" || n == "dedup_containment"),
     "hybrid_lex_rank" -> (n => n.startsWith("sim_hybrid")),
+    "fixed_ivf_stores" -> (n => n.startsWith("sim_ann_ivf")),
   )
 
   /** Queries that are DOCUMENTED brute-force / fixed-k ground-truth

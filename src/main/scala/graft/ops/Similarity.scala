@@ -1533,6 +1533,23 @@ object Similarity {
     kmeansStorePath(spark, dir, None, "km", cents)
     val scaled = trainScaledCodebookCached(spark, dir, n)
     kmeansStorePath(spark, dir, None, "kmsc", scaled)
+    // the trained-int8 store (pqkm) belongs to this family too — its
+    // build needs the codebook trained above, so forcing it here keeps
+    // all Lloyd-dependent store cost on this one labeled line
+    ivfKmeansQuantizedPersisted(spark, dir).limit(1).count()
+    ()
+  }
+
+  /** Force the FIXED-codebook family's build-if-absent stores (`fix`
+    * float, `pq` int8) the same way — without this, RUNS=1 artifacts
+    * attribute each store's build to its first consumer
+    * (`sim_ann_ivf_persisted` carried the fix-store build at the 100×
+    * fixture).  Runs one tiny serve per store (the publish blocks live
+    * inside the serve paths); idempotent once published. */
+  def prebuildFixedStores(spark: SparkSession, dir: String): Unit = {
+    ivfPersisted(spark, dir).limit(1).count()
+    ivfQuantizedPersisted(spark, dir).limit(1).count()
+    ()
   }
 
   /** Index-health report over the persisted k-means store: per-list
