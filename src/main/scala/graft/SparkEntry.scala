@@ -129,6 +129,11 @@ object SparkEntry {
     "text_bigram_logprob" -> (TextFilters.bigramLogprob _),
     "text_pmi_pairs" -> (TextFilters.pmiPairs _),
     "text_novelty" -> (TextAnalysis.novelty _),
+    // BPE subword-vocabulary trainer (ops.BpeTrain): histogram-train,
+    // merge-table output, corpus encode + compression measurement
+    "text_bpe_pairs" -> (BpeTrain.bpePairs _),
+    "text_bpe_merges" -> (BpeTrain.bpeMerges _),
+    "text_bpe_encode" -> (BpeTrain.bpeEncode _),
     // Rule-based curation filters + frequency sketch (TextFilters)
     "text_gopher_rules" -> (TextFilters.gopherRules _),
     "text_gopher_by_source" -> (TextFilters.gopherBySource _),
@@ -614,6 +619,9 @@ object SparkEntry {
     "text_bigram_logprob" -> TextFilters.bigramLogprobSql(DuckDialect),
     "text_pmi_pairs" -> TextFilters.pmiPairsSql(DuckDialect),
     "text_novelty" -> TextAnalysis.noveltySql(DuckDialect),
+    "text_bpe_pairs" -> BpeTrain.bpePairsSql(DuckDialect),
+    "text_bpe_merges" -> BpeTrain.bpeMergesSql(DuckDialect),
+    "text_bpe_encode" -> BpeTrain.bpeEncodeSql(DuckDialect),
     "text_gopher_rules" -> TextFilters.gopherRulesSql(DuckDialect),
     "text_gopher_by_source" -> TextFilters.gopherBySourceSql(DuckDialect),
     "text_heavy_hitters" -> TextFilters.heavyHittersSql(DuckDialect),
