@@ -248,6 +248,7 @@ object SparkEntry {
     "mm_image_resize" -> (Multimodal.imageResize _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_decode_wav" -> (Multimodal.decodeWav _),
+    "mm_decode_ppm" -> (Multimodal.decodePpm _),
     "mm_audio_windows" -> (Multimodal.audioWindows _),
     "mm_dedup" -> (Multimodal.payloadDedup _),
   )
@@ -721,6 +722,7 @@ object SparkEntry {
     "mm_image_resize" -> Multimodal.imageResizeOracleSql,
     "mm_decode_features" -> Multimodal.decodeFeaturesOracleSql,
     "mm_decode_wav" -> Multimodal.decodeWavOracleSql,
+    "mm_decode_ppm" -> Multimodal.decodePpmOracleSql,
     "mm_audio_windows" -> Multimodal.audioWindowsOracleSql,
     "mm_dedup" -> Multimodal.payloadDedupOracleSql,
   )

@@ -438,6 +438,157 @@ object Multimodal {
       .toDF().orderBy($"doc_id")
   }
 
+  // ---- real PPM (P6) image codec (pure JVM, no external libraries) --
+
+  case class PpmFeatures(doc_id: Long, width: Long, height: Long,
+      n_pixels: Long, mean_r: Double, mean_g: Double, mean_b: Double,
+      luma: Double, thumb: String)
+
+  /** Encode an RGB byte plane as a binary NetPBM P6 stream — a real
+    * encoder: the output opens in any image viewer.  A comment line
+    * is emitted on purpose so the parser's comment handling is always
+    * exercised by the round trip. */
+  private[ops] def ppmEncode(w: Int, h: Int,
+      rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"plane ${rgb.length} != ${w}x${h}x3")
+    val header = s"P6\n# graft synthetic\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Parse a binary NetPBM P6 stream: magic, whitespace/comment-aware
+    * header token scan (the format allows `#` comments anywhere in the
+    * header), exactly one whitespace byte after maxval, then the raw
+    * w·h·3 sample plane.  Fails loudly on malformed input — decode
+    * pipelines quarantine corrupt media, they don't zero-fill.
+    * Returns (width, height, rgb bytes). */
+  private[ops] def ppmDecode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      "not a P6 PPM stream")
+    var pos = 2
+    def nextInt(): Int = {
+      // skip whitespace and '#'-to-end-of-line comments
+      var skipping = true
+      while (skipping) {
+        require(pos < bytes.length, "truncated PPM header")
+        val c = bytes(pos)
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else skipping = false
+      }
+      var v = 0
+      var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      require(any, s"expected integer at byte $pos")
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    require(maxv == 255, s"only 8-bit PPM supported, maxval $maxv")
+    require(pos < bytes.length, "missing sample plane")
+    val sep = bytes(pos)
+    require(sep == ' ' || sep == '\n' || sep == '\r' || sep == '\t',
+      "missing whitespace after maxval")
+    pos += 1 // exactly ONE whitespace byte, per spec — more is data
+    val need = w * h * 3
+    require(bytes.length - pos == need,
+      s"sample plane is ${bytes.length - pos} bytes, expected $need")
+    java.util.Arrays.copyOfRange(bytes, pos, bytes.length) match {
+      case rgb => (w, h, rgb)
+    }
+  }
+
+  /** REAL byte decode over the image slice: per item, a small RGB
+    * plane is synthesized from doc_id (byte k = (doc_id·13 + k·5) mod
+    * 256, dims (doc_id%8+4)×(doc_id%4+3) — deliberately independent of
+    * the payload so the operator stays O(1) per row at any corpus
+    * scale), encoded into a genuine P6 byte stream, and every output
+    * column is computed ONLY from what `ppmDecode` parses back out —
+    * dimensions from the header, channel means / integer-weighted luma
+    * from the sample plane, and a nearest-neighbor 2×2 thumbnail
+    * (srcX = i·w/2, srcY = j·h/2, floor) serialized as CSV so the
+    * oracle can rebuild it from arithmetic.  Channel sums accumulate
+    * in exact BIGINTs before the single rounded division; same
+    * `mapPartitions` batch shape as the WAV path. */
+  def decodePpm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter($"media_type" === "image")
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.map { docId =>
+        val w = (docId % 8 + 4).toInt
+        val h = (docId % 4 + 3).toInt
+        val plane = Array.tabulate(w * h * 3)(k =>
+          ((docId * 13 + k.toLong * 5) % 256).toByte)
+        val (dw, dh, rgb) = ppmDecode(ppmEncode(w, h, plane))
+        val n = dw * dh
+        var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+        var p = 0
+        while (p < n) {
+          val r = rgb(p * 3) & 0xff
+          val g = rgb(p * 3 + 1) & 0xff
+          val b = rgb(p * 3 + 2) & 0xff
+          sr += r; sg += g; sb += b
+          sl += 299L * r + 587L * g + 114L * b // integer Rec.601 luma
+          p += 1
+        }
+        val thumb = (for (j <- 0 until 2; i <- 0 until 2; c <- 0 until 3)
+          yield {
+            val sx = i * dw / 2; val sy = j * dh / 2
+            (rgb((sy * dw + sx) * 3 + c) & 0xff).toString
+          }).mkString(",")
+        PpmFeatures(docId, dw.toLong, dh.toLong, n.toLong,
+          r6(sr.toDouble / n), r6(sg.toDouble / n), r6(sb.toDouble / n),
+          r6(sl.toDouble / (1000.0 * n)), thumb)
+      })
+      .toDF().orderBy($"doc_id")
+  }
+
+  /** Oracle of `mm_decode_ppm`: features rebuilt from doc_id
+    * arithmetic alone — agreement certifies the P6 header walk,
+    * comment skip, plane extraction, and thumbnail indexing. */
+  def decodePpmOracleSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, (doc_id % 8) + 4 AS w, (doc_id % 4) + 3 AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |px AS (
+       |  SELECT doc_id, w, h, w * h AS n,
+       |    list_transform(generate_series(0, w * h - 1),
+       |      p -> (doc_id * 13 + (p * 3 + 0) * 5) % 256) AS rs,
+       |    list_transform(generate_series(0, w * h - 1),
+       |      p -> (doc_id * 13 + (p * 3 + 1) * 5) % 256) AS gs,
+       |    list_transform(generate_series(0, w * h - 1),
+       |      p -> (doc_id * 13 + (p * 3 + 2) * 5) % 256) AS bs
+       |  FROM a),
+       |s AS (
+       |  SELECT doc_id, w, h, n,
+       |    list_reduce(list_prepend(0, rs), (x, y) -> x + y) AS sr,
+       |    list_reduce(list_prepend(0, gs), (x, y) -> x + y) AS sg,
+       |    list_reduce(list_prepend(0, bs), (x, y) -> x + y) AS sb
+       |  FROM px),
+       |t AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(generate_series(0, 11), q ->
+       |      CAST((doc_id * 13 +
+       |        ((((q // 6) * h // 2) * w + ((q % 6) // 3) * w // 2) * 3
+       |          + q % 3) * 5) % 256 AS VARCHAR)), ',') AS thumb
+       |  FROM a)
+       |SELECT s.doc_id,
+       |  CAST(s.w AS BIGINT) AS width, CAST(s.h AS BIGINT) AS height,
+       |  CAST(s.n AS BIGINT) AS n_pixels,
+       |  round(CAST(sr AS DOUBLE) / n, 6) AS mean_r,
+       |  round(CAST(sg AS DOUBLE) / n, 6) AS mean_g,
+       |  round(CAST(sb AS DOUBLE) / n, 6) AS mean_b,
+       |  round(CAST(299 * sr + 587 * sg + 114 * sb AS DOUBLE)
+       |    / (1000.0 * n), 6) AS luma,
+       |  t.thumb
+       |FROM s JOIN t ON t.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   /** Oracle of `mm_decode_wav`: the features recomputed from doc_id
     * arithmetic alone — no byte parsing — so engine/oracle agreement
     * proves the encoder+parser round trip preserved every header

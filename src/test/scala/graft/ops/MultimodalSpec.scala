@@ -116,6 +116,47 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("PPM parser decodes hand-built real bytes, comments and all") {
+    // 2x1 image written LITERALLY per the NetPBM spec (not via
+    // ppmEncode): comment line inside the header, single newline
+    // after maxval, pixels red then mid-gray.
+    val bytes = "P6\n2 1\n# a comment\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](255.toByte, 0, 0, 128.toByte, 128.toByte, 128.toByte)
+    val (w, h, rgb) = Multimodal.ppmDecode(bytes)
+    assert(w == 2 && h == 1)
+    assert(rgb.map(_ & 0xff).toSeq == Seq(255, 0, 0, 128, 128, 128))
+    // corrupt magic, wrong plane size, non-255 maxval: loud failures
+    intercept[IllegalArgumentException] {
+      Multimodal.ppmDecode("P5".getBytes("US-ASCII") ++ bytes.drop(2))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.ppmDecode(bytes.dropRight(1))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.ppmDecode(
+        "P6\n2 1\n65535\n".getBytes("US-ASCII") ++ bytes.drop(20))
+    }
+  }
+
+  test("PPM encode/decode round-trips and mm_decode_ppm matches arithmetic") {
+    val plane = Array.tabulate(4 * 3 * 3)(k => ((k * 7) % 256).toByte)
+    val (w, h, rgb) = Multimodal.ppmDecode(Multimodal.ppmEncode(4, 3, plane))
+    assert(w == 4 && h == 3 && rgb.toSeq == plane.toSeq)
+    val rows = Multimodal.decodePpm(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, w2, h2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(w2 == id % 8 + 4 && h2 == id % 4 + 3, "header dims round-trip")
+      assert(r.getLong(3) == w2 * h2)
+      // thumbnail: 2x2 RGB = 12 CSV values, all valid bytes
+      val tv = r.getString(8).split(",").map(_.toInt)
+      assert(tv.length == 12 && tv.forall(v => v >= 0 && v <= 255))
+      // spot-check one thumb byte against the synthesis formula
+      val sx = 0L; val sy = 0L
+      assert(tv(0) == ((id * 13 + ((sy * w2 + sx) * 3 + 0) * 5) % 256).toInt)
+    }
+  }
+
   test("payload dedup matches a Scala recomputation over raw text bytes") {
     val docs = graft.Tables.documents(spark, sf())
       .select("doc_id", "text").collect()
