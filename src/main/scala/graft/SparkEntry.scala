@@ -173,6 +173,7 @@ object SparkEntry {
     "sim_recall" -> (Similarity.recall _),
     "sim_recall_sampled" -> (Similarity.recallSampled _),
     "sim_recall_rerank" -> (Similarity.recallRerank _),
+    "sim_mmr_rerank" -> (Similarity.mmrRerank _),
     "sim_quantize" -> (Similarity.quantize _),
     "sim_ann_ivf_persisted" ->
       ((s: SparkSession, d: String) => Similarity.ivfPersisted(s, d)),
@@ -662,6 +663,7 @@ object SparkEntry {
     "sim_recall" -> Similarity.recallSql(DuckDialect),
     "sim_recall_sampled" -> Similarity.recallSampledSql(DuckDialect),
     "sim_recall_rerank" -> Similarity.recallRerankSql(DuckDialect),
+    "sim_mmr_rerank" -> Similarity.mmrSql(DuckDialect),
     "sim_quantize" -> Similarity.quantizeSql(DuckDialect),
     // identical semantics to sim_ann_ivf / sim_ivf_kmeans by
     // construction — the same oracles verify the persisted-index paths

@@ -2828,6 +2828,146 @@ object Similarity {
       .select($"qid", $"vec_id".as("nid"))
   }
 
+  // ---- MMR diversified reranking ------------------------------------
+
+  /** MMR candidate-pool size (top-N by relevance per query) and the
+    * number of greedy selection rounds. */
+  val MmrPool = 20
+  val MmrK = 5
+  /** Trade-off λ: score = λ·rel − (1−λ)·max-sim-to-selected
+    * (Carbonell & Goldstein 1998, "The Use of MMR ..." — public). */
+  val MmrLambda = 0.7
+
+  /** Maximal-marginal-relevance reranking over the trained-IVF
+    * candidates: the production "diversify the top of the list" step a
+    * retrieval pipeline runs after ANN search, so near-duplicate
+    * neighbors don't crowd out coverage.  Greedy by definition —
+    * round 1 picks pure relevance, each later round picks
+    * argmax(λ·rel − (1−λ)·max cosine to the already-selected set).
+    *
+    * Scale shape: candidate generation is the IVF probe (sublinear per
+    * query); the pool is capped at `MmrPool` per query, so the
+    * pairwise-sim relation is ≤ pool² rows PER QUERY (a few hundred)
+    * and every greedy round is a join over per-query groups running in
+    * parallel across queries — the rounds are sequential, the queries
+    * are not.  Pool and pair-sim relations are session-cached
+    * (multi-round consumers); the oracle marks them MATERIALIZED for
+    * the same reason (`SqlDialect.mat`). */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val n = ivfBase(spark, dir)
+    val cents = trainCodebookCached(spark, dir, n)
+    val byRel = Window.partitionBy($"qid").orderBy($"rel".desc, $"nid")
+    val pool = RelationCache.cached(spark, s"mmr_pool:$dir") {
+      ivfCand(spark, n, cents)
+        .join(n.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")), "qid")
+        .join(n.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nn")), "nid")
+        .select($"qid", $"nid",
+          expr("graft_dot(qv, nv)").divide($"qn" * $"nn").as("rel"))
+        .withColumn("rn", row_number().over(byRel))
+        .filter($"rn" <= MmrPool).drop("rn")
+    }
+    val ps = RelationCache.cached(spark, s"mmr_psim:$dir") {
+      pool.select($"qid", $"nid".as("anid"))
+        .join(pool.select($"qid", $"nid".as("bnid")), Seq("qid"))
+        .filter($"anid" =!= $"bnid")
+        .join(n.select($"vec_id".as("anid"), $"v".as("av"), $"nrm".as("an")), "anid")
+        .join(n.select($"vec_id".as("bnid"), $"v".as("bv"), $"nrm".as("bn")), "bnid")
+        .select($"qid", $"anid", $"bnid",
+          expr("graft_dot(av, bv)").divide($"an" * $"bn").as("sim"))
+    }
+    var all = pool
+      .withColumn("rn", row_number().over(byRel)).filter($"rn" === 1)
+      .select($"qid", $"nid", $"rel",
+        (lit(MmrLambda) * $"rel").as("mmr"), lit(1L).as("rank"))
+    for (k <- 2 to MmrK) {
+      val selIds = all.select($"qid".as("sqid"), $"nid".as("snid"))
+      val scored = pool.as("p")
+        .join(selIds, $"p.qid" === $"sqid" && $"p.nid" === $"snid", "left_anti")
+        .join(ps.as("s"), $"p.qid" === $"s.qid" && $"p.nid" === $"s.anid")
+        .join(all.select($"qid".as("jqid"), $"nid".as("jnid")),
+          $"s.qid" === $"jqid" && $"s.bnid" === $"jnid")
+        .select($"p.qid".as("qid"), $"p.nid".as("nid"),
+          $"p.rel".as("rel"), $"s.sim".as("sim"))
+        .groupBy($"qid", $"nid", $"rel")
+        .agg(max($"sim").as("ms"))
+        .select($"qid", $"nid", $"rel",
+          (lit(MmrLambda) * $"rel" - lit(1.0 - MmrLambda) * $"ms").as("mmr"))
+      val pick = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"mmr".desc, $"nid")))
+        .filter($"rn" === 1)
+        .select($"qid", $"nid", $"rel", $"mmr", lit(k.toLong).as("rank"))
+      all = all.union(pick)
+    }
+    all.select($"qid".as("query_id"), $"nid".as("neighbor_id"), $"rank",
+        round($"rel", 6).as("cosine"), round($"mmr", 6).as("mmr_score"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Unrolled-greedy oracle of `mmrRerank` over the same trained-IVF
+    * candidate chain (`kmeansCandCtes` — the relation the green
+    * `sim_ivf_kmeans` check already pins to the engine's codebook). */
+  def mmrSql(d: SqlDialect): String = {
+    val lam = d.dlit(MmrLambda)
+    val mu = d.dlit(1.0 - MmrLambda)
+    val rounds = (2 to MmrK).map { k =>
+      val sel = (1 until k).map(j => s"  SELECT qid, nid FROM mr$j")
+        .mkString("\n  UNION ALL\n")
+      s"""msel${k - 1} AS ${d.mat} (
+         |$sel),
+         |mq$k AS (
+         |  SELECT p.qid, p.nid, p.rel, max(ps.sim) AS ms
+         |  FROM mpool p
+         |  LEFT JOIN msel${k - 1} x ON x.qid = p.qid AND x.nid = p.nid
+         |  JOIN mps ps ON ps.qid = p.qid AND ps.anid = p.nid
+         |  JOIN msel${k - 1} s ON s.qid = ps.qid AND s.nid = ps.bnid
+         |  WHERE x.nid IS NULL
+         |  GROUP BY p.qid, p.nid, p.rel),
+         |mr$k AS (
+         |  SELECT qid, nid, rel, mmr FROM (
+         |    SELECT qid, nid, rel, $lam * rel - $mu * ms AS mmr,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY $lam * rel - $mu * ms DESC, nid) AS rn
+         |    FROM mq$k) z WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK).map(k =>
+      s"""SELECT qid, nid, CAST($k AS BIGINT) AS rank, rel, mmr FROM mr$k""")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${kmeansCandCtes(d)},
+       |sc AS (
+       |  SELECT cand.qid, cand.nid,
+       |    ${d.dot("q.v", "x.v")} / (q.nrm * x.nrm) AS rel
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.qid
+       |  JOIN n x ON x.vec_id = cand.nid),
+       |mpool AS ${d.mat} (
+       |  SELECT qid, nid, rel FROM (
+       |    SELECT qid, nid, rel,
+       |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+       |    FROM sc) z WHERE rn <= $MmrPool),
+       |mps AS ${d.mat} (
+       |  SELECT a.qid, a.nid AS anid, b.nid AS bnid,
+       |    ${d.dot("va.v", "vb.v")} / (va.nrm * vb.nrm) AS sim
+       |  FROM mpool a
+       |  JOIN mpool b ON b.qid = a.qid AND b.nid != a.nid
+       |  JOIN n va ON va.vec_id = a.nid
+       |  JOIN n vb ON vb.vec_id = b.nid),
+       |mr1 AS (
+       |  SELECT qid, nid, rel, $lam * rel AS mmr FROM (
+       |    SELECT qid, nid, rel,
+       |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+       |    FROM mpool) z WHERE rn = 1),
+       |$rounds
+       |SELECT qid AS query_id, nid AS neighbor_id, rank,
+       |  round(rel, 6) AS cosine, round(mmr, 6) AS mmr_score
+       |FROM (
+       |$out
+       |) u ORDER BY query_id, rank""".stripMargin
+  }
+
   /** In-memory IVF serve over ANY collected codebook: kernel/unrolled
     * assignment, nprobe=2 probing, exact cosine scoring, top-5 per
     * query — the shared tail of `ivfKmeans` (trained codebook) and

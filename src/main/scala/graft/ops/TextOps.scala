@@ -74,6 +74,14 @@ sealed trait SqlDialect {
     * order-insensitive ways (size, intersection size). */
   def listAgg(x: String): String
 
+  /** CTE materialization hint (`name AS $mat (...)`): DuckDB inlines
+    * CTEs per reference by default, so a CTE consumed k times
+    * recomputes its whole upstream chain k times — mark multi-consumer
+    * CTEs MATERIALIZED there.  Spark has no such keyword (and the
+    * engine side caches multi-consumer relations as DataFrames
+    * instead), so its hint is empty. */
+  def mat: String
+
   /** Word 3-gram shingle set (distinct) from a token-array expression. */
   def shingles3(toks: String): String =
     arrDistinct(arrTransform(
@@ -149,6 +157,7 @@ object SparkDialect extends SqlDialect {
   def sequence0(n: String): String =
     s"(CASE WHEN ($n) >= 1 THEN sequence(0, ($n) - 1) ELSE slice(sequence(1, 1), 1, 0) END)"
   def listAgg(x: String): String = s"collect_list($x)"
+  def mat: String = ""
 }
 
 object DuckDialect extends SqlDialect {
@@ -190,6 +199,7 @@ object DuckDialect extends SqlDialect {
   def dlit(x: Double): String = s"CAST($x AS DOUBLE)"
   def sequence0(n: String): String = s"generate_series(0, ($n) - 1)"
   def listAgg(x: String): String = s"list($x)"
+  def mat: String = "MATERIALIZED"
 }
 
 /** Deterministic parameters shared by the hashing operators. */
