@@ -147,6 +147,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_containment" -> (Dedup.ngramContainment _),
+    "dedup_split_leakage" -> (Dedup.splitLeakage _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_lsh_cap_report" -> (Dedup.minhashCapReport _),
     "dedup_simhash" -> (Dedup.simhash _),
@@ -635,6 +636,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactSql(DuckDialect),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(DuckDialect),
     "dedup_containment" -> Dedup.ngramContainmentSql(DuckDialect),
+    "dedup_split_leakage" -> Dedup.splitLeakageSql(DuckDialect),
     "dedup_minhash_lsh" -> Dedup.minhashLshSql(DuckDialect),
     "dedup_lsh_cap_report" -> Dedup.minhashCapReportSql(DuckDialect),
     // SimHash oracle is deliberately a DIFFERENT algorithm (brute-force

@@ -813,6 +813,74 @@ object Dedup {
   def ngramContainment(spark: SparkSession, dir: String): DataFrame =
     containmentProjection(sharedPairsDF(spark, dir))
 
+  /** Split-leakage audit: near-duplicate pairs (the same J ≥ 0.5
+    * relation `dedup_ngram_jaccard` reports) whose members land in
+    * DIFFERENT train/val/test splits — the data-hygiene report an LLM
+    * pipeline runs before trusting held-out metrics, since a test doc
+    * with a near-dup in train is evaluation contamination the
+    * benchmark-overlap check (`text_contamination`) cannot see.
+    * Consumes the cached capped pair relation (a projection — the
+    * posting join is already priced by `SparkEntry.builds`) and the
+    * exact splitter of `text_sample_split` (`TextAnalysis.splitCase` —
+    * one definition, audit and splitter cannot drift).  Split pairs
+    * are reported as unordered categories (least/greatest), with each
+    * category's share of all near-dup pairs and a leak flag. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = sharedPairsDF(spark, dir)
+      .withColumn("jaccard", $"shared" / ($"na" + $"nb" - $"shared"))
+      .filter($"jaccard" >= 0.5)
+      .select($"ia", $"ib")
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    val sp = spark.sql(
+      s"""SELECT doc_id, ${TextAnalysis.splitCase(SparkDialect)} AS split
+         |FROM documents""".stripMargin)
+    pairs
+      .join(sp.select($"doc_id".as("ia"), $"split".as("sa")), "ia")
+      .join(sp.select($"doc_id".as("ib"), $"split".as("sb")), "ib")
+      .select(least($"sa", $"sb").as("split_a"),
+        greatest($"sa", $"sb").as("split_b"))
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("frac", round($"n_pairs".cast("double")
+        / sum($"n_pairs").over(Window.partitionBy()), 6))
+      .select($"split_a", $"split_b", $"n_pairs", $"frac",
+        when($"split_a" =!= $"split_b", 1).otherwise(0)
+          .cast("int").as("leaked"))
+      .orderBy($"split_a", $"split_b")
+  }
+
+  /** Oracle twin of `splitLeakage`: the identical capped-posting CTE
+    * chain as `ngramJaccardSql`, J ≥ 0.5 pair filter, split join, and
+    * unordered-category aggregation as the tail. */
+  def splitLeakageSql(d: SqlDialect, maxDf: Int = MaxGramDf): String = {
+    val base = ngramJaccardSql(d, maxDf)
+    val tail = base.indexOf("SELECT ia AS doc_id_a")
+    base.substring(0, tail) +
+      s""",
+         |jp AS (
+         |  SELECT ia, ib FROM v
+         |  WHERE shared / (na + nb - shared) >= ${d.dlit(0.5)}),
+         |sp AS ${d.mat} (
+         |  SELECT doc_id, ${TextAnalysis.splitCase(d)} AS split
+         |  FROM documents),
+         |pj AS (
+         |  SELECT least(sa.split, sb.split) AS split_a,
+         |         greatest(sa.split, sb.split) AS split_b
+         |  FROM jp
+         |  JOIN sp sa ON sa.doc_id = jp.ia
+         |  JOIN sp sb ON sb.doc_id = jp.ib)
+         |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS frac,
+         |  CAST(CASE WHEN split_a != split_b THEN 1 ELSE 0 END AS INTEGER)
+         |    AS leaked
+         |FROM pj GROUP BY split_a, split_b
+         |ORDER BY split_a, split_b""".stripMargin
+  }
+
   /** Engine-side MinHash: the signature and gram-set relations are
     * consumed by 8 band projections + 4 verify joins; SQL CTEs are
     * inlined per reference (re-running the whole pipeline ~10×, both

@@ -70,8 +70,11 @@ object TextAnalysis {
        |    * (1.0 - $nSym / greatest($nChars, 1))
        |    * (1.0 - $nDigit / greatest($nChars, 1))""".stripMargin
 
-  /** Deterministic 90/5/5 split assignment from the doc_id hash. */
-  private def splitCase(d: SqlDialect): String = {
+  /** Deterministic 90/5/5 split assignment from the doc_id hash.
+    * `private[ops]`: the split-leakage audit (`Dedup.splitLeakage`)
+    * joins this exact assignment against the near-dup pair relation —
+    * one definition, so the audit can never drift from the splitter. */
+  private[ops] def splitCase(d: SqlDialect): String = {
     val bucket = s"(${d.h60(d.castStr("doc_id"))} % 100)"
     s"""CASE WHEN $bucket < 90 THEN 'train'
        |         WHEN $bucket < 95 THEN 'val'
