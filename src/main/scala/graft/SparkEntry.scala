@@ -134,6 +134,7 @@ object SparkEntry {
     "text_bpe_pairs" -> (BpeTrain.bpePairs _),
     "text_bpe_merges" -> (BpeTrain.bpeMerges _),
     "text_bpe_encode" -> (BpeTrain.bpeEncode _),
+    "text_bpe_fertility" -> (BpeTrain.bpeFertility _),
     // Rule-based curation filters + frequency sketch (TextFilters)
     "text_gopher_rules" -> (TextFilters.gopherRules _),
     "text_gopher_by_source" -> (TextFilters.gopherBySource _),
@@ -175,6 +176,7 @@ object SparkEntry {
     "sim_recall_sampled" -> (Similarity.recallSampled _),
     "sim_recall_rerank" -> (Similarity.recallRerank _),
     "sim_mmr_rerank" -> (Similarity.mmrRerank _),
+    "sim_nprobe_sweep" -> (Similarity.nprobeSweep _),
     "sim_quantize" -> (Similarity.quantize _),
     "sim_ann_ivf_persisted" ->
       ((s: SparkSession, d: String) => Similarity.ivfPersisted(s, d)),
@@ -274,6 +276,7 @@ object SparkEntry {
     "hybrid_lex_rank" -> ((s, d) => Retrieval.prebuildLexRank(s, d)),
     "fixed_ivf_stores" ->
       ((s, d) => Similarity.prebuildFixedStores(s, d)),
+    "bpe_merge_table" -> ((s, d) => { BpeTrain.trainedMerges(s, d); () }),
   )
 
   /** Per-build predicate over query names: does this query consume the
@@ -290,9 +293,11 @@ object SparkEntry {
       n == "lex_index_health"),
     "minhash_sig_store" -> (n => n.startsWith("dedup_")),
     "shared_gram_pairs" ->
-      (n => n == "dedup_ngram_jaccard" || n == "dedup_containment"),
+      (n => n == "dedup_ngram_jaccard" || n == "dedup_containment" ||
+        n == "dedup_split_leakage"),
     "hybrid_lex_rank" -> (n => n.startsWith("sim_hybrid")),
     "fixed_ivf_stores" -> (n => n.startsWith("sim_ann_ivf")),
+    "bpe_merge_table" -> (n => n.startsWith("text_bpe")),
   )
 
   /** Queries that are DOCUMENTED brute-force / fixed-k ground-truth
@@ -625,6 +630,7 @@ object SparkEntry {
     "text_bpe_pairs" -> BpeTrain.bpePairsSql(DuckDialect),
     "text_bpe_merges" -> BpeTrain.bpeMergesSql(DuckDialect),
     "text_bpe_encode" -> BpeTrain.bpeEncodeSql(DuckDialect),
+    "text_bpe_fertility" -> BpeTrain.bpeFertilitySql(DuckDialect),
     "text_gopher_rules" -> TextFilters.gopherRulesSql(DuckDialect),
     "text_gopher_by_source" -> TextFilters.gopherBySourceSql(DuckDialect),
     "text_heavy_hitters" -> TextFilters.heavyHittersSql(DuckDialect),
@@ -666,6 +672,7 @@ object SparkEntry {
     "sim_recall_sampled" -> Similarity.recallSampledSql(DuckDialect),
     "sim_recall_rerank" -> Similarity.recallRerankSql(DuckDialect),
     "sim_mmr_rerank" -> Similarity.mmrSql(DuckDialect),
+    "sim_nprobe_sweep" -> Similarity.nprobeSweepSql(DuckDialect),
     "sim_quantize" -> Similarity.quantizeSql(DuckDialect),
     // identical semantics to sim_ann_ivf / sim_ivf_kmeans by
     // construction — the same oracles verify the persisted-index paths

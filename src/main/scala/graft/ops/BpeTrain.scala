@@ -182,7 +182,10 @@ object BpeTrain {
     * (empty `b_i`, tiny corpus) to a '#' sentinel row, which never
     * occurs in a spaced seq, so its replace is a no-op — matching the
     * engine loop, which simply stops early. */
-  def bpeEncodeSql(d: SqlDialect): String = {
+  /** Train + tokenize + merge-application CTEs ending in
+    * `ec(doc_id, tchars, encseq)` — the shared oracle prefix of the
+    * encode and fertility queries. */
+  private def oracleEncCtes(d: SqlDialect): String = {
     val steps = (1 to Rounds).map { i =>
       s"""bb$i AS (
          |  SELECT coalesce(min(lhs), '#') AS lhs, coalesce(min(rhs), '#') AS rhs
@@ -193,13 +196,56 @@ object BpeTrain {
          |            b.lhs || b.rhs || ' ') AS encseq
          |  FROM ec${i - 1} e CROSS JOIN bb$i b)""".stripMargin
     }.mkString(",\n")
-    val ctes =
-      s"""${trainCtes(d)},
-         |${tokenizeCte(d)},
-         |$steps,
-         |ec AS (SELECT doc_id, tchars, encseq FROM ec$Rounds)""".stripMargin
-    bpeEncodeBody(d, ctes)
+    s"""${trainCtes(d)},
+       |${tokenizeCte(d)},
+       |$steps,
+       |ec AS (SELECT doc_id, tchars, encseq FROM ec$Rounds)""".stripMargin
   }
+
+  def bpeEncodeSql(d: SqlDialect): String =
+    bpeEncodeBody(d, oracleEncCtes(d))
+
+  // ---- text_bpe_fertility: per-language tokenizer-equity report -----
+
+  /** Per-language fertility of the trained vocabulary: chars per
+    * emitted symbol and symbols per word, by `documents.lang`.  The
+    * standard multilingual-tokenizer equity metric — a language whose
+    * text fragments into many more symbols per word pays more sequence
+    * length per sentence (and more compute per token of content) under
+    * the shared vocab; this report is what drives vocab-size or
+    * mixture adjustments.  Exact integer sums aggregated from the same
+    * encode relation as `text_bpe_encode`; zero-token languages keep a
+    * row via the documents-side rollup. */
+  private def bpeFertilityBody(d: SqlDialect, prefixCtes: String): String =
+    s"""WITH $prefixCtes,
+       |e AS (
+       |  SELECT doc_id, tchars,
+       |    CAST(${d.arrSize(syms(d, "encseq"))} AS BIGINT) AS nsym
+       |  FROM ec),
+       |agg AS (
+       |  SELECT doc.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(e.tchars) AS BIGINT) AS n_chars,
+       |    CAST(sum(e.nsym) AS BIGINT) AS n_symbols
+       |  FROM e JOIN documents doc ON doc.doc_id = e.doc_id
+       |  GROUP BY doc.lang),
+       |nd AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY lang)
+       |SELECT nd.lang, nd.n_docs,
+       |  coalesce(agg.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       |  coalesce(agg.n_chars, CAST(0 AS BIGINT)) AS n_chars,
+       |  coalesce(agg.n_symbols, CAST(0 AS BIGINT)) AS n_symbols,
+       |  round(CAST(coalesce(agg.n_chars, CAST(0 AS BIGINT)) AS DOUBLE)
+       |    / greatest(CAST(coalesce(agg.n_symbols, CAST(0 AS BIGINT))
+       |        AS DOUBLE), 1.0), 6) AS chars_per_symbol,
+       |  round(CAST(coalesce(agg.n_symbols, CAST(0 AS BIGINT)) AS DOUBLE)
+       |    / greatest(CAST(coalesce(agg.n_tokens, CAST(0 AS BIGINT))
+       |        AS DOUBLE), 1.0), 6) AS symbols_per_token
+       |FROM nd LEFT JOIN agg ON agg.lang = nd.lang
+       |ORDER BY nd.lang""".stripMargin
+
+  def bpeFertilitySql(d: SqlDialect): String =
+    bpeFertilityBody(d, oracleEncCtes(d))
 
   // ---- engine side --------------------------------------------------
 
@@ -266,16 +312,26 @@ object BpeTrain {
     trainedMerges(spark, dir).toDF().orderBy(col("step"))
   }
 
+  /** Engine-side CTEs ending in `ec`: tokenize + the collected merge
+    * table inlined as a literal replace chain. */
+  private def engineEncCtes(ms: Seq[BpeMerge]): String = {
+    val d = SparkDialect
+    s"""${tokenizeCte(d)},
+       |ec AS (
+       |  SELECT doc_id, tchars,
+       |    ${literalChain(ms)("encseq")} AS encseq
+       |  FROM ec0)""".stripMargin
+  }
+
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val ms = trainedMerges(spark, dir)
     docsView(spark, dir)
-    val d = SparkDialect
-    val ctes =
-      s"""${tokenizeCte(d)},
-         |ec AS (
-         |  SELECT doc_id, tchars,
-         |    ${literalChain(ms)("encseq")} AS encseq
-         |  FROM ec0)""".stripMargin
-    spark.sql(bpeEncodeBody(d, ctes))
+    spark.sql(bpeEncodeBody(SparkDialect, engineEncCtes(ms)))
+  }
+
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val ms = trainedMerges(spark, dir)
+    docsView(spark, dir)
+    spark.sql(bpeFertilityBody(SparkDialect, engineEncCtes(ms)))
   }
 }

@@ -2828,6 +2828,118 @@ object Similarity {
       .select($"qid", $"vec_id".as("nid"))
   }
 
+  // ---- nprobe recall/cost sweep --------------------------------------
+
+  /** The swept nprobe settings (1 = cheapest, 4 = 2× the serving
+    * default) — the knob an IVF deployment tunes first. */
+  val SweepNprobes = Seq(1, 2, 4)
+
+  /** IVF tuning sweep: recall@5 AND mean candidate-list size per
+    * nprobe setting, over the deterministic √|Q| query sample — the
+    * cost/recall curve that decides an index's serving configuration.
+    * Ground truth is the sampled brute-force top-5 (shared cached
+    * relation with `sim_recall_sampled`); every variant serves from
+    * the SAME trained codebook, so the sweep isolates the probe-width
+    * effect.  Scale: truth is √|Q|·n (the one unblockable cost,
+    * sampled); each sweep point is the standard IVF candidate join
+    * restricted to √|Q| queries — strictly cheaper than the
+    * full-query-set serving paths measured elsewhere. */
+  def nprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val n = ivfBase(spark, dir)
+    val cents = trainCodebookCached(spark, dir, n)
+    val truth = RelationCache.cached(spark, s"recall_truth_sampled:$dir") {
+      run(spark, dir, sampledTruthSql(SparkDialect))
+    }
+    val sq = RelationCache.cached(spark, s"nprobe_sweep_queries:$dir") {
+      n.join(truth.select($"query_id".as("vec_id")).distinct(), "vec_id")
+    }
+    val asgn = assignedCid(n, cents).select($"vec_id", $"cid")
+    val nq = sq.agg(count(lit(1)).as("n_queries"))
+    val parts = SweepNprobes.map { np =>
+      val cand = probeCids(sq, cents, np)
+        .join(asgn, "cid")
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("nid"))
+      val top5 = cand
+        .join(n.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")), "qid")
+        .join(n.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nn")), "nid")
+        .select($"qid", $"nid",
+          expr("graft_dot(qv, nv)").divide($"qn" * $"nn").as("cs"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"cs".desc, $"nid")))
+        .filter($"rn" <= 5)
+      val hits = top5
+        .join(truth, top5("qid") === truth("query_id") &&
+          top5("nid") === truth("neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      hits.crossJoin(nc).crossJoin(nq)
+        .select(lit(np.toLong).as("nprobe"), $"n_queries",
+          round($"n_hits".cast("double")
+            / (lit(5.0) * $"n_queries"), 6).as("mean_recall"),
+          round($"n_cand".cast("double") / $"n_queries", 6)
+            .as("mean_candidates"))
+    }
+    parts.reduce(_ union _).orderBy($"nprobe")
+  }
+
+  /** Oracle of `nprobeSweep`: the trained chain's full centroid
+    * ranking (`xf`) and final assignment (`asgn`) from
+    * `kmeansCandCtes`, cross-joined with the swept nprobe values;
+    * truth is the shared sampled brute-force top-5. */
+  def nprobeSweepSql(d: SqlDialect): String = {
+    val sw = SweepNprobes.map(np => s"SELECT $np AS np").mkString(" UNION ALL ")
+    s"""WITH ${kmeansCandCtes(d)},
+       |${qsampleCtes(d)},
+       |swp AS ($sw),
+       |truth AS ${d.mat} (
+       |  ${sampledTruthSql(d)}),
+       |spr AS (
+       |  SELECT w.np, f.vec_id AS qid, f.cid
+       |  FROM qsample s
+       |  JOIN xf f ON f.vec_id = s.vec_id
+       |  CROSS JOIN swp w
+       |  WHERE f.crn <= w.np),
+       |scand AS ${d.mat} (
+       |  SELECT spr.np, spr.qid, a.vec_id AS nid
+       |  FROM spr JOIN asgn a ON a.cid = spr.cid AND a.vec_id != spr.qid),
+       |ssc AS (
+       |  SELECT scand.np, scand.qid, scand.nid,
+       |    ${d.dot("q.v", "x.v")} / (q.nrm * x.nrm) AS cs
+       |  FROM scand
+       |  JOIN n q ON q.vec_id = scand.qid
+       |  JOIN n x ON x.vec_id = scand.nid),
+       |sr5 AS (
+       |  SELECT np, qid, nid FROM (
+       |    SELECT np, qid, nid,
+       |      row_number() OVER (PARTITION BY np, qid
+       |        ORDER BY cs DESC, nid) AS rn
+       |    FROM ssc) z WHERE rn <= 5),
+       |sm AS (
+       |  SELECT sr5.np, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM sr5 JOIN truth t
+       |    ON t.query_id = sr5.qid AND t.neighbor_id = sr5.nid
+       |  GROUP BY sr5.np),
+       |scc AS (
+       |  SELECT np, CAST(count(*) AS BIGINT) AS n_cand
+       |  FROM scand GROUP BY np),
+       |snq AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_queries FROM qsample)
+       |SELECT CAST(w.np AS BIGINT) AS nprobe, snq.n_queries,
+       |  round(CAST(coalesce(sm.n_hits, 0) AS DOUBLE)
+       |    / (${d.dlit(5.0)} * snq.n_queries), 6) AS mean_recall,
+       |  round(CAST(coalesce(scc.n_cand, 0) AS DOUBLE)
+       |    / snq.n_queries, 6) AS mean_candidates
+       |FROM swp w
+       |CROSS JOIN snq
+       |LEFT JOIN sm ON sm.np = w.np
+       |LEFT JOIN scc ON scc.np = w.np
+       |ORDER BY nprobe""".stripMargin
+  }
+
   // ---- MMR diversified reranking ------------------------------------
 
   /** MMR candidate-pool size (top-N by relevance per query) and the

@@ -75,6 +75,22 @@ class BpeTrainSpec extends SparkSuite {
     }
   }
 
+  test("fertility: per-lang sums reconcile with the per-doc encode") {
+    val enc = BpeTrain.bpeEncode(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lang = graft.Tables.documents(spark, sf())
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = enc.groupBy(e => lang(e._1)).map { case (l, es) =>
+      (l, es.length.toLong, es.map(_._2).sum, es.map(_._3).sum,
+        es.map(_._4).sum)
+    }.toSet
+    val got = BpeTrain.bpeFertility(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+  }
+
   test("greedy replace semantics: overlap and adjacency edge cases") {
     import spark.implicits._
     val dir = java.nio.file.Files
