@@ -2990,31 +2990,52 @@ object Similarity {
         .select($"qid", $"anid", $"bnid",
           expr("graft_dot(av, bv)").divide($"an" * $"bn").as("sim"))
     }
-    var all = pool
-      .withColumn("rn", row_number().over(byRel)).filter($"rn" === 1)
-      .select($"qid", $"nid", $"rel",
-        (lit(MmrLambda) * $"rel").as("mmr"), lit(1L).as("rank"))
-    for (k <- 2 to MmrK) {
-      val selIds = all.select($"qid".as("sqid"), $"nid".as("snid"))
-      val scored = pool.as("p")
-        .join(selIds, $"p.qid" === $"sqid" && $"p.nid" === $"snid", "left_anti")
-        .join(ps.as("s"), $"p.qid" === $"s.qid" && $"p.nid" === $"s.anid")
-        .join(all.select($"qid".as("jqid"), $"nid".as("jnid")),
-          $"s.qid" === $"jqid" && $"s.bnid" === $"jnid")
-        .select($"p.qid".as("qid"), $"p.nid".as("nid"),
-          $"p.rel".as("rel"), $"s.sim".as("sim"))
-        .groupBy($"qid", $"nid", $"rel")
-        .agg(max($"sim").as("ms"))
-        .select($"qid", $"nid", $"rel",
-          (lit(MmrLambda) * $"rel" - lit(1.0 - MmrLambda) * $"ms").as("mmr"))
-      val pick = scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"qid").orderBy($"mmr".desc, $"nid")))
-        .filter($"rn" === 1)
-        .select($"qid", $"nid", $"rel", $"mmr", lit(k.toLong).as("rank"))
-      all = all.union(pick)
-    }
-    all.select($"qid".as("query_id"), $"nid".as("neighbor_id"), $"rank",
+    // The greedy rounds run INSIDE one cogroup: per query the state is
+    // ≤ MmrPool candidates + MmrPool² sims, so the sequential-by-
+    // definition selection is a bounded local loop per group, and the
+    // whole operator is two cached builds + ONE shuffle on qid.  (A
+    // first cut chained k DataFrame rounds instead — each referencing
+    // the growing selection twice — and produced a 500-node plan whose
+    // ~40 AQE stages cost 37 s at sf0.1 in pure orchestration; group-
+    // local greedy is the idiomatic Spark shape for tiny-per-key
+    // sequential algorithms.)  Arithmetic mirrors the oracle exactly:
+    // λ·rel − (1−λ)·max-sim in the same IEEE order, ties on nid.
+    val lam = MmrLambda
+    val mu = 1.0 - MmrLambda
+    val k = MmrK
+    val res = pool.select($"qid", $"nid", $"rel")
+      .as[(Long, Long, Double)].groupByKey(_._1)
+      .cogroup(ps.select($"qid", $"anid", $"bnid", $"sim")
+        .as[(Long, Long, Long, Double)].groupByKey(_._1)) { (q, cs, ss) =>
+        val cand = cs.toArray.sortBy(c => (-c._3, c._2))
+        if (cand.isEmpty) Iterator.empty
+        else {
+          val sim = ss.map(s => ((s._2, s._3), s._4)).toMap
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Double, Double)]
+          val head = cand.head
+          out += ((q, head._2, 1L, head._3, lam * head._3))
+          var selected = List(head._2)
+          var round = 2
+          var exhausted = false
+          while (round <= k && !exhausted) {
+            val rem = cand.filter(c => !selected.contains(c._2))
+            if (rem.isEmpty) exhausted = true
+            else {
+              val best = rem.map { c =>
+                val ms = selected.iterator.map(s => sim((c._2, s))).max
+                (c._2, c._3, lam * c._3 - mu * ms)
+              }.minBy(x => (-x._3, x._1))
+              out += ((q, best._1, round.toLong, best._2, best._3))
+              selected ::= best._1
+              round += 1
+            }
+          }
+          out.iterator
+        }
+      }
+    res.toDF("query_id", "neighbor_id", "rank", "rel", "mmr")
+      .select($"query_id", $"neighbor_id", $"rank",
         round($"rel", 6).as("cosine"), round($"mmr", 6).as("mmr_score"))
       .orderBy($"query_id", $"rank")
   }
