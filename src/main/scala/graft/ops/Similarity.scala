@@ -2856,34 +2856,54 @@ object Similarity {
     val sq = RelationCache.cached(spark, s"nprobe_sweep_queries:$dir") {
       n.join(truth.select($"query_id".as("vec_id")).distinct(), "vec_id")
     }
-    val asgn = assignedCid(n, cents).select($"vec_id", $"cid")
-    val nq = sq.agg(count(lit(1)).as("n_queries"))
-    val parts = SweepNprobes.map { np =>
-      val cand = probeCids(sq, cents, np)
-        .join(asgn, "cid")
-        .filter($"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id".as("nid"))
-      val top5 = cand
-        .join(n.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")), "qid")
-        .join(n.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nn")), "nid")
-        .select($"qid", $"nid",
-          expr("graft_dot(qv, nv)").divide($"qn" * $"nn").as("cs"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"qid").orderBy($"cs".desc, $"nid")))
-        .filter($"rn" <= 5)
-      val hits = top5
-        .join(truth, top5("qid") === truth("query_id") &&
-          top5("nid") === truth("neighbor_id"))
-        .agg(count(lit(1)).as("n_hits"))
-      val nc = cand.agg(count(lit(1)).as("n_cand"))
-      hits.crossJoin(nc).crossJoin(nq)
-        .select(lit(np.toLong).as("nprobe"), $"n_queries",
-          round($"n_hits".cast("double")
-            / (lit(5.0) * $"n_queries"), 6).as("mean_recall"),
-          round($"n_cand".cast("double") / $"n_queries", 6)
-            .as("mean_candidates"))
+    val asgn = RelationCache.cached(spark, s"kmeans_asgn:$dir") {
+      assignedCid(n, cents).select($"vec_id", $"cid")
     }
-    parts.reduce(_ union _).orderBy($"nprobe")
+    // One candidate generation + ONE scoring pass at the WIDEST probe
+    // (every narrower setting's candidates are a crn-prefix subset —
+    // a neighbor's cid has exactly one rank per query, so `crn <= np`
+    // carves each setting out of the same scored relation); per-np
+    // top-5 and counts come from one window over (np, qid).  A
+    // per-setting loop re-ran the assignment join and scoring 3×.
+    val maxNp = SweepNprobes.max
+    val ranked =
+      (if (cents.size <= CentroidExprMaxK)
+        sq.select($"vec_id".as("qid"),
+            posexplode(slice(centroidOrder(cents), 1, maxNp)))
+          .select($"qid", ($"pos" + 1).as("crn"), $"col.cid".as("cid"))
+      else
+        centroidTopDF(sq, cents, maxNp)
+          .select($"vec_id".as("qid"), posexplode($"cids"))
+          .select($"qid", ($"pos" + 1).as("crn"), $"col".as("cid")))
+    val scored = ranked
+      .join(asgn, "cid")
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"crn", $"vec_id".as("nid"))
+      .join(n.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")), "qid")
+      .join(n.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nn")), "nid")
+      .select($"qid", $"crn", $"nid",
+        expr("graft_dot(qv, nv)").divide($"qn" * $"nn").as("cs"))
+    val swp = SweepNprobes.map(_.toLong).toDF("np")
+    val expanded = scored.join(broadcast(swp), $"crn" <= $"np")
+    val r5 = expanded
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"np", $"qid").orderBy($"cs".desc, $"nid")))
+      .filter($"rn" <= 5)
+    val hits = r5
+      .join(truth, r5("qid") === truth("query_id") &&
+        r5("nid") === truth("neighbor_id"))
+      .groupBy($"np").agg(count(lit(1)).as("n_hits"))
+    val cc = expanded.groupBy($"np").agg(count(lit(1)).as("n_cand"))
+    val nq = sq.agg(count(lit(1)).as("n_queries"))
+    swp.crossJoin(nq)
+      .join(hits, Seq("np"), "left")
+      .join(cc, Seq("np"), "left")
+      .select($"np".as("nprobe"), $"n_queries",
+        round(coalesce($"n_hits", lit(0L)).cast("double")
+          / (lit(5.0) * $"n_queries"), 6).as("mean_recall"),
+        round(coalesce($"n_cand", lit(0L)).cast("double") / $"n_queries", 6)
+          .as("mean_candidates"))
+      .orderBy($"nprobe")
   }
 
   /** Oracle of `nprobeSweep`: the trained chain's full centroid
