@@ -139,6 +139,7 @@ object SparkEntry {
     "text_gopher_rules" -> (TextFilters.gopherRules _),
     "text_gopher_by_source" -> (TextFilters.gopherBySource _),
     "text_heavy_hitters" -> (TextFilters.heavyHitters _),
+    "text_token_drift" -> (TextFilters.tokenDrift _),
     "text_source_cap" -> (TextFilters.sourceCap _),
     "text_shard_plan" -> (TextFilters.shardPlan _),
     "text_shard_manifest" -> (TextFilters.shardManifest _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_containment" -> (Dedup.ngramContainment _),
     "dedup_split_leakage" -> (Dedup.splitLeakage _),
+    "dedup_degree_hist" -> (Dedup.degreeHist _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_lsh_cap_report" -> (Dedup.minhashCapReport _),
     "dedup_simhash" -> (Dedup.simhash _),
@@ -174,6 +176,8 @@ object SparkEntry {
     "sim_ivf_kmeans" -> (Similarity.ivfKmeans _),
     "sim_recall" -> (Similarity.recall _),
     "sim_recall_sampled" -> (Similarity.recallSampled _),
+    "sim_retrieval_ndcg" -> (Similarity.retrievalNdcg _),
+    "sim_retrieval_ndcg_sampled" -> (Similarity.retrievalNdcgSampled _),
     "sim_recall_rerank" -> (Similarity.recallRerank _),
     "sim_mmr_rerank" -> (Similarity.mmrRerank _),
     "sim_nprobe_sweep" -> (Similarity.nprobeSweep _),
@@ -294,7 +298,7 @@ object SparkEntry {
     "minhash_sig_store" -> (n => n.startsWith("dedup_")),
     "shared_gram_pairs" ->
       (n => n == "dedup_ngram_jaccard" || n == "dedup_containment" ||
-        n == "dedup_split_leakage"),
+        n == "dedup_split_leakage" || n == "dedup_degree_hist"),
     "hybrid_lex_rank" -> (n => n.startsWith("sim_hybrid")),
     "fixed_ivf_stores" -> (n => n.startsWith("sim_ann_ivf")),
     "bpe_merge_table" -> (n => n.startsWith("text_bpe")),
@@ -330,7 +334,7 @@ object SparkEntry {
     "dedup_semantic", "sim_ann_lsh", "sim_hybrid_rrf",
     "sim_topk_bruteforce", "sim_quantized_topk",
     "sim_recall", "sim_recall_rerank", "sim_adc_recall",
-    "sim_hybrid_recall")
+    "sim_hybrid_recall", "sim_retrieval_ndcg")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -634,6 +638,7 @@ object SparkEntry {
     "text_gopher_rules" -> TextFilters.gopherRulesSql(DuckDialect),
     "text_gopher_by_source" -> TextFilters.gopherBySourceSql(DuckDialect),
     "text_heavy_hitters" -> TextFilters.heavyHittersSql(DuckDialect),
+    "text_token_drift" -> TextFilters.tokenDriftSql(DuckDialect),
     "text_source_cap" -> TextFilters.sourceCapSql(DuckDialect),
     "text_shard_plan" -> TextFilters.shardPlanSql(DuckDialect),
     "text_shard_manifest" -> TextFilters.shardManifestSql(DuckDialect),
@@ -643,6 +648,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(DuckDialect),
     "dedup_containment" -> Dedup.ngramContainmentSql(DuckDialect),
     "dedup_split_leakage" -> Dedup.splitLeakageSql(DuckDialect),
+    "dedup_degree_hist" -> Dedup.degreeHistSql(DuckDialect),
     "dedup_minhash_lsh" -> Dedup.minhashLshSql(DuckDialect),
     "dedup_lsh_cap_report" -> Dedup.minhashCapReportSql(DuckDialect),
     // SimHash oracle is deliberately a DIFFERENT algorithm (brute-force
@@ -670,6 +676,9 @@ object SparkEntry {
     "sim_ivf_kmeans" -> Similarity.ivfKmeansSql(DuckDialect),
     "sim_recall" -> Similarity.recallSql(DuckDialect),
     "sim_recall_sampled" -> Similarity.recallSampledSql(DuckDialect),
+    "sim_retrieval_ndcg" -> Similarity.retrievalNdcgSql(DuckDialect),
+    "sim_retrieval_ndcg_sampled" ->
+      Similarity.retrievalNdcgSampledSql(DuckDialect),
     "sim_recall_rerank" -> Similarity.recallRerankSql(DuckDialect),
     "sim_mmr_rerank" -> Similarity.mmrSql(DuckDialect),
     "sim_nprobe_sweep" -> Similarity.nprobeSweepSql(DuckDialect),

@@ -881,6 +881,63 @@ object Dedup {
          |ORDER BY split_a, split_b""".stripMargin
   }
 
+  /** Near-dup graph degree distribution: how many near-duplicate
+    * partners (the same J ≥ 0.5 relation `dedup_ngram_jaccard`
+    * reports) each document has, folded to a histogram
+    * (degree → n_docs, degree-0 row included via the left join to the
+    * full corpus).  This is the one-page duplication-shape report a
+    * curation run publishes next to `dedup_report`: a heavy tail here
+    * (one doc with degree 500) means boilerplate the pair list alone
+    * buries in volume, and the degree-0 mass is the fraction of the
+    * corpus dedup will not touch at all.
+    *
+    * Scale: a projection over the SAME session-cached capped pair
+    * relation the jaccard/containment/leakage queries consume (the
+    * posting join is priced once by `SparkEntry.builds`), then two
+    * map-side-combining aggregates — pairs ≪ n² by the blocking
+    * argument, and the histogram is at most max-degree rows. */
+  def degreeHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pairs = sharedPairsDF(spark, dir)
+      .withColumn("jaccard", $"shared" / ($"na" + $"nb" - $"shared"))
+      .filter($"jaccard" >= 0.5)
+      .select($"ia", $"ib")
+    val deg = pairs.select($"ia".as("doc_id"))
+      .unionAll(pairs.select($"ib".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce($"degree", lit(0L)).as("degree"))
+      .groupBy($"degree")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"degree")
+  }
+
+  /** Oracle twin of `degreeHist`: the identical capped-posting CTE
+    * chain as `ngramJaccardSql`, J ≥ 0.5 pair filter, then the
+    * endpoint-explode + degree histogram as the tail. */
+  def degreeHistSql(d: SqlDialect, maxDf: Int = MaxGramDf): String = {
+    val base = ngramJaccardSql(d, maxDf)
+    val tail = base.indexOf("SELECT ia AS doc_id_a")
+    base.substring(0, tail) +
+      s""",
+         |jp AS (
+         |  SELECT ia, ib FROM v
+         |  WHERE shared / (na + nb - shared) >= ${d.dlit(0.5)}),
+         |ends AS (
+         |  SELECT ia AS doc_id FROM jp
+         |  UNION ALL SELECT ib AS doc_id FROM jp),
+         |deg AS (
+         |  SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id)
+         |SELECT CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents docs
+         |LEFT JOIN deg ON deg.doc_id = docs.doc_id
+         |GROUP BY 1
+         |ORDER BY degree""".stripMargin
+  }
+
   /** Engine-side MinHash: the signature and gram-set relations are
     * consumed by 8 band projections + 4 verify joins; SQL CTEs are
     * inlined per reference (re-running the whole pipeline ~10×, both

@@ -1084,6 +1084,137 @@ object Similarity {
        |ORDER BY tc.query_id""".stripMargin
   }
 
+  /** NDCG@5 discount weights on the 10⁻⁶ grid: w(r) = 10⁶/log₂(r+1),
+    * rounded to integer micro-units — and the IDCG partial sums.
+    * Precomputed ONCE in Scala and embedded as integer literals in
+    * both the engine expressions and the oracle SQL, so the two
+    * engines can never disagree on a transcendental: all per-query
+    * arithmetic below is BIGINT sums of these literals, with one
+    * final double division + round(·, 6). */
+  private val NdcgW: Seq[Long] =
+    (1 to 5).map(r => Math.round(1e6 / (Math.log(r + 1.0) / Math.log(2.0))))
+  private val NdcgIdcg: Seq[Long] = NdcgW.scanLeft(0L)(_ + _).tail
+
+  /** Graded ranking quality of the production ANN serving modes:
+    * NDCG@5 against the brute-force cosine ground truth — the metric
+    * that (unlike set recall) penalizes a serving mode for ranking
+    * true neighbors BELOW false ones — a true neighbor pushed to
+    * rank 5 behind quantization noise keeps recall flat but costs
+    * 1 − 0.387 of its gain here, which is exactly the failure mode
+    * int8/PQ score distortion introduces.  Relevance is binary
+    * membership in the true top-5, discounted by position in the
+    * VARIANT's ranking; `n_true` < 5 queries normalize by the
+    * matching IDCG partial sum.
+    *
+    * Contains the all-pairs truth subquery BY DEFINITION → registered
+    * in `SparkEntry.scaleBaselines`; the `_sampled` twin below is the
+    * scale path (√|Q| sampled truth, corpus-scaled variants).
+    * Scale shape otherwise: truth is computed once (session cache)
+    * and feeds both variant joins; each variant join is an equi-join
+    * on (query_id, neighbor_id) + one map-side-combining sum. */
+  def retrievalNdcg(spark: SparkSession, dir: String): DataFrame =
+    ndcgOver(spark, dir, Seq(
+      "ndcg_kmeans" -> (() => ivfKmeans(spark, dir)),
+      "ndcg_ivf_pq" -> (() => ivfQuantizedPersisted(spark, dir))))
+
+  /** Scale twin of `retrievalNdcg`: the √|Q|-sampled truth (the
+    * `sim_recall_sampled` discipline) scoring the corpus-scaled
+    * serving modes — the NDCG measurement that runs at 10×/100×. */
+  def retrievalNdcgSampled(spark: SparkSession, dir: String): DataFrame = {
+    val truth = RelationCache.cached(spark, s"recall_truth_sampled:$dir") {
+      run(spark, dir, sampledTruthSql(SparkDialect))
+    }
+    ndcgOver(spark, dir, Seq(
+      "ndcg_lsh_scaled" -> (() => annLshScaled(spark, dir)),
+      "ndcg_kmeans_scaled" -> (() => ivfKmeansScaled(spark, dir))),
+      truthDf = Some(truth))
+  }
+
+  private def ndcgOver(spark: SparkSession, dir: String,
+      variants: Seq[(String, () => DataFrame)],
+      truthDf: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val truth = truthDf.getOrElse(
+      RelationCache.cached(spark, s"recall_truth:$dir") {
+        topK(spark, dir).filter($"rank" <= 5)
+          .select($"query_id", $"neighbor_id")
+      })
+    val tc = truth.groupBy($"query_id").agg(count(lit(1)).as("n_true"))
+    val wCase = NdcgW.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (w, i)) => when($"rank" === (i + 1), w).otherwise(acc)
+    }
+    def dcg(ann: DataFrame, name: String): DataFrame =
+      truth.join(ann.select($"query_id", $"neighbor_id", $"rank"),
+          Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id").agg(sum(wCase).as(name))
+    val joined = variants.zipWithIndex.foldLeft(tc) {
+      case (acc, ((_, ann), i)) =>
+        acc.join(dcg(ann(), s"d_$i"), Seq("query_id"), "left")
+    }
+    val idcg = NdcgIdcg.zipWithIndex.foldLeft(lit(NdcgIdcg.last)) {
+      case (acc, (c, i)) => when($"n_true" === (i + 1), c).otherwise(acc)
+    }
+    joined.select($"query_id" +: $"n_true" +:
+      variants.zipWithIndex.map { case ((name, _), i) =>
+        round(coalesce(col(s"d_$i"), lit(0L)).cast("double")
+          / idcg.cast("double"), 6).as(name)
+      }: _*)
+      .orderBy($"query_id")
+  }
+
+  /** Oracle form of `retrievalNdcg` — same weight literals, same
+    * BIGINT-sum-then-divide arithmetic. */
+  def retrievalNdcgSql(d: SqlDialect): String =
+    ndcgSqlOver(d, Seq(
+      "ndcg_kmeans" -> ivfKmeansSql(d),
+      "ndcg_ivf_pq" -> ivfQuantizedSql(d)))
+
+  /** Oracle form of `retrievalNdcgSampled`. */
+  def retrievalNdcgSampledSql(d: SqlDialect): String =
+    ndcgSqlOver(d, Seq(
+      "ndcg_lsh_scaled" -> annLshScaledSql(d),
+      "ndcg_kmeans_scaled" -> ivfKmeansScaledSql(d)),
+      truthSql = Some(sampledTruthSql(d)))
+
+  private def ndcgSqlOver(d: SqlDialect,
+      variants: Seq[(String, String)],
+      truthSql: Option[String] = None): String = {
+    val wCase = "CASE a.rank " + NdcgW.zipWithIndex.map {
+      case (w, i) => s"WHEN ${i + 1} THEN $w"
+    }.mkString(" ") + " ELSE 0 END"
+    val idcg = "CASE tc.n_true " + NdcgIdcg.zipWithIndex.init.map {
+      case (c, i) => s"WHEN ${i + 1} THEN $c"
+    }.mkString(" ") + s" ELSE ${NdcgIdcg.last} END"
+    val ms = variants.zipWithIndex.map { case ((_, sub), i) =>
+      s"""m$i AS (
+         |  SELECT t.query_id, sum($wCase) AS dcg FROM truth t
+         |  JOIN ($sub) a
+         |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |  GROUP BY t.query_id)""".stripMargin
+    }.mkString(",\n")
+    val cols = variants.zipWithIndex.map { case ((name, _), i) =>
+      s"""round(CAST(COALESCE(m$i.dcg, 0) AS BIGINT)
+         |    / CAST($idcg AS DOUBLE), 6) AS $name""".stripMargin
+    }.mkString(",\n  ")
+    val joins = variants.indices
+      .map(i => s"LEFT JOIN m$i ON m$i.query_id = tc.query_id")
+      .mkString("\n")
+    val truthBody = truthSql.getOrElse(
+      s"""SELECT query_id, neighbor_id FROM (${topKSql(d)}) t
+         |  WHERE rank <= 5""".stripMargin)
+    s"""WITH truth AS (
+       |  $truthBody),
+       |tc AS (
+       |  SELECT query_id, count(*) AS n_true FROM truth GROUP BY query_id),
+       |$ms
+       |SELECT tc.query_id, CAST(tc.n_true AS BIGINT) AS n_true,
+       |  $cols
+       |FROM tc
+       |$joins
+       |ORDER BY tc.query_id""".stripMargin
+  }
+
   /** Brute-force top-5 ground truth restricted to a DETERMINISTIC
     * √|Q| sample of the standing query set — the piece that lets the
     * recall harness run at 10×/100× where the full-query-set truth

@@ -637,4 +637,99 @@ object TextFilters {
 
   def sourceCap(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, sourceCapSql(SparkDialect))
+
+  /** Per-source token-distribution drift: the text-side twin of
+    * `sim_embedding_drift` — Population Stability Index of each
+    * source's token distribution against the REST of the corpus, over
+    * a fixed binning of the global top-`TokenDriftBins` tokens plus an
+    * `<other>` bucket.  This is the mixture-monitoring report a
+    * pretraining pipeline runs per ingest batch: a source whose
+    * language shifted (crawler drift, template change, encoding bug)
+    * trips the flag before it moves the trained model.
+    *
+    * Determinism mirrors `embeddingDriftSql` exactly: PSI terms are
+    * µ-quantized to the 10⁻⁹ grid as BIGINTs before the sum, so
+    * aggregation order cannot move the result; bin selection is exact
+    * integer counts with a token-string tie-break.  Laplace-style
+    * smoothing (+½ per bin) keeps every log finite; the same
+    * finite-sample noise floor (B−1)·(1/n_s + 1/n_rest) debiases the
+    * verdict so the 0.2 alert bar means the same thing at every
+    * corpus size.
+    *
+    * Scale: the explode feeds ONE map-side-combining aggregate keyed
+    * (source, token) — shuffled volume is bounded by per-source
+    * vocabulary incidence, not corpus length; everything after the
+    * bin join is per-(source, bin) arithmetic over B+1 rows per
+    * source.  At 100 TB this is a scan plus a vocabulary-sized
+    * shuffle, the same shape as `text_heavy_hitters`. */
+  val TokenDriftBins = 20
+
+  def tokenDriftSql(d: SqlDialect): String = {
+    val b = TokenDriftBins
+    val q9 = d.dlit(1.0e9)
+    val half = d.dlit(0.5)
+    val smooth = d.dlit((b + 1) / 2.0) // (B bins + other) * 1/2
+    s"""WITH w AS (
+       |  SELECT coalesce(source, '(null)') AS source,
+       |    ${d.explode(d.tokens("text"))} AS w
+       |  FROM documents),
+       |wc AS (
+       |  SELECT source, w, count(*) AS n FROM w GROUP BY source, w),
+       |g AS (
+       |  SELECT w, sum(n) AS gn FROM wc GROUP BY w),
+       |top AS (
+       |  SELECT w FROM (
+       |    SELECT w, row_number() OVER (ORDER BY gn DESC, w) AS rn
+       |    FROM g) rg
+       |  WHERE rn <= $b),
+       |sb AS (
+       |  SELECT wc.source,
+       |    CASE WHEN top.w IS NOT NULL THEN wc.w
+       |         ELSE '<other>' END AS bin,
+       |    sum(wc.n) AS n
+       |  FROM wc LEFT JOIN top ON top.w = wc.w
+       |  GROUP BY 1, 2),
+       |gb AS (
+       |  SELECT bin, sum(n) AS n FROM sb GROUP BY bin),
+       |stot AS (
+       |  SELECT source, sum(n) AS sn FROM sb GROUP BY source),
+       |gt AS (
+       |  SELECT sum(n) AS gn FROM sb),
+       |bins AS (
+       |  SELECT w AS bin FROM top
+       |  UNION ALL SELECT '<other>' AS bin),
+       |grid AS (
+       |  SELECT st.source, st.sn, bi.bin FROM stot st CROSS JOIN bins bi),
+       |pq AS (
+       |  SELECT grid.source,
+       |    (CAST(coalesce(s2.n, 0) AS DOUBLE) + $half)
+       |      / (CAST(grid.sn AS DOUBLE) + $smooth) AS p,
+       |    (CAST(gb.n - coalesce(s2.n, 0) AS DOUBLE) + $half)
+       |      / (CAST(gt.gn - grid.sn AS DOUBLE) + $smooth) AS q
+       |  FROM grid
+       |  CROSS JOIN gt
+       |  JOIN gb ON gb.bin = grid.bin
+       |  LEFT JOIN sb s2 ON s2.source = grid.source AND s2.bin = grid.bin),
+       |terms AS (
+       |  SELECT source,
+       |    CAST(round((p - q) * ln(p / q) * $q9) AS BIGINT) AS t9
+       |  FROM pq),
+       |psi AS (
+       |  SELECT source, CAST(sum(t9) AS DOUBLE) / $q9 AS psi FROM terms
+       |  GROUP BY source),
+       |nf AS (
+       |  SELECT st.source, CAST(st.sn AS BIGINT) AS n_tokens,
+       |    ${d.dlit(b.toDouble)} * (${d.dlit(1.0)} / st.sn
+       |      + ${d.dlit(1.0)} / (gt.gn - st.sn)) AS noise_floor
+       |  FROM stot st CROSS JOIN gt)
+       |SELECT psi.source, nf.n_tokens, round(psi, 6) AS psi,
+       |  round(nf.noise_floor, 6) AS noise_floor,
+       |  CASE WHEN psi > ${d.dlit(0.2)} + nf.noise_floor
+       |    THEN 1 ELSE 0 END AS drifted
+       |FROM psi JOIN nf ON nf.source = psi.source
+       |ORDER BY psi.source""".stripMargin
+  }
+
+  def tokenDrift(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, tokenDriftSql(SparkDialect))
 }
