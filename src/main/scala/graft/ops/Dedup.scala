@@ -894,8 +894,10 @@ object Dedup {
     * Scale: a projection over the SAME session-cached capped pair
     * relation the jaccard/containment/leakage queries consume (the
     * posting join is priced once by `SparkEntry.builds`), then two
-    * map-side-combining aggregates — pairs ≪ n² by the blocking
-    * argument, and the histogram is at most max-degree rows. */
+    * map-side-combining aggregates.  The degree-0 row comes from a
+    * COUNT subtraction, not a left join of the full corpus against
+    * the (tiny) degree relation — at 100 TB that join would shuffle
+    * every doc_id to learn only how many are absent. */
   def degreeHist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -906,17 +908,19 @@ object Dedup {
     val deg = pairs.select($"ia".as("doc_id"))
       .unionAll(pairs.select($"ib".as("doc_id")))
       .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
-    Tables.documents(spark, dir).select($"doc_id")
-      .join(deg, Seq("doc_id"), "left")
-      .select(coalesce($"degree", lit(0L)).as("degree"))
-      .groupBy($"degree")
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy($"degree")
+    val hist = deg.groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+    val zero = Tables.documents(spark, dir)
+      .select(count(lit(1)).as("n"))
+      .crossJoin(deg.select(count(lit(1)).as("nd")))
+      .select(lit(0L).as("degree"), ($"n" - $"nd").as("n_docs"))
+      .filter($"n_docs" > 0)
+    zero.unionAll(hist).orderBy($"degree")
   }
 
   /** Oracle twin of `degreeHist`: the identical capped-posting CTE
     * chain as `ngramJaccardSql`, J ≥ 0.5 pair filter, then the
-    * endpoint-explode + degree histogram as the tail. */
+    * endpoint-explode + degree histogram (+ subtraction-derived
+    * degree-0 row) as the tail. */
   def degreeHistSql(d: SqlDialect, maxDf: Int = MaxGramDf): String = {
     val base = ngramJaccardSql(d, maxDf)
     val tail = base.indexOf("SELECT ia AS doc_id_a")
@@ -929,12 +933,18 @@ object Dedup {
          |  SELECT ia AS doc_id FROM jp
          |  UNION ALL SELECT ib AS doc_id FROM jp),
          |deg AS (
-         |  SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id)
-         |SELECT CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
-         |  CAST(count(*) AS BIGINT) AS n_docs
-         |FROM documents docs
-         |LEFT JOIN deg ON deg.doc_id = docs.doc_id
-         |GROUP BY 1
+         |  SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id),
+         |zero AS (
+         |  SELECT CAST(0 AS BIGINT) AS degree,
+         |    CAST((SELECT count(*) FROM documents)
+         |      - (SELECT count(*) FROM deg) AS BIGINT) AS n_docs),
+         |hist AS (
+         |  SELECT CAST(degree AS BIGINT) AS degree,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM deg GROUP BY degree)
+         |SELECT degree, n_docs FROM (
+         |  SELECT * FROM zero WHERE n_docs > 0
+         |  UNION ALL SELECT * FROM hist) u
          |ORDER BY degree""".stripMargin
   }
 
