@@ -616,10 +616,91 @@ object Dedup {
        |ORDER BY vec_id_a, vec_id_b""".stripMargin
   }
 
-  def embeddingLshScaled(spark: SparkSession, dir: String): DataFrame = {
+  /** Normalized embeddings (vec_id, v, nrm), cached once per corpus —
+    * shared by the semantic-dedup family and the scaled LSH serve
+    * below (same key both build). */
+  private[ops] def embNorms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
-    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
-    spark.sql(embeddingLshScaledSql(SparkDialect))
+    RelationCache.cached(spark, s"semantic_norms:$dir") {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.expr(
+            SparkDialect.toDoubleArr("embedding")).as("v"))
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    }
+  }
+
+  /** Cached (vec_id, band, bkey) banded hyperplane signature — the
+    * engine-side building block of `embeddingLshScaled`.  One pass
+    * computes the `AnnBands × nb` sign bits (nb from the same integer
+    * count ladder as the SQL formulation, resolved once driver-side
+    * from the cached norms relation) and `posexplode`s the band keys;
+    * the SQL oracle's UNION-ALL-over-`bits` CTE re-derives all 64
+    * projections once PER BAND when inlined, a measured 4× waste that
+    * made this the suite's heaviest honest scaling row. */
+  def embBandKeys(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val n = embNorms(spark, dir)
+    RelationCache.cached(spark, s"emb_band_keys:$dir") {
+      val maxBits = 16
+      val cnt = n.count()
+      // same clamp(4..16, ceil(log2(n/32))) as the SQL's integer ladder
+      val nb = (4 until maxBits).find(b => cnt <= 32L * (1L << b))
+        .getOrElse(maxBits)
+      val bandKeys = (0 until AnnBands).map { b =>
+        // only the nb bits the band key keeps are computed — identical
+        // to substring(concat(all 16 bits), 1, nb) by construction
+        val bits = (0 until nb).map { r =>
+          val p = b * maxBits + r
+          val proj = SparkDialect.dot("v",
+            SparkDialect.arrOf(planeWeights(p).map(SparkDialect.dlit)))
+          s"CAST((CASE WHEN $proj > 0 THEN 1 ELSE 0 END) AS STRING)"
+        }.mkString(", ")
+        expr(s"concat($bits)")
+      }
+      n.select(col("vec_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    }
+  }
+
+  /** Bench-priced build of the banded-signature relation (labeled
+    * `emb_band_keys`), so its one-time cost doesn't attribute to the
+    * serving query's min-of-runs row. */
+  def prebuildEmbBandKeys(spark: SparkSession, dir: String): Unit = {
+    embBandKeys(spark, dir).count(); ()
+  }
+
+  /** Engine form of `embeddingLshScaledSql` — same banding, same
+    * verify, bit-identical cosines (graft_dot everywhere), but the
+    * signature/norm relations are computed ONCE and cached instead of
+    * re-derived per CTE reference when Spark inlines the SQL text.
+    * The SQL stays the independent DuckDB oracle. */
+  def embeddingLshScaled(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val n = embNorms(spark, dir)
+    val keys = embBandKeys(spark, dir)
+    // Verify BEFORE distinct: band buckets are skewed on clustered
+    // embeddings (real corpora cluster by topic; the fixture by
+    // label), so the SQL form's candidate-DISTINCT shuffles tens of
+    // millions of doomed pairs before the cosine gate ever runs.
+    // Carrying (v, nrm) into the band self-join keeps the collision
+    // pairs inside one join stage — cosine + threshold run in codegen
+    // as each pair is generated, and only survivors (≤ bands× the
+    // result) reach the distinct.  Cosine is deterministic per pair,
+    // so distinct over (ia, ib, cosine) is exactly pair-distinct.
+    val kv = keys.join(n, "vec_id")
+    kv.as("a")
+      .join(kv.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cs",
+        expr("graft_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cs") >= 0.4)
+      .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
+        round(col("cs"), 6).as("cosine"))
+      .distinct()
+      .orderBy("vec_id_a", "vec_id_b")
   }
 
   /** Pair-recall report for the two banded embedding near-dup
@@ -1457,12 +1538,7 @@ object Dedup {
   def semantic(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
-    val n = RelationCache.cached(spark, s"semantic_norms:$dir") {
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"),
-          expr(SparkDialect.toDoubleArr("embedding")).as("v"))
-        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-    }
+    val n = embNorms(spark, dir)
     val c = broadcast(n.filter(col("vec_id") < SemanticClusters)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cnrm")))

@@ -123,6 +123,19 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("engine scaled-LSH DataFrame plan equals its SQL formulation") {
+    // The serving query computes the banded signature once (cached
+    // emb_band_keys relation); the SQL text — which the DuckDB oracle
+    // runs — re-derives it per band when inlined.  Same rows, same
+    // cosines, bit for bit.
+    val fast = Dedup.embeddingLshScaled(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    Tables.embeddings(spark, sf()).createOrReplaceTempView("embeddings")
+    val sql = spark.sql(Dedup.embeddingLshScaledSql(SparkDialect)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fast.nonEmpty && fast == sql)
+  }
+
   test("scaled embedding LSH never loses exact duplicates as bands narrow") {
     // Double the sf0.001 corpus (500 → 1000 vectors, copies at
     // vec_id + 10000): n/32 > 16 pushes the scaled band width past the
