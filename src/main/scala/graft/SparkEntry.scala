@@ -278,6 +278,7 @@ object SparkEntry {
       ((s, d) => { Dedup.prebuildSignatureStore(s, d); () }),
     "shared_gram_pairs" -> ((s, d) => Dedup.prebuildSharedPairs(s, d)),
     "emb_band_keys" -> ((s, d) => Dedup.prebuildEmbBandKeys(s, d)),
+    "curation_sur" -> ((s, d) => TextAnalysis.prebuildSurRelation(s, d)),
     "hybrid_lex_rank" -> ((s, d) => Retrieval.prebuildLexRank(s, d)),
     "fixed_ivf_stores" ->
       ((s, d) => Similarity.prebuildFixedStores(s, d)),
@@ -301,6 +302,8 @@ object SparkEntry {
       (n => n == "dedup_ngram_jaccard" || n == "dedup_containment" ||
         n == "dedup_split_leakage" || n == "dedup_degree_hist"),
     "emb_band_keys" -> (n => n == "dedup_embedding_lsh_scaled"),
+    "curation_sur" -> (n => n == "text_curation_log_full" ||
+      n == "text_curation_funnel" || n == "text_surprisal_buckets"),
     "hybrid_lex_rank" -> (n => n.startsWith("sim_hybrid")),
     "fixed_ivf_stores" -> (n => n.startsWith("sim_ann_ivf")),
     "bpe_merge_table" -> (n => n.startsWith("text_bpe")),

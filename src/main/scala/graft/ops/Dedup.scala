@@ -1246,11 +1246,18 @@ object Dedup {
     * Scale: only paired docs (≪ corpus) enter the component graph;
     * the keeper election is one hash shuffle on cluster_rep with
     * map-side-combining min_by. */
-  def canonicalKeepers(docs: DataFrame): DataFrame = {
+  def canonicalKeepers(docs: DataFrame): DataFrame =
+    canonicalKeepersFrom(docs,
+      verifiedPairsOf(docs.select("doc_id", "text")))
+
+  /** `canonicalKeepers` over precomputed verified pairs — so callers
+    * that already hold the session-cached gram/signature relations
+    * (the `dedup_compact` query) don't re-pay the full shingle +
+    * MinHash + banding chain the generic entry derives from scratch. */
+  def canonicalKeepersFrom(docs: DataFrame, verified: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val clusters = connectedComponents(
-        verifiedPairsOf(docs.select("doc_id", "text"))
-          .select("doc_id_a", "doc_id_b"))
+        verified.select("doc_id_a", "doc_id_b"))
       .select(col("doc_id"), col("cluster_rep"))
     docs.join(clusters, Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
@@ -1271,7 +1278,15 @@ object Dedup {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"text", timestamp_seconds($"doc_id").as("ingest_ts"))
-    canonicalKeepers(docs).select($"doc_id").orderBy($"doc_id")
+    // reuse the session-cached gram/signature relations the rest of
+    // the dedup family shares (same verified-pair relation as
+    // `dedup_minhash_lsh`, minus its ORDER BY)
+    val grams = gramsDF(spark, dir)
+    val sig = RelationCache.cached(spark, s"mh_sig:$dir") {
+      minhashSigFrom(grams)
+    }
+    canonicalKeepersFrom(docs, minhashPairsFrom(grams, sig))
+      .select($"doc_id").orderBy($"doc_id")
   }
 
   /** Oracle for `compactKept`: verified pairs from the single-statement

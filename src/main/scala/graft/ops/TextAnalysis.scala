@@ -1362,6 +1362,18 @@ object TextAnalysis {
     val band = surprisalBand(spark, dir)
     spark.sql(curationFunnelSql(SparkDialect, band))
   }
+
+  /** Bench-priced build of the shared curation LM relation (`sur`
+    * view + band quantiles, labeled `curation_sur`): three queries
+    * (`text_curation_log_full`, `text_curation_funnel`,
+    * `text_surprisal_buckets`) serve from it, and under RUNS=1 its
+    * token-explode + LM-fit cost otherwise attributes to whichever
+    * of them runs first. */
+  def prebuildSurRelation(spark: SparkSession, dir: String): Unit = {
+    surprisalBand(spark, dir)
+    spark.table("sur").count()
+    ()
+  }
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, unigramLogprobSql(SparkDialect))
   def novelty(spark: SparkSession, dir: String): DataFrame =
