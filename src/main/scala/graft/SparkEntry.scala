@@ -279,6 +279,7 @@ object SparkEntry {
     "shared_gram_pairs" -> ((s, d) => Dedup.prebuildSharedPairs(s, d)),
     "emb_band_keys" -> ((s, d) => Dedup.prebuildEmbBandKeys(s, d)),
     "curation_sur" -> ((s, d) => TextAnalysis.prebuildSurRelation(s, d)),
+    "pq_codebooks_and_codes" -> ((s, d) => Similarity.prebuildPqCodes(s, d)),
     "hybrid_lex_rank" -> ((s, d) => Retrieval.prebuildLexRank(s, d)),
     "fixed_ivf_stores" ->
       ((s, d) => Similarity.prebuildFixedStores(s, d)),
@@ -304,6 +305,8 @@ object SparkEntry {
     "emb_band_keys" -> (n => n == "dedup_embedding_lsh_scaled"),
     "curation_sur" -> (n => n == "text_curation_log_full" ||
       n == "text_curation_funnel" || n == "text_surprisal_buckets"),
+    "pq_codebooks_and_codes" ->
+      (n => n == "sim_ann_ivf_adc" || n == "sim_ivf_adc_trained"),
     "hybrid_lex_rank" -> (n => n.startsWith("sim_hybrid")),
     "fixed_ivf_stores" -> (n => n.startsWith("sim_ann_ivf")),
     "bpe_merge_table" -> (n => n.startsWith("text_bpe")),

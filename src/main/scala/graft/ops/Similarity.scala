@@ -2675,7 +2675,8 @@ object Similarity {
     // capped fixed codebook — the single-statement `ivfSql` (whose n·k
     // CROSS JOIN Spark would execute literally) stays as the oracle
     val n = ivfBase(spark, dir)
-    exactIvfServe(spark, n, fixedCentsCached(spark, dir, n))
+    exactIvfServe(spark, n, fixedCentsCached(spark, dir, n),
+      Some(s"fixed_asgn:$dir"))
   }
   /** Engine ADC forms: the COARSE stage (assignment + probing → cand)
     * runs through the collected capped codebook and the kernel — no
@@ -2687,34 +2688,164 @@ object Similarity {
     * recomputes the coarse stage from raw embeddings as the check
     * that the kernel candidates ARE the CROSS JOIN's. */
   def ivfAdc(spark: SparkSession, dir: String): DataFrame =
-    adcWithKernelCand(spark, dir,
-      s"""${pqCommonCtes(SparkDialect)},
-         |${pqAssignCte(SparkDialect, "codes", "cb0")},
-         |${pqAdcTail(SparkDialect, "codes", "cb0", "graft_adc_cand")}"""
-        .stripMargin)
+    adcServeLiteral(spark, dir, pqSeedCb(spark, dir),
+      s"pq_codes_sampled:$dir")
 
-  def ivfAdcTrained(spark: SparkSession, dir: String): DataFrame = {
+  def ivfAdcTrained(spark: SparkSession, dir: String): DataFrame =
+    adcServeLiteral(spark, dir, pqTrainedCb(spark, dir),
+      s"pq_codes_trained:$dir")
+
+  /** (s, j, cw): PqM·PqK per-subspace codewords. */
+  private type PqCb = Seq[(Int, Long, Array[Double])]
+
+  /** (vec_id, s, sv) subspace relation, session-cached — the engine
+    * twin of the SQL `sub` CTE (same `arrSlice` expression). */
+  private def pqSubDF(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val n = ivfBase(spark, dir)
+    RelationCache.cached(spark, s"pq_sub:$dir") {
+      val slices = (0 until PqM).map { s =>
+        struct(lit(s).as("s"),
+          expr(SparkDialect.arrSlice("v", s"$s * $PqSubDim + 1",
+            PqSubDim.toString)).as("sv"))
+      }
+      n.select(col("vec_id"), explode(array(slices: _*)).as("z"))
+        .select(col("vec_id"), col("z.s").as("s"), col("z.sv").as("sv"))
+    }
+  }
+
+  /** Driver-collected sampled seed codebook — `pqCommonCtes`'s cb0
+    * (stride-spread picks over the vec_id rank), ≤ PqK·PqM rows. */
+  private def pqSeedCb(spark: SparkSession, dir: String): PqCb =
+    RelationCache.cachedScalar(spark, s"pq_cb0:$dir") {
+      import org.apache.spark.sql.functions._
+      val n = ivfBase(spark, dir)
+      val cnt = n.count()
+      val stride = (cnt + PqK - 1) / PqK
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val seeds = n.select(col("v"), row_number().over(w).as("r"))
+        .filter(expr(s"(CAST(r AS BIGINT) - 1) % ${stride}L = 0"))
+        .selectExpr(s"(CAST(r AS BIGINT) - 1) DIV ${stride}L AS j", "v")
+        .collect()
+      for {
+        row <- seeds.toSeq
+        s <- 0 until PqM
+      } yield {
+        val v = row.getSeq[Double](1).toArray
+        (s, row.getLong(0), v.slice(s * PqSubDim, (s + 1) * PqSubDim))
+      }
+    }
+
+  /** Per-(vector, subspace) nearest-codeword assignment against a
+    * LITERAL codebook: ascending (l2, j) struct sort picks the same
+    * winner as the SQL `row_number() OVER (ORDER BY pqL2, j)` — but as
+    * one codegen'd projection over `sub`, no join, no window.  The l2
+    * arithmetic mirrors `pqL2` exactly: (dot(sv,sv) − 2·dot(sv,cw)) +
+    * dot(cw,cw), with dot(cw,cw) folded on the driver by the same
+    * left-to-right accumulation (`dotSelf`) the codegen'd fold uses. */
+  private def pqAssignDF(sub: DataFrame, cb: PqCb): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bySub = cb.groupBy(_._1)
+    val pick = (0 until PqM).map { s =>
+      val structs = bySub.getOrElse(s, Seq.empty).sortBy(_._2).map {
+        case (_, j, cw) =>
+          val l2 = call_function("graft_dot", col("sv"), col("sv")) -
+            lit(2.0) * call_function("graft_dot", col("sv"), lit64(cw)) +
+            lit(dotSelf(cw))
+          struct(l2.as("l2"), lit(j).as("j"))
+      }
+      element_at(array_sort(array(structs: _*)), 1).getField("j")
+    }
+    val codeCol = (1 until PqM).foldLeft(when(col("s") === 0, pick(0))) {
+      (acc, s) => acc.when(col("s") === s, pick(s))
+    }
+    sub.withColumn("code", codeCol)
+  }
+
+  /** Driver-coordinated Lloyd-trained PQ codebooks — the engine twin
+    * of the unrolled `pqLloydCtes` chain (kept as the oracle).  The
+    * single-statement SQL re-executes every upstream round at each CTE
+    * reference (measured ~98 s WARM at the 100× fixture, the suite's
+    * heaviest serve); here each round is ONE assignment projection plus
+    * ONE µ-quantized aggregate whose ≤ PqM·PqK-row result is collected
+    * and inlined into the next round — the `kmeansCodebook`
+    * train-once discipline at subvector width.  Arithmetic is
+    * bit-identical: round(x·10⁶) BIGINT sums, CAST(s AS DOUBLE) /
+    * (10⁶·cnt) means, codewords that attract no vectors drop out. */
+  private[ops] def pqTrainedCb(spark: SparkSession, dir: String): PqCb =
+    RelationCache.cachedScalar(spark, s"pq_cb_trained:$dir") {
+      import org.apache.spark.sql.functions._
+      val sub = pqSubDF(spark, dir)
+      var cb = pqSeedCb(spark, dir)
+      for (_ <- 1 to PqIters) {
+        val sums = (0 until PqSubDim).map(jj =>
+          sum(expr(s"CAST(round(element_at(sv, ${jj + 1}) * 1000000.0D)" +
+            " AS BIGINT)")).as(s"s$jj"))
+        val u = pqAssignDF(sub, cb)
+          .groupBy(col("s"), col("code"))
+          .agg(count(lit(1)).as("cnt"), sums: _*)
+          .collect()
+        cb = u.toSeq.map { r =>
+          val cnt = r.getAs[Long]("cnt")
+          val cw = (0 until PqSubDim).map(jj =>
+            r.getAs[Long](s"s$jj").toDouble / (1000000.0 * cnt)).toArray
+          (r.getAs[Int]("s"), r.getAs[Long]("code"), cw)
+        }.sortBy(t => (t._1, t._2))
+      }
+      cb
+    }
+
+  /** ADC serve over a literal codebook: codes are assigned once
+    * (session-cached), the codebook and the kernel coarse candidates
+    * are temp views, and the scoring tail is the SAME `pqAdcTail` SQL
+    * the oracle runs — so the serve pays one narrow pass over codes
+    * plus the candidate joins, never the training chain. */
+  private def adcServeLiteral(spark: SparkSession, dir: String,
+      cb: PqCb, codesKey: String): DataFrame = {
+    requirePqGeometry()
+    import org.apache.spark.sql.functions._
+    val n = ivfBase(spark, dir)
+    val cents = fixedCentsCached(spark, dir, n)
+    ivfCand(spark, n, cents, Some(s"fixed_asgn:$dir"))
+      .createOrReplaceTempView("graft_adc_cand")
+    val sub = pqSubDF(spark, dir)
+    RelationCache.cached(spark, codesKey) {
+      pqAssignDF(sub, cb).select(col("vec_id"), col("s"), col("code"))
+    }.createOrReplaceTempView("graft_pq_codes")
+    import spark.implicits._
+    cb.map { case (s, j, cw) => (s, j, cw.toSeq) }.toDF("s", "j", "cw")
+      .createOrReplaceTempView("graft_pq_cb")
     val d = SparkDialect
-    val rounds = (1 to PqIters).map { i =>
-      s"""${pqAssignCte(d, s"a${i - 1}", s"cb${i - 1}")},
-         |${pqLloydCtes(d, i, s"a${i - 1}")}""".stripMargin
-    }.mkString(",\n")
-    adcWithKernelCand(spark, dir,
-      s"""${pqCommonCtes(d)},
-         |$rounds,
-         |${pqAssignCte(d, "codes", s"cb$PqIters")},
-         |${pqAdcTail(d, "codes", s"cb$PqIters", "graft_adc_cand")}"""
+    run(spark, dir,
+      s"""WITH ${baseCtes(d)},
+         |sx AS (
+         |  SELECT ${d.explode(d.sequence0(PqM.toString))} AS s),
+         |sub AS (
+         |  SELECT n.vec_id, sx.s,
+         |    ${d.arrSlice("n.v", s"sx.s * $PqSubDim + 1", PqSubDim.toString)}
+         |      AS sv
+         |  FROM n CROSS JOIN sx),
+         |${pqAdcTail(d, "graft_pq_codes", "graft_pq_cb", "graft_adc_cand")}"""
         .stripMargin)
   }
 
-  private def adcWithKernelCand(spark: SparkSession, dir: String,
-      pqChain: String): DataFrame = {
-    requirePqGeometry()
-    import spark.implicits._
-    val n = ivfBase(spark, dir)
-    val cents = fixedCentsCached(spark, dir, n)
-    ivfCand(spark, n, cents).createOrReplaceTempView("graft_adc_cand")
-    run(spark, dir, s"WITH ${baseCtes(SparkDialect)},\n$pqChain")
+  /** Bench-priced build of the PQ codebooks + code relations (labeled
+    * `pq_codebooks_and_codes`): both ADC serves amortize them. */
+  def prebuildPqCodes(spark: SparkSession, dir: String): Unit = {
+    val sub = pqSubDF(spark, dir)
+    RelationCache.cached(spark, s"pq_codes_sampled:$dir") {
+      pqAssignDF(sub, pqSeedCb(spark, dir))
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("s"),
+          org.apache.spark.sql.functions.col("code"))
+    }.count()
+    RelationCache.cached(spark, s"pq_codes_trained:$dir") {
+      pqAssignDF(sub, pqTrainedCb(spark, dir))
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("s"),
+          org.apache.spark.sql.functions.col("code"))
+    }.count()
+    ()
   }
 
   /** Engine-side k-means IVF: the single-statement SQL form (kept as
@@ -2942,7 +3073,8 @@ object Similarity {
     // verify invocations — and the persisted variant — share one
     // cache entry instead of pinning a new one per call
     val n = ivfBase(spark, dir)
-    exactIvfServe(spark, n, trainCodebookCached(spark, dir, n))
+    exactIvfServe(spark, n, trainCodebookCached(spark, dir, n),
+      Some(s"kmeans_asgn:$dir"))
   }
 
   /** IVF candidate pairs (qid, nid) over any collected codebook:
@@ -2950,9 +3082,21 @@ object Similarity {
     * shared by the exact serve and the ADC engine forms (where it
     * replaces the oracle's n·k CROSS JOIN + per-vector window). */
   private def ivfCand(spark: SparkSession, n: DataFrame,
-      cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
+      cents: Seq[(Long, Array[Double], Double)],
+      asgnKey: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val asgn = assignedCid(n, cents).select($"vec_id", $"cid")
+    // The full-corpus coarse assignment is the n×k kernel pass — the
+    // dominant serve cost (≈25 s at the 100× fixture) shared by every
+    // query of a codebook family; callers that know their (dir,
+    // family) pass a key so it is paid once per session (the trained
+    // family's key matches nprobeSweep's existing `kmeans_asgn`
+    // relation — same plan, same cache entry).
+    val asgn = asgnKey match {
+      case Some(k) => RelationCache.cached(spark, k) {
+        assignedCid(n, cents).select($"vec_id", $"cid")
+      }
+      case None => assignedCid(n, cents).select($"vec_id", $"cid")
+    }
     val probe = probeCids(n.filter($"vec_id" % 100 === 0), cents)
     probe.join(asgn, "cid")
       .filter($"vec_id" =!= $"qid")
@@ -3124,7 +3268,7 @@ object Similarity {
     val cents = trainCodebookCached(spark, dir, n)
     val byRel = Window.partitionBy($"qid").orderBy($"rel".desc, $"nid")
     val pool = RelationCache.cached(spark, s"mmr_pool:$dir") {
-      ivfCand(spark, n, cents)
+      ivfCand(spark, n, cents, Some(s"kmeans_asgn:$dir"))
         .join(n.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")), "qid")
         .join(n.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nn")), "nid")
         .select($"qid", $"nid",
@@ -3258,10 +3402,11 @@ object Similarity {
     * `ivf` (capped fixed picks).  The candidate join shuffles only
     * (qid, nid) pairs; scoring re-attaches vectors by key. */
   private def exactIvfServe(spark: SparkSession, n: DataFrame,
-      cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
+      cents: Seq[(Long, Array[Double], Double)],
+      asgnKey: Option[String] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val cand = ivfCand(spark, n, cents)
+    val cand = ivfCand(spark, n, cents, asgnKey)
     val sc = cand
       .join(n.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")), "qid")
       .join(n.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nn")), "nid")

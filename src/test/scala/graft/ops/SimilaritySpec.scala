@@ -942,6 +942,15 @@ class SimilaritySpec extends SparkSuite {
       val adcOracle = spark.sql(Similarity.ivfAdcSql(SparkDialect))
         .collect().map(_.toSeq)
       assert(adcEngine.nonEmpty && adcEngine.toSeq == adcOracle.toSeq)
+      // and the Lloyd-TRAINED variant: driver-coordinated rounds +
+      // literal-codebook assignment vs the unrolled single-statement
+      // training chain — codebook means, argmin ties, ADC scoring all
+      // have to land on identical doubles past the cap
+      val trEngine = Similarity.ivfAdcTrained(spark, dir.toString)
+        .collect().map(_.toSeq)
+      val trOracle = spark.sql(Similarity.ivfAdcTrainedSql(SparkDialect))
+        .collect().map(_.toSeq)
+      assert(trEngine.nonEmpty && trEngine.toSeq == trOracle.toSeq)
     } finally {
       graft.ops.RelationCache.clear(spark)
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
