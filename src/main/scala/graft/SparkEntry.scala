@@ -275,7 +275,8 @@ object SparkEntry {
       ((s, d) => Similarity.prebuildKmeansStores(s, d)),
     "bm25_store" -> ((s, d) => LexIndex.prebuildStore(s, d)),
     "minhash_sig_store" ->
-      ((s, d) => { Dedup.prebuildSignatureStore(s, d); () }),
+      ((s, d) => { Dedup.prebuildSignatureStore(s, d)
+        Dedup.prebuildSessionSig(s, d) }),
     "shared_gram_pairs" -> ((s, d) => Dedup.prebuildSharedPairs(s, d)),
     "emb_band_keys" -> ((s, d) => Dedup.prebuildEmbBandKeys(s, d)),
     "curation_sur" -> ((s, d) => TextAnalysis.prebuildSurRelation(s, d)),

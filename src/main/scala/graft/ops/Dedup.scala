@@ -1808,6 +1808,21 @@ object Dedup {
     store
   }
 
+  /** Force the session-cached full-corpus gram/signature relations the
+    * whole minhash family serves from — called by the priced
+    * `minhash_sig_store` build entry, because `prebuildSignatureStore`
+    * alone warms neither when the persisted store is already published
+    * (publish-once skips its build body), leaving the first
+    * alphabetical consumer (`dedup_compact`) to pay both cache builds
+    * in a RUNS=1 artifact. */
+  def prebuildSessionSig(spark: SparkSession, dir: String): Unit = {
+    val grams = gramsDF(spark, dir)
+    RelationCache.cached(spark, s"mh_sig:$dir") {
+      minhashSigFrom(grams)
+    }.count()
+    ()
+  }
+
   def incremental(spark: SparkSession, dir: String,
       storeBase: Option[String],
       cap: Int = MaxBandBucket): DataFrame = {
