@@ -1680,6 +1680,15 @@ object Similarity {
   def prebuildFixedStores(spark: SparkSession, dir: String): Unit = {
     ivfPersisted(spark, dir).limit(1).count()
     ivfQuantizedPersisted(spark, dir).limit(1).count()
+    // also warm the fixed-family session assignment relation — under
+    // RUNS=1 its n×k kernel pass otherwise lands on the first
+    // alphabetical consumer (sim_ann_ivf) instead of this labeled line
+    val n = ivfBase(spark, dir)
+    val cents = fixedCentsCached(spark, dir, n)
+    RelationCache.cached(spark, s"fixed_asgn:$dir") {
+      import spark.implicits._
+      assignedCid(n, cents).select($"vec_id", $"cid")
+    }.count()
     ()
   }
 
