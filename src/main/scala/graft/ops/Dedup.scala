@@ -1040,17 +1040,31 @@ object Dedup {
     * checkpointable cluster-wide.  Scalar logic comes from the same
     * generated fragments as the single-statement oracle. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val grams = gramsDF(spark, dir)
+    import spark.implicits._
+    minhashPairsCached(spark, dir).orderBy($"doc_id_a", $"doc_id_b")
+  }
+
+  /** The session-cached verified-pair relation at the DEFAULT band
+    * cap — `dedup_minhash_lsh` and `dedup_compact` both consume it,
+    * and each otherwise re-pays the banded candidate join + Jaccard
+    * verify (~30-40 s at the 100× fixture).  Built over the shared
+    * gram/signature caches; warmed by the priced `minhash_sig_store`
+    * build entry.  (`minhashCapReport` uses a different cap and keeps
+    * its own pair stage.) */
+  private def minhashPairsCached(spark: SparkSession,
+      dir: String): DataFrame = {
     // Native per-row signature (graft_minhash): one md5 per gram + 32
     // min-updates in a narrow projection, replacing the explode →
     // hash-shuffle → 32-min aggregate subplan.  The grouped SQL form
     // stays as the oracle's independent formulation; empty gram sets
     // yield NULL and are filtered to match its emits-no-row relation.
+    val grams = gramsDF(spark, dir)
     val sig = RelationCache.cached(spark, s"mh_sig:$dir") {
       minhashSigFrom(grams)
     }
-    import spark.implicits._
-    minhashPairsFrom(grams, sig).orderBy($"doc_id_a", $"doc_id_b")
+    RelationCache.cached(spark, s"mh_pairs:$dir") {
+      minhashPairsFrom(grams, sig)
+    }
   }
 
   /** Wide signature relation (doc_id, h0..h31) from a gram relation —
@@ -1278,14 +1292,9 @@ object Dedup {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"text", timestamp_seconds($"doc_id").as("ingest_ts"))
-    // reuse the session-cached gram/signature relations the rest of
-    // the dedup family shares (same verified-pair relation as
-    // `dedup_minhash_lsh`, minus its ORDER BY)
-    val grams = gramsDF(spark, dir)
-    val sig = RelationCache.cached(spark, s"mh_sig:$dir") {
-      minhashSigFrom(grams)
-    }
-    canonicalKeepersFrom(docs, minhashPairsFrom(grams, sig))
+    // the SAME session-cached verified-pair relation as
+    // `dedup_minhash_lsh` (minus its ORDER BY)
+    canonicalKeepersFrom(docs, minhashPairsCached(spark, dir))
       .select($"doc_id").orderBy($"doc_id")
   }
 
@@ -1816,10 +1825,7 @@ object Dedup {
     * alphabetical consumer (`dedup_compact`) to pay both cache builds
     * in a RUNS=1 artifact. */
   def prebuildSessionSig(spark: SparkSession, dir: String): Unit = {
-    val grams = gramsDF(spark, dir)
-    RelationCache.cached(spark, s"mh_sig:$dir") {
-      minhashSigFrom(grams)
-    }.count()
+    minhashPairsCached(spark, dir).count() // warms mh_grams + mh_sig too
     ()
   }
 
