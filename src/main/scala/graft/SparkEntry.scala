@@ -274,13 +274,18 @@ object SparkEntry {
     "kmeans_codebooks_and_stores" ->
       ((s, d) => Similarity.prebuildKmeansStores(s, d)),
     "bm25_store" -> ((s, d) => LexIndex.prebuildStore(s, d)),
+    // split (r15, advice): the persisted signature store serves any
+    // dedup_* run, but the session pair cache (banded candidate join +
+    // Jaccard verify, ~46 s at 100×) is only read by the minhash
+    // family — a filtered dedup_embedding run must not pay it
     "minhash_sig_store" ->
-      ((s, d) => { Dedup.prebuildSignatureStore(s, d)
-        Dedup.prebuildSessionSig(s, d) }),
+      ((s, d) => { Dedup.prebuildSignatureStore(s, d); () }),
+    "minhash_pair_cache" -> ((s, d) => Dedup.prebuildSessionSig(s, d)),
     "shared_gram_pairs" -> ((s, d) => Dedup.prebuildSharedPairs(s, d)),
     "emb_band_keys" -> ((s, d) => Dedup.prebuildEmbBandKeys(s, d)),
     "curation_sur" -> ((s, d) => TextAnalysis.prebuildSurRelation(s, d)),
-    "pq_codebooks_and_codes" -> ((s, d) => Similarity.prebuildPqCodes(s, d)),
+    "pq_codes_sampled" -> ((s, d) => Similarity.prebuildPqCodesSampled(s, d)),
+    "pq_codes_trained" -> ((s, d) => Similarity.prebuildPqCodesTrained(s, d)),
     "hybrid_lex_rank" -> ((s, d) => Retrieval.prebuildLexRank(s, d)),
     "fixed_ivf_stores" ->
       ((s, d) => Similarity.prebuildFixedStores(s, d)),
@@ -300,16 +305,21 @@ object SparkEntry {
       n.startsWith("text_chunk") || n.startsWith("sim_hybrid") ||
       n == "lex_index_health"),
     "minhash_sig_store" -> (n => n.startsWith("dedup_")),
+    "minhash_pair_cache" -> (n => n == "dedup_minhash_lsh" ||
+      n == "dedup_compact"),
     "shared_gram_pairs" ->
       (n => n == "dedup_ngram_jaccard" || n == "dedup_containment" ||
         n == "dedup_split_leakage" || n == "dedup_degree_hist"),
     "emb_band_keys" -> (n => n == "dedup_embedding_lsh_scaled"),
     "curation_sur" -> (n => n == "text_curation_log_full" ||
       n == "text_curation_funnel" || n == "text_surprisal_buckets"),
-    "pq_codebooks_and_codes" ->
-      (n => n == "sim_ann_ivf_adc" || n == "sim_ivf_adc_trained"),
+    "pq_codes_sampled" -> (n => n == "sim_ann_ivf_adc"),
+    "pq_codes_trained" -> (n => n == "sim_ivf_adc_trained"),
     "hybrid_lex_rank" -> (n => n.startsWith("sim_hybrid")),
-    "fixed_ivf_stores" -> (n => n.startsWith("sim_ann_ivf")),
+    // sim_ivf_adc_trained shares the fixed-family kernel candidates
+    // (adcServeLiteral → fixed_asgn) despite its sim_ivf_ prefix
+    "fixed_ivf_stores" -> (n => n.startsWith("sim_ann_ivf") ||
+      n == "sim_ivf_adc_trained"),
     "bpe_merge_table" -> (n => n.startsWith("text_bpe")),
   )
 

@@ -1048,7 +1048,7 @@ object Dedup {
     * cap — `dedup_minhash_lsh` and `dedup_compact` both consume it,
     * and each otherwise re-pays the banded candidate join + Jaccard
     * verify (~30-40 s at the 100× fixture).  Built over the shared
-    * gram/signature caches; warmed by the priced `minhash_sig_store`
+    * gram/signature caches; warmed by the priced `minhash_pair_cache`
     * build entry.  (`minhashCapReport` uses a different cap and keeps
     * its own pair stage.) */
   private def minhashPairsCached(spark: SparkSession,
@@ -1819,7 +1819,7 @@ object Dedup {
 
   /** Force the session-cached full-corpus gram/signature relations the
     * whole minhash family serves from — called by the priced
-    * `minhash_sig_store` build entry, because `prebuildSignatureStore`
+    * `minhash_pair_cache` build entry, because `prebuildSignatureStore`
     * alone warms neither when the persisted store is already published
     * (publish-once skips its build body), leaving the first
     * alphabetical consumer (`dedup_compact`) to pay both cache builds

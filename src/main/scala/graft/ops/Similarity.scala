@@ -2756,7 +2756,15 @@ object Similarity {
     import org.apache.spark.sql.functions._
     val bySub = cb.groupBy(_._1)
     val pick = (0 until PqM).map { s =>
-      val structs = bySub.getOrElse(s, Seq.empty).sortBy(_._2).map {
+      // Invariant: every subspace retains ≥1 codeword (each vector is
+      // assigned every Lloyd round, so a subspace can never lose ALL
+      // its codewords).  If it were violated, array() of zero structs
+      // below would fail Catalyst analysis with an obscure error —
+      // fail loudly at the source instead.
+      require(bySub.contains(s),
+        s"PQ codebook lost every codeword in subspace $s " +
+          s"(subspaces present: ${bySub.keys.toSeq.sorted.mkString(",")})")
+      val structs = bySub(s).sortBy(_._2).map {
         case (_, j, cw) =>
           val l2 = call_function("graft_dot", col("sv"), col("sv")) -
             lit(2.0) * call_function("graft_dot", col("sv"), lit64(cw)) +
@@ -2838,18 +2846,25 @@ object Similarity {
         .stripMargin)
   }
 
-  /** Bench-priced build of the PQ codebooks + code relations (labeled
-    * `pq_codebooks_and_codes`): both ADC serves amortize them. */
-  def prebuildPqCodes(spark: SparkSession, dir: String): Unit = {
-    val sub = pqSubDF(spark, dir)
+  /** Bench-priced builds of the PQ codebooks + code relations — SPLIT
+    * into the sampled-seed and Lloyd-trained halves (labeled
+    * `pq_codes_sampled` / `pq_codes_trained` build lines) so a
+    * filtered run serving only `sim_ann_ivf_adc` never pays the full
+    * PqIters driver-coordinated training chain it cannot read, and
+    * vice versa. */
+  def prebuildPqCodesSampled(spark: SparkSession, dir: String): Unit = {
     RelationCache.cached(spark, s"pq_codes_sampled:$dir") {
-      pqAssignDF(sub, pqSeedCb(spark, dir))
+      pqAssignDF(pqSubDF(spark, dir), pqSeedCb(spark, dir))
         .select(org.apache.spark.sql.functions.col("vec_id"),
           org.apache.spark.sql.functions.col("s"),
           org.apache.spark.sql.functions.col("code"))
     }.count()
+    ()
+  }
+
+  def prebuildPqCodesTrained(spark: SparkSession, dir: String): Unit = {
     RelationCache.cached(spark, s"pq_codes_trained:$dir") {
-      pqAssignDF(sub, pqTrainedCb(spark, dir))
+      pqAssignDF(pqSubDF(spark, dir), pqTrainedCb(spark, dir))
         .select(org.apache.spark.sql.functions.col("vec_id"),
           org.apache.spark.sql.functions.col("s"),
           org.apache.spark.sql.functions.col("code"))

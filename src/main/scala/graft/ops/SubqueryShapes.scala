@@ -28,6 +28,14 @@ import graft.Tables
   * literals and quantized-cent sums are spelled identically in Spark
   * and DuckDB), so the oracle is the very same text.
   *
+  * Exception (round 15): q21's REGISTERED entry is a single-pass
+  * aggregate rewrite — the decorrelated semi/anti form still scans
+  * the fact table three times, which the r14 floor audit priced as
+  * the only removable cost left in the suite.  The correlated text
+  * stays as the oracle and the decorrelation showcase
+  * ([[q21WaitingSupplierCorrelated]], plan-asserted in
+  * PlanShapeSpec).
+  *
   * Scale (100 TB):
   *  - q2 decorrelates to a per-part min aggregate (map-side partial)
   *    joined back on l_partkey — one shuffle each side of the join;
@@ -101,7 +109,13 @@ object SubqueryShapes {
     * 365 days, standing in for the absent receipt/commit dates) on a
     * finished multi-supplier order: EXISTS (another supplier shipped
     * on the order) AND NOT EXISTS (another supplier was also late) —
-    * the NOT EXISTS correlated on both l1 and o. */
+    * the NOT EXISTS correlated on both l1 and o.
+    *
+    * This text is the DuckDB oracle AND the decorrelation showcase
+    * (PlanShapeSpec runs it through Spark via
+    * [[q21WaitingSupplierCorrelated]] and asserts semi/anti joins);
+    * the REGISTERED engine entry is the single-pass rewrite below,
+    * which reads lineitem once instead of three times. */
   val q21WaitingSupplierSql: String =
     """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
       |FROM supplier s, lineitem l1, orders o
@@ -118,9 +132,69 @@ object SubqueryShapes {
       |GROUP BY s.s_name
       |ORDER BY numwait DESC, s.s_name""".stripMargin
 
-  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame =
+  /** The correlated-SQL form run through Spark — NOT the registered
+    * bench entry (that is the single-pass rewrite below); kept public
+    * so PlanShapeSpec can keep asserting Catalyst turns the
+    * EXISTS/NOT-EXISTS pair into semi/anti joins. */
+  def q21WaitingSupplierCorrelated(spark: SparkSession,
+      dir: String): DataFrame =
     runSql(spark, dir, q21WaitingSupplierSql,
       Seq("supplier", "lineitem", "orders"))
+
+  /** Single-pass q21: the EXISTS/NOT-EXISTS semantics fold into ONE
+    * scan of the fact table instead of three (the decorrelated form
+    * reads lineitem for l1, semi-probes it for l2 and anti-probes it
+    * for l3 — three scans the r14 floor audit priced at ~0.5 s extra
+    * at sf0.1 and ~2 extra corpus passes at 100 TB).
+    *
+    * Per order o (status F), a supplier s contributes count(late
+    * lines of s in o) to numwait iff s shipped late in o, o has
+    * another supplier (EXISTS l2), and no OTHER supplier shipped late
+    * in o (NOT EXISTS l3).  Equivalently: the order's late-supplier
+    * set has size exactly 1, its supplier count is > 1, and the
+    * contribution is the sole late supplier's late-line count.  So:
+    *
+    *  1. join lineitem to F-orders once (orders broadcast at sf0.1;
+    *     AQE picks a shuffle join when orders outgrows the threshold),
+    *  2. aggregate per (orderkey, suppkey): any_late, late_lines —
+    *     one shuffle with map-side combine, output ≈ |order,supplier|
+    *     pairs, far smaller than lineitem,
+    *  3. aggregate per orderkey: n_supp, n_late_supp, the sole late
+    *     supplier + its line count — a second, much smaller shuffle
+    *     (deliberately NOT multi-count_distinct in one pass, which
+    *     would Expand the joined fact 3× before the first shuffle),
+    *  4. filter, broadcast-join supplier for the name, final agg.
+    *
+    * No semi/anti probe, no repeated fact scan; bit-identical numwait
+    * (integer line counts) to the correlated oracle text. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val late = ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 365 DAY"))
+      .cast("int")
+    val perSupp = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(Tables.orders(spark, dir)
+        .filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey", late.as("late"))
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"late").as("any_late"), sum($"late").as("late_lines"))
+    val perOrder = perSupp
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum($"any_late").as("n_late_supp"),
+        max(when($"any_late" === 1, $"l_suppkey")).as("late_supp"),
+        sum(when($"any_late" === 1, $"late_lines")).as("sole_late_lines"))
+      .filter($"n_supp" > 1 && $"n_late_supp" === 1)
+    perOrder
+      .join(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name"),
+        $"late_supp" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(sum($"sole_late_lines").cast("bigint").as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+  }
 
   // ------------------------------------------------- q22: dormant positive balances
 

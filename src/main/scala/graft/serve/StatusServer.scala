@@ -18,6 +18,13 @@ import graft.streaming.RunStatusListener
   *    a client that polls gets exactly the WS-on-connect semantics —
   *    the reference's socket never pushes again after connect either
   *    (it only listens), so pull loses nothing.
+  *  - `GET /events` — a TRUE push channel (SSE): the connection stays
+  *    open, the snapshot payload is pushed immediately on connect
+  *    (exactly the ref's WS-accept push), and a further `update` event
+  *    is pushed every time a micro-batch lands (version-bumped by
+  *    `RunStatusListener.awaitChange` — no polling).  This STRICTLY
+  *    DOMINATES the reference socket, which only ever pushes once per
+  *    connection; the parity claim needs no poll≡reconnect argument.
   *  - `GET /summaries` — the per-asset A1 summary over the live store
   *    (what the reference publishes per asset to Pub/Sub).
   *
@@ -31,22 +38,87 @@ final class StatusServer(spark: SparkSession, storeDir: String,
     listener: RunStatusListener, snapshotLimit: Int = 50000) {
 
   @volatile private var server: HttpServer = _
+  @volatile private var running = false
 
   def start(port: Int = 0): Int = synchronized {
     require(server == null, "StatusServer already started")
     server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    // long-lived SSE connections must not starve the one-shot
+    // endpoints: hand each exchange its own (daemon) thread
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-status-http")
+        t.setDaemon(true)
+        t
+      }))
     server.createContext("/", handler(_ => rootJson()))
     server.createContext("/snapshot", handler(_ => snapshotJson()))
     server.createContext("/summaries", handler(_ => summariesJson()))
     server.createContext("/state_metrics", handler(_ => stateMetricsJson()))
+    server.createContext("/events", sseHandler)
+    running = true
     server.start()
     server.getAddress.getPort
   }
 
   def stop(): Unit = synchronized {
+    running = false
     if (server != null) { server.stop(0); server = null }
   }
+
+  /** Server-Sent Events push channel.  Query params (testing /
+    * client-pacing aids): `max_events=N` closes the stream after N
+    * pushes; `heartbeat_ms=M` sets the keep-alive comment cadence
+    * while idle (default 15 s).  Event ids carry the listener's
+    * status version, so a reconnecting client can detect missed
+    * batches by id gap. */
+  private def sseHandler: com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) => {
+      try {
+        if (ex.getRequestMethod != "GET") {
+          val b = """{"error":"method not allowed"}""".getBytes("UTF-8")
+          ex.sendResponseHeaders(405, b.length)
+          ex.getResponseBody.write(b)
+        } else {
+          val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+            .split("&").filter(_.contains("=")).map { kv =>
+              val Array(k, v) = kv.split("=", 2); k -> v
+            }.toMap
+          val maxEvents = params.get("max_events")
+            .flatMap(_.toIntOption).getOrElse(Int.MaxValue)
+          val heartbeatMs = params.get("heartbeat_ms")
+            .flatMap(_.toLongOption).getOrElse(15000L)
+          val h = ex.getResponseHeaders
+          h.set("Content-Type", "text/event-stream")
+          h.set("Cache-Control", "no-cache")
+          ex.sendResponseHeaders(200, 0) // chunked; stream stays open
+          val out = ex.getResponseBody
+          def send(event: String, id: Long, data: String): Unit = {
+            out.write(s"event: $event\nid: $id\ndata: $data\n\n"
+              .getBytes("UTF-8"))
+            out.flush()
+          }
+          // the ref's WS-accept push: full snapshot immediately
+          var v = listener.version
+          send("snapshot", v, snapshotJson())
+          var sent = 1
+          while (sent < maxEvents && running) {
+            val nv = listener.awaitChange(v, heartbeatMs)
+            if (nv > v) {
+              v = nv
+              send("update", v, snapshotJson())
+              sent += 1
+            } else {
+              out.write(": keepalive\n\n".getBytes("UTF-8"))
+              out.flush()
+            }
+          }
+        }
+      } catch {
+        case _: java.io.IOException => () // client disconnected
+      } finally ex.close()
+    }
 
   private def handler(body: HttpExchange => String)
       : com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) => {

@@ -42,13 +42,47 @@ final class RunStatusListener extends StreamingQueryListener {
 
   private val state = new AtomicReference(Snapshot(None, None, 0L, 0L, None))
 
+  // Change-notification channel for the push surface (StatusServer's
+  // SSE endpoint): every status mutation bumps a version and wakes
+  // waiters, so a push connection sleeps between batches instead of
+  // polling.  Single JVM-local lock — waiters are HTTP connections
+  // (bounded), signals are per-micro-batch (seconds apart).
+  private val changeLock = new Object
+  private var versionCounter: Long = 0L
+
+  private def bumpVersion(): Unit = changeLock.synchronized {
+    versionCounter += 1
+    changeLock.notifyAll()
+  }
+
+  /** Monotonic status version: increments on every completed batch or
+    * terminal error. */
+  def version: Long = changeLock.synchronized(versionCounter)
+
+  /** Block until the status version exceeds `since` or the timeout
+    * elapses; returns the version at wake-up (== `since` on timeout). */
+  def awaitChange(since: Long, timeoutMillis: Long): Long =
+    changeLock.synchronized {
+      val deadline = System.nanoTime() + timeoutMillis * 1000000L
+      var remain = timeoutMillis
+      while (versionCounter <= since && remain > 0) {
+        changeLock.wait(remain)
+        remain = (deadline - System.nanoTime()) / 1000000L
+      }
+      versionCounter
+    }
+
+  /** Test seam: fire the change channel without a real streaming
+    * event (constructing QueryProgressEvent requires Spark internals). */
+  private[graft] def bumpForTest(): Unit = bumpVersion()
+
   override def onQueryStarted(
       e: StreamingQueryListener.QueryStartedEvent): Unit =
     state.updateAndGet(s => s.copy(
       lastAttemptTimestampUtc = Some(e.timestamp), errorMessage = None))
 
   override def onQueryProgress(
-      e: StreamingQueryListener.QueryProgressEvent): Unit =
+      e: StreamingQueryListener.QueryProgressEvent): Unit = {
     state.updateAndGet(s => s.copy(
       lastAttemptTimestampUtc = Some(e.progress.timestamp),
       lastSuccessTimestampUtc = Some(e.progress.timestamp),
@@ -57,11 +91,15 @@ final class RunStatusListener extends StreamingQueryListener {
       stateOperators = e.progress.stateOperators.toSeq.map(so =>
         RunStatusListener.StateMetric(so.operatorName, so.numRowsTotal,
           so.numRowsUpdated, so.numRowsRemoved, so.memoryUsedBytes))))
+    bumpVersion()
+  }
 
   override def onQueryTerminated(
       e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-    e.exception.foreach(msg =>
-      state.updateAndGet(s => s.copy(errorMessage = Some(msg))))
+    e.exception.foreach { msg =>
+      state.updateAndGet(s => s.copy(errorMessage = Some(msg)))
+      bumpVersion()
+    }
 
   def snapshot: Snapshot = state.get()
 

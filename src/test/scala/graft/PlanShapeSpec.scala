@@ -357,9 +357,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(all.count(_.isInstanceOf[BaseAggregateExec]) >= 4)
   }
 
-  test("q21: EXISTS / NOT EXISTS plan as semi and anti joins") {
+  test("q21 correlated SQL: EXISTS / NOT EXISTS plan as semi and anti joins") {
     import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
-    val (all, joins) = joinsOf("q21_waiting_supplier")
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // the REGISTERED q21 entry is the single-pass rewrite (next test);
+    // the correlated oracle text remains the decorrelation showcase
+    val q = graft.ops.SubqueryShapes.q21WaitingSupplierCorrelated(spark, sf())
+    q.count()
+    val all = planSubtree(q.queryExecution.executedPlan)
+    val joins = all.collect { case j: BaseJoinExec => j }
     assert(joins.exists(_.joinType == LeftSemi),
       s"EXISTS must be a semi join: ${joins.map(_.joinType).distinct}")
     assert(joins.exists(_.joinType == LeftAnti),
@@ -370,6 +376,26 @@ class PlanShapeSpec extends SparkSuite {
     assert(!all.exists(_.nodeName.contains("Subquery")),
       all.map(_.nodeName).distinct.mkString(","))
     assert(!all.exists(_.nodeName.contains("CartesianProduct")))
+  }
+
+  test("q21 registered entry: single lineitem scan, result ≡ correlated form") {
+    val q = SparkEntry.queries("q21_waiting_supplier")(spark, sf())
+    q.count()
+    val all = planSubtree(q.queryExecution.executedPlan)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val liScans = all.collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("lineitem")) => s
+    }
+    assert(liScans.size == 1,
+      s"single-pass q21 must scan lineitem exactly once, got ${liScans.size}")
+    // the rewrite is only admissible because it is EXACTLY the
+    // correlated semantics — compare full result sets
+    val a = q.collect().toSeq
+    val b = graft.ops.SubqueryShapes
+      .q21WaitingSupplierCorrelated(spark, sf()).collect().toSeq
+    assert(a == b, s"rewrite diverged: ${a.take(5)} vs ${b.take(5)}")
   }
 
   test("q22: NOT EXISTS is an anti join; the scalar average runs once") {

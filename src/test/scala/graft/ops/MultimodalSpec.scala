@@ -49,14 +49,25 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.map(_.getAs[String]("thumb_md5")).distinct.length > rows.length / 2)
   }
 
-  test("decode stub emits byte-level features over the full corpus") {
+  test("decode features route image/audio through the real codecs") {
     val rows = Multimodal.decodeFeatures(spark, sf()).collect()
     assert(rows.length == 500)
     assert(rows.forall { r =>
-      val mn = r.getAs[Long]("min_byte"); val mx = r.getAs[Long]("max_byte")
-      val avg = r.getAs[Double]("avg_byte")
-      mn >= 32 && mx <= 126 && avg >= mn && avg <= mx &&
-        r.getAs[Long]("feat_len") > 0
+      val mn = r.getAs[Long]("min_val"); val mx = r.getAs[Long]("max_val")
+      val avg = r.getAs[Double]("avg_val")
+      mn <= mx && avg >= mn && avg <= mx && r.getAs[Long]("feat_len") > 0
+    })
+    // image features come from the decoded P6 sample plane (bytes)
+    assert(rows.filter(_.getAs[String]("media_type") == "image").forall { r =>
+      r.getAs[Long]("min_val") >= 0 && r.getAs[Long]("max_val") <= 255
+    })
+    // audio features come from decoded PCM16 — signed, beyond byte range
+    val audio = rows.filter(_.getAs[String]("media_type") == "audio")
+    assert(audio.exists(_.getAs[Long]("min_val") < 0),
+      "decoded PCM16 must surface negative samples")
+    // video stays the documented byte-level stub over ASCII payloads
+    assert(rows.filter(_.getAs[String]("media_type") == "video").forall { r =>
+      r.getAs[Long]("min_val") >= 32 && r.getAs[Long]("max_val") <= 126
     })
   }
 

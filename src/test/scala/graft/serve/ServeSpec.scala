@@ -87,6 +87,51 @@ class ServeSpec extends SparkSuite {
     } finally server.stop()
   }
 
+  test("SSE /events pushes the snapshot on connect, then on each batch") {
+    val work = tmp("serve_sse")
+    Serve.runOnce(spark, sf(), work)
+    val listener = new RunStatusListener
+    val server = new StatusServer(spark, s"$work/bars", listener,
+      snapshotLimit = 5)
+    val port = server.start()
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      // max_events=2: the handler closes the stream after the connect
+      // push + one update, so ofString completes with the whole body
+      val body = Future {
+        val client = java.net.http.HttpClient.newHttpClient()
+        client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:$port/events?max_events=2&heartbeat_ms=200"))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      }
+      // fire the change channel until the stream closes — at least one
+      // bump is guaranteed to land after the handler captured its
+      // baseline version, which is all the update push needs
+      var got: Option[String] = None
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (got.isEmpty && System.nanoTime() < deadline) {
+        listener.bumpForTest()
+        try got = Some(Await.result(body, 300.millis))
+        catch { case _: java.util.concurrent.TimeoutException => () }
+      }
+      val text = got.getOrElse(fail("SSE stream never completed"))
+      // connect push: the full /snapshot payload, as an SSE event
+      assert(text.contains("event: snapshot"), text.take(400))
+      assert(text.contains("\"bars\":["), text.take(400))
+      // the post-batch push arrived on the SAME connection — the
+      // strictly-more-than-the-reference part (ref WS pushes once)
+      assert(text.contains("event: update"), text.take(400))
+      // event ids carry the status version (monotone, gap-detectable)
+      val ids = "id: (\\d+)".r.findAllMatchIn(text)
+        .map(_.group(1).toLong).toSeq
+      assert(ids.size == 2 && ids(1) > ids(0), ids.toString)
+    } finally server.stop()
+  }
+
   test("scheduler loop: initial fetch + maxRuns re-runs with computed delays") {
     val work = tmp("serve_loop")
     val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
