@@ -200,6 +200,10 @@ object SparkEntry {
     "sim_ivf_kmeans_pq_rerank" ->
       ((s: SparkSession, d: String) =>
         Similarity.ivfKmeansQuantizedRerankPersisted(s, d)),
+    // k-NN graph construction (deterministic NN-descent: LSH init +
+    // bounded neighbor-of-neighbor rounds) + sampled-truth recall
+    "sim_knn_graph" -> (Similarity.knnGraph _),
+    "sim_knn_graph_recall" -> (Similarity.knnGraphRecall _),
     "sim_source_coherence" -> (Similarity.sourceCoherence _),
     "sim_outlier_report" -> (Similarity.outlierReport _),
     "sim_embedding_drift" -> (Similarity.embeddingDrift _),
@@ -290,6 +294,7 @@ object SparkEntry {
     "fixed_ivf_stores" ->
       ((s, d) => Similarity.prebuildFixedStores(s, d)),
     "bpe_merge_table" -> ((s, d) => { BpeTrain.trainedMerges(s, d); () }),
+    "knn_graph" -> ((s, d) => Similarity.prebuildKnnGraph(s, d)),
   )
 
   /** Per-build predicate over query names: does this query consume the
@@ -321,6 +326,7 @@ object SparkEntry {
     "fixed_ivf_stores" -> (n => n.startsWith("sim_ann_ivf") ||
       n == "sim_ivf_adc_trained"),
     "bpe_merge_table" -> (n => n.startsWith("text_bpe")),
+    "knn_graph" -> (n => n.startsWith("sim_knn_graph")),
   )
 
   /** Queries that are DOCUMENTED brute-force / fixed-k ground-truth
@@ -715,6 +721,8 @@ object SparkEntry {
     "sim_ann_ivf_pq_rerank" -> Similarity.ivfQuantizedRerankSql(DuckDialect),
     "sim_ivf_kmeans_pq_rerank" ->
       Similarity.ivfKmeansQuantizedRerankSql(DuckDialect),
+    "sim_knn_graph" -> Similarity.knnGraphSql(DuckDialect),
+    "sim_knn_graph_recall" -> Similarity.knnGraphRecallSql(DuckDialect),
     "sim_source_coherence" -> Similarity.sourceCoherenceSql(DuckDialect),
     "sim_outlier_report" -> Similarity.outlierReportSql(DuckDialect),
     "sim_embedding_drift" -> Similarity.embeddingDriftSql(DuckDialect),

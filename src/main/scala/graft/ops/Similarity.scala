@@ -3445,4 +3445,250 @@ object Similarity {
         round($"cs", 6).as("cosine"), $"rn".cast("long").as("rank"))
       .orderBy($"query_id", $"rank")
   }
+
+  // ---- k-NN graph: deterministic NN-descent (round 15) ---------------
+
+  private val KnnK = 5
+  private val KnnRounds = 2
+
+  /** Corpus-scaled LSH key CTEs — the SAME construction as
+    * `annLshScaledSql` (4 bands; per band, the first
+    * nb = clamp(4..16, ⌈log₂(n/32)⌉) hyperplane sign bits, so expected
+    * bucket occupancy stays ~32 at any corpus size) — ending in
+    * `keys(vec_id, band, bkey)`.  Factored for the k-NN graph's init
+    * stage; `annLshScaledSql` keeps its own inline copy so its oracle
+    * text cannot drift. */
+  private def knnKeyCtes(d: SqlDialect): String = {
+    val maxBits = 16
+    val bitCols = (0 until AnnBands * maxBits).map { p =>
+      val proj = d.dot("v", d.arrOf(planeWeights(p).map(d.dlit)))
+      s"(CASE WHEN $proj > 0 THEN 1 ELSE 0 END) AS bit$p"
+    }.mkString(",\n    ")
+    val bandStrs = (0 until AnnBands).map { b =>
+      val cat = (0 until maxBits)
+        .map(r => d.castStr(s"bit${b * maxBits + r}"))
+        .mkString(", ")
+      s"SELECT vec_id, $b AS band, concat($cat) AS bstr FROM bits"
+    }.mkString("\n  UNION ALL\n  ")
+    val nbLadder = (4 until maxBits)
+      .map(b => s"WHEN count(*) <= ${32L * (1L << b)} THEN $b")
+      .mkString("\n    ")
+    s"""w AS (
+       |  SELECT CAST(CASE
+       |    $nbLadder
+       |    ELSE $maxBits END AS INT) AS nb
+       |  FROM n),
+       |bits AS (
+       |  SELECT vec_id,
+       |    $bitCols
+       |  FROM n),
+       |bands AS (
+       |  $bandStrs),
+       |keys AS (
+       |  SELECT vec_id, band, substring(bstr, 1, w.nb) AS bkey
+       |  FROM bands CROSS JOIN w)""".stripMargin
+  }
+
+  /** Score a candidate edge relation and keep the top-K per source
+    * node, as CTE text: `$cand(qid, nid)` → `$out(qid, nid, cs, rn)`. */
+  private def knnTopkCtes(d: SqlDialect, cand: String, out: String): String =
+    s"""${out}p AS (
+       |  SELECT c.qid, c.nid,
+       |    ${d.dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cs
+       |  FROM $cand c
+       |  JOIN n a ON a.vec_id = c.qid
+       |  JOIN n b ON b.vec_id = c.nid),
+       |$out AS (
+       |  SELECT qid, nid, cs, rn FROM (
+       |    SELECT qid, nid, cs,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+       |    FROM ${out}p) t
+       |  WHERE rn <= $KnnK)""".stripMargin
+
+  /** One NN-descent round as CTE text: symmetrize the previous graph
+    * (`UNION` dedups), expand neighbors-of-neighbors, union with the
+    * current edges → `cand$i(qid, nid)`. */
+  private def knnRoundCtes(prev: String, i: Int): String =
+    s"""s$i AS (
+       |  SELECT qid, nid FROM $prev
+       |  UNION
+       |  SELECT nid AS qid, qid AS nid FROM $prev),
+       |cand$i AS (
+       |  SELECT qid, nid FROM $prev
+       |  UNION
+       |  SELECT x.qid, y.nid FROM s$i x JOIN s$i y
+       |    ON x.nid = y.qid AND x.qid != y.nid)""".stripMargin
+
+  private def knnChainCtes(d: SqlDialect): String =
+    (s"""cand0 AS (
+        |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+        |  FROM keys a JOIN keys b
+        |    ON a.band = b.band AND a.bkey = b.bkey
+        |   AND a.vec_id != b.vec_id),
+        |${knnTopkCtes(d, "cand0", "g0")}""".stripMargin +:
+      (1 to KnnRounds).map(i =>
+        s"""${knnRoundCtes(s"g${i - 1}", i)},
+           |${knnTopkCtes(d, s"cand$i", s"g$i")}""".stripMargin))
+      .mkString(",\n")
+
+  /** Oracle/spec form of [[knnGraph]]: the whole init + `KnnRounds`
+    * NN-descent chain as ONE statement.  DuckDB materializes
+    * multi-referenced CTEs, so the chain executes each stage once; the
+    * ENGINE deliberately does NOT run this text (Spark inlines CTEs
+    * per reference — the chain would recompute the init exponentially)
+    * and stages cached DataFrames instead. */
+  def knnGraphSql(d: SqlDialect): String =
+    s"""WITH ${baseCtes(d)},
+       |${knnKeyCtes(d)},
+       |${knnChainCtes(d)}
+       |SELECT qid AS node_id, nid AS neighbor_id,
+       |  round(cs, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+       |FROM g$KnnRounds ORDER BY node_id, rank""".stripMargin
+
+  /** Session-cached (vec_id, v, nrm) node relation the graph stages
+    * score against. */
+  private def knnBase(spark: SparkSession, dir: String): DataFrame =
+    RelationCache.cached(spark, s"knn_base:$dir") {
+      run(spark, dir,
+        s"WITH ${baseCtes(SparkDialect)} SELECT vec_id, v, nrm FROM n")
+    }
+
+  /** Exact-cosine scoring + per-node top-K over a candidate edge
+    * relation — the DataFrame twin of [[knnTopkCtes]], bit-identical
+    * arithmetic (same codegen'd left-to-right `graft_dot` fold, same
+    * (cs DESC, nid) tie). */
+  private def knnScore(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = knnBase(spark, dir)
+    cand.as("c")
+      .join(n.as("a"), $"a.vec_id" === $"c.qid")
+      .join(n.as("b"), $"b.vec_id" === $"c.nid")
+      .select($"c.qid".as("qid"), $"c.nid".as("nid"),
+        expr(s"${SparkDialect.dot("a.v", "b.v")} / (a.nrm * b.nrm)").as("cs"))
+      .withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"cs".desc, $"nid")))
+      .filter($"rn" <= KnnK)
+  }
+
+  /** The engine-side k-NN graph chain: init candidates from the
+    * corpus-scaled LSH buckets, then `KnnRounds` rounds of symmetrize
+    * → neighbor-of-neighbor expand → rescore top-K.  Each stage is a
+    * session-cached DataFrame, so the init is computed exactly once
+    * (the single-statement oracle relies on DuckDB's CTE
+    * materialization for the same property).
+    *
+    * Scale (100 TB): no stage is super-linear.  Init pair volume is
+    * ~n·32·bands (the nb ladder holds expected bucket occupancy ~32 at
+    * any n); each round's candidate volume is ≤ n·(2K)² (symmetrized
+    * degree ≤ 2K, so neighbor-of-neighbor fan-out is bounded per
+    * node, independent of corpus size); every join/top-K shuffles on
+    * node ids.  This is the graph-construction half of graph-ANN
+    * (NN-descent, Dong et al. WWW'11) with the randomized sampling
+    * replaced by deterministic LSH init + full bounded expansion, so
+    * both engines agree exactly. */
+  private[ops] def knnGraphFinal(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = SparkDialect
+    // Every stage is localCheckpoint'ed (eager, session-local): the
+    // init plan carries the 64 hyperplanes as ~65k literal doubles,
+    // and WITHOUT lineage truncation each later stage EMBEDS it, so
+    // every action on the final graph re-analyzes a multi-thousand-
+    // node logical plan on the driver (~2.5 s per query, measured) —
+    // dwarfing the actual ≤60k-row execution.  Checkpointing cuts
+    // each stage's lineage to a LogicalRDD; the graph rows are tiny
+    // (n·K edges), so the storage cost is nil.
+    var g = RelationCache.cached(spark, s"knn_g0:$dir") {
+      val init = run(spark, dir,
+        s"""WITH ${baseCtes(d)},
+           |${knnKeyCtes(d)}
+           |SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+           |FROM keys a JOIN keys b
+           |  ON a.band = b.band AND a.bkey = b.bkey
+           | AND a.vec_id != b.vec_id""".stripMargin)
+      knnScore(spark, dir, init).localCheckpoint()
+    }
+    for (i <- 1 to KnnRounds) {
+      val prev = g
+      g = RelationCache.cached(spark, s"knn_g$i:$dir") {
+        import org.apache.spark.sql.functions.col
+        val edges = prev.select(col("qid"), col("nid"))
+        val sym = edges
+          .unionByName(prev.select(col("nid").as("qid"), col("qid").as("nid")))
+          .distinct()
+        val non = sym.as("x")
+          .join(sym.as("y"),
+            col("x.nid") === col("y.qid") && col("x.qid") =!= col("y.nid"))
+          .select(col("x.qid").as("qid"), col("y.nid").as("nid"))
+        knnScore(spark, dir, edges.unionByName(non).distinct())
+          .localCheckpoint()
+      }
+    }
+    g
+  }
+
+  /** `sim_knn_graph`: the final K-neighbor graph, ordered. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    knnGraphFinal(spark, dir)
+      .select(col("qid").as("node_id"), col("nid").as("neighbor_id"),
+        round(col("cs"), 6).as("cosine"), col("rn").cast("long").as("rank"))
+      .orderBy("node_id", "rank")
+  }
+
+  /** Oracle of `sim_knn_graph_recall`: the graph chain + the
+    * √|Q|-sampled brute-force truth (the `sim_recall_sampled`
+    * discipline — sample size does NOT grow with n, so the twin runs
+    * at 10×/100×), overlap counted per sampled query. */
+  def knnGraphRecallSql(d: SqlDialect): String =
+    s"""WITH truth AS (
+       |${sampledTruthSql(d)}),
+       |${baseCtes(d)},
+       |${knnKeyCtes(d)},
+       |${knnChainCtes(d)},
+       |tc AS (
+       |  SELECT query_id, count(*) AS n_true FROM truth GROUP BY query_id),
+       |m AS (
+       |  SELECT t.query_id, count(*) AS m FROM truth t
+       |  JOIN g$KnnRounds g
+       |    ON g.qid = t.query_id AND g.nid = t.neighbor_id
+       |  GROUP BY t.query_id)
+       |SELECT tc.query_id, CAST(tc.n_true AS BIGINT) AS n_true,
+       |  CAST(COALESCE(m.m, 0) AS BIGINT) AS n_found,
+       |  round(CAST(COALESCE(m.m, 0) AS DOUBLE) / tc.n_true, 6) AS recall
+       |FROM tc LEFT JOIN m ON m.query_id = tc.query_id
+       |ORDER BY tc.query_id""".stripMargin
+
+  /** `sim_knn_graph_recall`: how much of the sampled true top-K the
+    * graph's edge set captured, per query — shares the session truth
+    * cache with `sim_retrieval_ndcg_sampled` and the graph stages
+    * with `sim_knn_graph`. */
+  def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val truth = RelationCache.cached(spark, s"recall_truth_sampled:$dir") {
+      run(spark, dir, sampledTruthSql(SparkDialect))
+    }
+    val g = knnGraphFinal(spark, dir)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"))
+    val tc = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"))
+    val hits = truth.join(g, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("m"))
+    tc.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        col("n_true").cast("long").as("n_true"),
+        coalesce(col("m"), lit(0L)).cast("long").as("n_found"),
+        round(coalesce(col("m"), lit(0L)).cast("double")
+          .divide(col("n_true")), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** Bench-priced build of the graph-stage caches (labeled
+    * `knn_graph`): both `sim_knn_graph*` serves amortize them. */
+  def prebuildKnnGraph(spark: SparkSession, dir: String): Unit = {
+    knnGraphFinal(spark, dir).count()
+    ()
+  }
 }
