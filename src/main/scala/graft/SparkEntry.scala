@@ -159,6 +159,8 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (Dedup.embeddingLsh _),
     "dedup_embedding_lsh_scaled" -> (Dedup.embeddingLshScaled _),
     "dedup_lsh_recall" -> (Dedup.lshRecall _),
+    "dedup_lsh_recall_sampled" -> (Dedup.lshRecallSampled _),
+    "dedup_embedding_compact" -> (Dedup.embeddingCompact _),
     "dedup_semantic" -> (Dedup.semantic _),
     "dedup_semantic_scaled" -> (Dedup.semanticScaled _),
     "dedup_report" -> (Dedup.report _),
@@ -249,6 +251,7 @@ object SparkEntry {
     "sim_cluster_keywords" -> (Similarity.clusterKeywords _),
     "sim_ann_ivf_adc" -> (Similarity.ivfAdc _),
     "sim_adc_recall" -> (Similarity.adcRecall _),
+    "sim_adc_recall_sampled" -> (Similarity.adcRecallSampled _),
     "sim_ivf_adc_trained" -> (Similarity.ivfAdcTrained _),
     "sim_cluster_sample" -> (Similarity.clusterSample _),
     "sim_cluster_sample_scaled" -> (Similarity.clusterSampleScaled _),
@@ -315,16 +318,19 @@ object SparkEntry {
     "shared_gram_pairs" ->
       (n => n == "dedup_ngram_jaccard" || n == "dedup_containment" ||
         n == "dedup_split_leakage" || n == "dedup_degree_hist"),
-    "emb_band_keys" -> (n => n == "dedup_embedding_lsh_scaled"),
+    "emb_band_keys" -> (n => n == "dedup_embedding_lsh_scaled" ||
+      n == "dedup_lsh_recall_sampled" || n == "dedup_embedding_compact"),
     "curation_sur" -> (n => n == "text_curation_log_full" ||
       n == "text_curation_funnel" || n == "text_surprisal_buckets"),
-    "pq_codes_sampled" -> (n => n == "sim_ann_ivf_adc"),
-    "pq_codes_trained" -> (n => n == "sim_ivf_adc_trained"),
+    "pq_codes_sampled" -> (n => n == "sim_ann_ivf_adc" ||
+      n == "sim_adc_recall_sampled"),
+    "pq_codes_trained" -> (n => n == "sim_ivf_adc_trained" ||
+      n == "sim_adc_recall_sampled"),
     "hybrid_lex_rank" -> (n => n.startsWith("sim_hybrid")),
     // sim_ivf_adc_trained shares the fixed-family kernel candidates
     // (adcServeLiteral → fixed_asgn) despite its sim_ivf_ prefix
     "fixed_ivf_stores" -> (n => n.startsWith("sim_ann_ivf") ||
-      n == "sim_ivf_adc_trained"),
+      n == "sim_ivf_adc_trained" || n == "sim_adc_recall_sampled"),
     "bpe_merge_table" -> (n => n.startsWith("text_bpe")),
     "knn_graph" -> (n => n.startsWith("sim_knn_graph")),
   )
@@ -336,7 +342,8 @@ object SparkEntry {
     * names its scale path in its Scaladoc:
     *   - `dedup_embedding` (exact all-pairs cosine) → `dedup_embedding_lsh_scaled`
     *   - `dedup_embedding_lsh` (fixed 4-bit grid contrast) → the `_scaled` twin
-    *   - `dedup_lsh_recall` (diagnostic CONTAINING the all-pairs subquery)
+    *   - `dedup_lsh_recall` (diagnostic CONTAINING the all-pairs
+    *     subquery) → `dedup_lsh_recall_sampled` (√n-sampled twin)
     *   - `dedup_semantic` (fixed-k clusters, uncapped in-cluster pairs) → `dedup_semantic_scaled`
     *   - `sim_ann_lsh` (fixed 4-bit-grid serve: bucket population ∝ n,
     *     measured 1.30/decade) → `sim_ann_lsh_scaled` (corpus-scaled
@@ -349,7 +356,8 @@ object SparkEntry {
     *   - `sim_topk_bruteforce`, `sim_quantized_topk` (exact all-pairs serving baselines)
     *   - `sim_recall`, `sim_recall_rerank`, `sim_adc_recall`,
     *     `sim_hybrid_recall` (each CONTAINS the all-pairs subquery by
-    *     construction — recall needs the true top-k)
+    *     construction — recall needs the true top-k; the `_sampled`
+    *     twins with √|Q|-sampled truth run at every scale)
     * Large-scale smokes exclude exactly this set
     * (`SPARK_GRAFT_BENCH_EXCLUDE=baselines` expands to it), so a
     * scaling artifact can't silently carry an hours-long baseline row
@@ -687,6 +695,8 @@ object SparkEntry {
     "dedup_embedding_lsh" -> Dedup.embeddingLshSql(DuckDialect),
     "dedup_embedding_lsh_scaled" -> Dedup.embeddingLshScaledSql(DuckDialect),
     "dedup_lsh_recall" -> Dedup.lshRecallSql(DuckDialect),
+    "dedup_lsh_recall_sampled" -> Dedup.lshRecallSampledSql(DuckDialect),
+    "dedup_embedding_compact" -> Dedup.embeddingCompactOracleSql(DuckDialect),
     "dedup_semantic" -> Dedup.semanticSql(DuckDialect),
     "dedup_semantic_scaled" -> Dedup.semanticScaledSql(DuckDialect),
     "dedup_report" -> Dedup.reportSql(DuckDialect),
@@ -757,6 +767,7 @@ object SparkEntry {
     "sim_cluster_keywords" -> Similarity.clusterKeywordsSql(DuckDialect),
     "sim_ann_ivf_adc" -> Similarity.ivfAdcSql(DuckDialect),
     "sim_adc_recall" -> Similarity.adcRecallSql(DuckDialect),
+    "sim_adc_recall_sampled" -> Similarity.adcRecallSampledSql(DuckDialect),
     "sim_ivf_adc_trained" -> Similarity.ivfAdcTrainedSql(DuckDialect),
     "sim_cluster_sample" -> Similarity.clusterSampleSql(DuckDialect),
     "sim_cluster_sample_scaled" ->

@@ -738,6 +738,163 @@ object Dedup {
     spark.sql(lshRecallSql(SparkDialect))
   }
 
+  /** Sampled twin of `dedup_lsh_recall` — the banding-recall receipt
+    * that runs at 10×/100×, where the full report is excluded as a
+    * registered baseline (it CONTAINS the exact all-pairs subquery by
+    * definition).  A deterministic ⌈√n⌉ vector sample S (the
+    * `qsampleCtes` ranked salted-hash pick, vector-side) restricts
+    * BOTH sides of the ratio to pairs touching S:
+    *
+    *   exact_pairs_s  = |{(a,b) : cos ≥ 0.4, a<b, a∈S ∨ b∈S}|  — the
+    *     brute-force side costs |S|·n ≈ n^1.5 dots instead of n²;
+    *   scaled_pairs_s = the corpus-scaled LSH pairs touching S, with
+    *     the sample predicate INSIDE the band self-join (one side of
+    *     the join is the |S|-row slice), so candidate volume is
+    *     ~|S|·occupancy, never the full pair relation;
+    *
+    * and scaled pairs are a subset of exact pairs by construction
+    * (same cosine verify), so the ratio is the per-sample recall of
+    * the production banding — an unbiased estimate of the full
+    * `scaled_recall` under the uniform salted pick.  Only the
+    * scale-safe variant is scored: the fixed-grid `dedup_embedding_lsh`
+    * is itself a registered baseline, so a sampled recall for it
+    * would be a receipt about a query that never runs at scale. */
+  def lshRecallSampledSql(d: SqlDialect): String = {
+    val salted = d.h60(s"${d.castStr("vec_id")} || '_vsample'")
+    s"""WITH e AS (
+       |  SELECT vec_id, ${d.toDoubleArr("embedding")} AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(${d.dot("v", "v")}) AS nrm FROM e),
+       |vn AS (SELECT count(*) AS nv FROM n),
+       |vs AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY $salted, vec_id) AS srn
+       |  FROM n),
+       |vsample AS (
+       |  SELECT vs.vec_id FROM vs CROSS JOIN vn
+       |  WHERE vs.srn <= CAST(ceil(sqrt(CAST(vn.nv AS DOUBLE))) AS BIGINT)),
+       |ex AS (
+       |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS ia,
+       |    greatest(a.vec_id, b.vec_id) AS ib
+       |  FROM n a
+       |  JOIN vsample s ON s.vec_id = a.vec_id
+       |  JOIN n b ON b.vec_id != a.vec_id
+       |  WHERE ${d.dot("a.v", "b.v")} / (a.nrm * b.nrm) >= ${d.dlit(0.4)}),
+       |sp AS (
+       |  SELECT vec_id_a AS ia, vec_id_b AS ib
+       |  FROM (${embeddingLshScaledSql(d)}) z
+       |  WHERE vec_id_a IN (SELECT vec_id FROM vsample)
+       |     OR vec_id_b IN (SELECT vec_id FROM vsample)),
+       |ec AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs_s FROM ex),
+       |sc AS (SELECT CAST(count(*) AS BIGINT) AS scaled_pairs_s FROM sp)
+       |SELECT ec.exact_pairs_s, sc.scaled_pairs_s,
+       |  round(CAST(sc.scaled_pairs_s AS DOUBLE)
+       |    / greatest(ec.exact_pairs_s, 1), 6) AS scaled_recall_s
+       |FROM ec CROSS JOIN sc""".stripMargin
+  }
+
+  /** Engine form of `lshRecallSampled`: the cached norm/band-key
+    * relations (`embNorms` / `embBandKeys`) with the sample slice
+    * joined onto ONE side of both the brute-force scan and the band
+    * self-join — the restriction the SQL oracle states as IN-filters
+    * over the full pair relation, pushed where a 100× run needs it.
+    * Pair sets are identical: a scaled-LSH pair touching S collides
+    * in some band with its S-side present in the sliced relation. */
+  def lshRecallSampled(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = embNorms(spark, dir)
+    val keys = embBandKeys(spark, dir)
+    val sampleN = math.ceil(math.sqrt(n.count().toDouble)).toLong
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      expr(SparkDialect.h60(
+        s"${SparkDialect.castStr("vec_id")} || '_vsample'")),
+      col("vec_id"))
+    val samp = n.select(col("vec_id"), row_number().over(w).as("srn"))
+      .filter($"srn" <= sampleN).select("vec_id")
+    val ns = n.join(samp, "vec_id")
+    val ex = ns.as("a")
+      .join(n.as("b"), $"a.vec_id" =!= $"b.vec_id")
+      .filter(expr("graft_dot(a.v, b.v)") / ($"a.nrm" * $"b.nrm") >= 0.4)
+      .select(least($"a.vec_id", $"b.vec_id").as("ia"),
+        greatest($"a.vec_id", $"b.vec_id").as("ib"))
+      .distinct()
+      .agg(count(lit(1)).cast("long").as("exact_pairs_s"))
+    val kv = keys.join(n, "vec_id")
+    val kvs = kv.join(samp, "vec_id")
+    val sp = kvs.as("a")
+      .join(kv.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.vec_id" =!= $"b.vec_id")
+      .filter(expr("graft_dot(a.v, b.v)") / ($"a.nrm" * $"b.nrm") >= 0.4)
+      .select(least($"a.vec_id", $"b.vec_id").as("ia"),
+        greatest($"a.vec_id", $"b.vec_id").as("ib"))
+      .distinct()
+      .agg(count(lit(1)).cast("long").as("scaled_pairs_s"))
+    ex.crossJoin(sp)
+      .withColumn("scaled_recall_s",
+        round($"scaled_pairs_s".cast("double")
+          / greatest($"exact_pairs_s", lit(1L)), 6))
+  }
+
+  /** Keeper election over the corpus-scaled embedding near-dup graph —
+    * `dedup_compact`'s contract for the embedding family: verified
+    * pairs (the `dedup_embedding_lsh_scaled` banding + cos ≥ 0.4
+    * rule) → connected components → each cluster keeps its minimum
+    * vec_id; vectors in no verified pair keep themselves.  Output is
+    * the kept vec_id set, ~n rows.
+    *
+    * This is the form a deployment that only needs the keep/drop
+    * decision should run instead of the pair relation: on corpora
+    * where true near-dup mass is itself quadratic (the Gaussian
+    * fixture's 100× row pays an honest exp-1.17 OUTPUT floor on
+    * pairs), the pair edges here flow straight from the band
+    * self-join into the union-find contraction — no pair-distinct
+    * shuffle (union-find is duplicate-edge-insensitive), no round(),
+    * no global pair sort, no materialized pair output — and the
+    * result cardinality is bounded by the corpus, not by the pair
+    * mass. */
+  def embeddingCompact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = embNorms(spark, dir)
+    val kv = embBandKeys(spark, dir).join(n, "vec_id")
+    val pairs = kv.as("a")
+      .join(kv.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.vec_id" < $"b.vec_id")
+      .filter(expr("graft_dot(a.v, b.v)") / ($"a.nrm" * $"b.nrm") >= 0.4)
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"))
+    val clusters = connectedComponents(pairs)
+      .select($"doc_id".as("vec_id"), $"cluster_rep")
+    n.select($"vec_id").join(clusters, Seq("vec_id"), "left")
+      .filter($"cluster_rep".isNull || $"cluster_rep" === $"vec_id")
+      .select($"vec_id")
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle for `embeddingCompact`: the single-statement scaled-LSH
+    * pair chain, a recursive-CTE reachability closure (the
+    * independent third algorithm, as in `compactKeptOracleSql`), and
+    * keeper = min reachable id; unpaired vectors keep themselves. */
+  def embeddingCompactOracleSql(d: SqlDialect): String =
+    s"""WITH RECURSIVE vp AS (
+       |  SELECT vec_id_a AS ia, vec_id_b AS ib
+       |  FROM (${embeddingLshScaledSql(d)}) z),
+       |edges AS (
+       |  SELECT ia AS src, ib AS dst FROM vp
+       |  UNION ALL SELECT ib, ia FROM vp),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT edges.src, r.dst FROM edges JOIN reach r ON edges.dst = r.src),
+       |lab AS (
+       |  SELECT src AS vec_id, min(dst) AS rep FROM reach GROUP BY src)
+       |SELECT e.vec_id AS vec_id FROM embeddings e
+       |LEFT JOIN lab ON lab.vec_id = e.vec_id
+       |WHERE lab.vec_id IS NULL OR lab.rep = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
   private def runDocs(spark: SparkSession, dir: String, sql: String): DataFrame = {
     // InferFiltersFromGenerate substitutes the whole shingle/token
     // expression into a pre-Generate filter (size(...)>0, isnotnull),
@@ -1635,8 +1792,37 @@ object Dedup {
   def semanticScaled(spark: SparkSession, dir: String): DataFrame =
     semanticScaled(spark, dir, SemanticCapMult)
 
+  /** Absolute member-count floor above which an (under-cap) trained
+    * cluster is SUBCLUSTERED before its within-cluster pair join —
+    * the second-level split that flattens the family's scaling slope
+    * from the designed n^1.5 (per-cluster pair work ~C(1.25·√n, 2)
+    * with k ≈ √n clusters) toward n^1.25: a split cluster of size sz
+    * pairs within ⌈√sz⌉ Lloyd-refined subclusters of ~√sz members,
+    * so its pair work drops from C(sz,2) to ~√sz·C(√sz,2) ≈ sz^1.5/2,
+    * and the corpus total to k·(√n)^1.5 ≈ n^1.25.  Pairs CROSSING a
+    * subcluster boundary are forgone and accounted exactly in
+    * `capped_pairs` (the `minhashCapReport` receipt discipline —
+    * nothing is dropped silently).
+    *
+    * 128 is deliberately above every under-cap cluster at the oracle
+    * fixtures (cap = ⌈1.25·n/k⌉ is 28 at sf0.01 and 89 at sf0.1, and
+    * no cluster entering the pair join can exceed cap), so at oracle
+    * scales the split is a no-op and the single-statement SQL oracle
+    * verifies the family end-to-end unchanged — the same
+    * coincide-at-oracle-scale discipline as `embeddingLshScaledSql`'s
+    * band-width ladder.  The split engages where it pays: cap
+    * crosses 128 once n > ~10.5k (10×/100× fixtures), exactly the
+    * regime where C(cap,2) dominates the row.  The split path itself
+    * is spec-verified on hand-built clusters
+    * (`SemanticSubclusterSpec`). */
+  val SemanticSubSplitFloor: Long = 128L
+
   def semanticScaled(spark: SparkSession, dir: String,
-      mult: Double): DataFrame = {
+      mult: Double): DataFrame =
+    semanticScaled(spark, dir, mult, SemanticSubSplitFloor)
+
+  def semanticScaled(spark: SparkSession, dir: String, mult: Double,
+      splitFloor: Long): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
@@ -1650,18 +1836,32 @@ object Dedup {
     // cap = ceil(mult · n/k): same IEEE expression order as the oracle
     val cnt = nv.count()
     val cap = math.ceil(mult * cnt / cents.size).toLong
-    val und = asgn.join(csz.filter($"sz" <= cap).select($"cid"), "cid")
-    val dropped = und.as("x")
-      .join(und.as("y"),
-        $"x.cid" === $"y.cid" && $"x.vec_id" < $"y.vec_id")
+    // under-cap members with vectors and cluster size — the input to
+    // the second-level split; blocks carry (cid, sub) keys
+    val und = asgn
+      .join(csz.filter($"sz" <= cap), "cid")
+      .join(nv, "vec_id")
+    val blocks = subclusterBlocks(und, splitFloor)
+      .select($"vec_id", $"cid", $"sub")
+    val dropped = blocks.as("x")
+      .join(blocks.as("y"),
+        $"x.cid" === $"y.cid" && $"x.sub" === $"y.sub" &&
+          $"x.vec_id" < $"y.vec_id")
       .join(nv.as("a"), $"a.vec_id" === $"x.vec_id")
       .join(nv.as("b"), $"b.vec_id" === $"y.vec_id")
       .filter(expr("graft_dot(a.v, b.v)") / ($"a.nrm" * $"b.nrm") >= 0.4)
       .select($"y.vec_id".as("ib"))
       .distinct()
-    val dc = und.join(dropped, $"vec_id" === $"ib", "left")
+    val dc = blocks.join(dropped, $"vec_id" === $"ib", "left")
       .groupBy($"cid").agg(count($"ib").as("ndrop"))
+    // exact forgone-pair receipt per cluster: C(sz,2) − Σ_sub C(ssz,2)
+    // (zero when the cluster was a single block)
+    val forgone = blocks.groupBy($"cid", $"sub")
+      .agg(count(lit(1)).as("ssz"))
+      .groupBy($"cid")
+      .agg(sum(expr("(ssz * (ssz - 1)) DIV 2")).as("in_pairs"))
     csz.join(dc, Seq("cid"), "left")
+      .join(forgone, Seq("cid"), "left")
       .select($"cid".as("cluster_id"), $"sz".as("n_vecs"),
         when($"sz" > cap, 0L).otherwise(coalesce($"ndrop", lit(0L)))
           .as("n_dropped"),
@@ -1669,8 +1869,67 @@ object Dedup {
           .otherwise(coalesce($"ndrop", lit(0L)))).as("n_kept"),
         when($"sz" > cap, 1L).otherwise(0L).as("is_capped"),
         when($"sz" > cap, expr("(sz * (sz - 1)) DIV 2"))
-          .otherwise(0L).as("capped_pairs"))
+          .otherwise(expr("(sz * (sz - 1)) DIV 2")
+            - coalesce($"in_pairs", lit(0L)))
+          .as("capped_pairs"))
       .orderBy($"cluster_id")
+  }
+
+  /** Second-level subcluster assignment: members of clusters larger
+    * than `splitFloor` are partitioned into ⌈√sz⌉ subclusters by one
+    * deterministic Lloyd round — seed with the ⌈√sz⌉ lowest vec_ids
+    * of the cluster (the `semantic` fixed-pick discipline), assign
+    * each member to its max-cosine seed (tie → lowest sub id),
+    * recompute µ-quantized subcluster means (integer sums of
+    * round(x·10⁶), associative and order-independent), reassign
+    * against the refined means.  Clusters at or under the floor pass
+    * through as a single `sub = 0` block.
+    *
+    * Input: (vec_id, cid, sz, v, nrm).  Output: (vec_id, cid, sub).
+    * Cost shape: the seed and refine joins each pair every member
+    * with its own cluster's ~√sz candidates (Σ sz·√sz ≈ n^1.25 dot
+    * products corpus-wide); the window rank runs per cluster, keyed
+    * and bounded by cap. */
+  private[ops] def subclusterBlocks(und: DataFrame,
+      splitFloor: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val small = und.filter(col("sz") <= splitFloor)
+      .select(col("vec_id"), col("cid"), lit(0L).as("sub"))
+    val big = und.filter(col("sz") > splitFloor)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("vec_id"))
+    val ranked = big.withColumn("rn", row_number().over(w))
+      .withColumn("nsub",
+        ceil(sqrt(col("sz").cast("double"))).cast("long"))
+    val seeds = ranked.filter(col("rn") <= col("nsub"))
+      .select(col("cid"), (col("rn") - 1).cast("long").as("sub"),
+        col("v").as("cv"), col("nrm").as("cnrm"))
+    val a0 = big.join(seeds, "cid")
+      .withColumn("cs",
+        expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      .groupBy(col("cid"), col("vec_id"))
+      .agg(max_by(col("sub"), struct(col("cs"), -col("sub"))).as("sub"))
+    // one Lloyd refinement: µ-quantized per-dimension means
+    val sums = a0.join(big.select(col("vec_id"), col("v")), "vec_id")
+      .select(col("cid"), col("sub"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("sub"), col("pos"))
+      .agg(sum(expr("CAST(round(x * 1000000.0) AS BIGINT)")).as("qs"),
+        count(lit(1)).as("m"))
+    val cents = sums.groupBy(col("cid"), col("sub"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("qs")))).as("z"),
+        max(col("m")).as("m"))
+      .withColumn("cv",
+        expr("transform(z, e -> CAST(e.qs AS DOUBLE) / (m * 1000000.0))"))
+      .withColumn("cnrm", expr("sqrt(graft_dot(cv, cv))"))
+      .select(col("cid"), col("sub"), col("cv"), col("cnrm"))
+    val a1 = big.join(cents, "cid")
+      .withColumn("cs",
+        expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      .groupBy(col("cid"), col("vec_id"))
+      .agg(max_by(col("sub"), struct(col("cs"), -col("sub"))).as("sub"))
+    small.unionByName(
+      a1.select(col("vec_id"), col("cid"), col("sub")))
   }
 
   /** Oracle for `semanticScaled`: `Similarity.kmeansCandCtesScaled`'s

@@ -1294,6 +1294,35 @@ object Similarity {
       truthDf = Some(truth))
   }
 
+  /** Sampled-truth twin of `sim_adc_recall` — the measurement that
+    * runs at 10×/100× where the full harness is excluded as a
+    * registered baseline (its truth is the |Q|·n brute-force scan;
+    * at the sf0.1 oracle it is the suite's single heaviest DuckDB
+    * row, ~47 s).  Same √|Q| deterministic query sample and shared
+    * cached truth relation as `sim_recall_sampled`; the two ADC
+    * serving pipelines (sampled vs Lloyd-trained codebooks) still
+    * serve ALL queries — only the ground-truth join restricts to the
+    * sample.  Keeps `adcRecall`'s purpose (the 64×-compression
+    * recall number, trained-codebook delta included) measurable at
+    * every fixture size. */
+  def adcRecallSampled(spark: SparkSession, dir: String): DataFrame = {
+    val truth = RelationCache.cached(spark, s"recall_truth_sampled:$dir") {
+      run(spark, dir, sampledTruthSql(SparkDialect))
+    }
+    recallOver(spark, dir, Seq(
+      "recall_adc" -> (() => ivfAdc(spark, dir)),
+      "recall_adc_trained" -> (() => ivfAdcTrained(spark, dir))),
+      truthDf = Some(truth))
+  }
+
+  /** Oracle form of `adcRecallSampled`: the two full ADC pipelines as
+    * nested subqueries against the sampled truth. */
+  def adcRecallSampledSql(d: SqlDialect): String =
+    recallSqlOver(d, Seq(
+      "recall_adc" -> ivfAdcSql(d),
+      "recall_adc_trained" -> ivfAdcTrainedSql(d)),
+      truthSql = Some(sampledTruthSql(d)))
+
   /** The cached base relation for the persisted-index paths:
     * (vec_id, embedding, v, nrm) — raw floats for the index write,
     * double work form + norm for training/scoring. */
