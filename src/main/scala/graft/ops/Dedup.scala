@@ -1813,8 +1813,8 @@ object Dedup {
     * band-width ladder.  The split engages where it pays: cap
     * crosses 128 once n > ~10.5k (10×/100× fixtures), exactly the
     * regime where C(cap,2) dominates the row.  The split path itself
-    * is spec-verified on hand-built clusters
-    * (`SemanticSubclusterSpec`). */
+    * is spec-verified on hand-built clusters and under a forced
+    * floor (`Round15OpsSpec`). */
   val SemanticSubSplitFloor: Long = 128L
 
   def semanticScaled(spark: SparkSession, dir: String,
@@ -1896,14 +1896,22 @@ object Dedup {
     val small = und.filter(col("sz") <= splitFloor)
       .select(col("vec_id"), col("cid"), lit(0L).as("sub"))
     val big = und.filter(col("sz") > splitFloor)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cid")).orderBy(col("vec_id"))
-    val ranked = big.withColumn("rn", row_number().over(w))
-      .withColumn("nsub",
-        ceil(sqrt(col("sz").cast("double"))).cast("long"))
-    val seeds = ranked.filter(col("rn") <= col("nsub"))
-      .select(col("cid"), (col("rn") - 1).cast("long").as("sub"),
-        col("v").as("cv"), col("nrm").as("cnrm"))
+    // seed pick WITHOUT a window: collect the cluster's id list (cap-
+    // bounded — only under-cap clusters reach this code) and slice the
+    // ⌈√sz⌉ lowest; posexplode's position is the sub id.  A
+    // partitionBy(cid) row_number computes the same thing but puts a
+    // Window operator on the semantic-dedup plan, which PlanShapeSpec
+    // forbids for this family.
+    val seedIds = big.groupBy(col("cid"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .select(col("cid"), posexplode(expr(
+        "slice(ids, 1, CAST(ceil(sqrt(CAST(size(ids) AS DOUBLE))) AS INT))"))
+        .as(Seq("spos", "sid")))
+    val seeds = seedIds
+      .join(big.select(col("vec_id").as("sid"),
+        col("v").as("cv"), col("nrm").as("cnrm")), "sid")
+      .select(col("cid"), col("spos").cast("long").as("sub"),
+        col("cv"), col("cnrm"))
     val a0 = big.join(seeds, "cid")
       .withColumn("cs",
         expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm")))

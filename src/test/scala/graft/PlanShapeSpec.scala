@@ -398,6 +398,41 @@ class PlanShapeSpec extends SparkSuite {
     assert(a == b, s"rewrite diverged: ${a.take(5)} vs ${b.take(5)}")
   }
 
+  test("star-join floors q3/q8/q9/q21: broadcast-only joins, pushed " +
+      "filters, bounded shuffles") {
+    // These four rows are defended as "pure scheduling floor" in the
+    // bench plan audits (PLANS_r14/r15.md): the fact table streams
+    // through broadcast hash joins with dim filters pushed to the
+    // scans, and the only shuffles are the aggregation exchange (+ at
+    // most the output ordering).  Pin that shape so a regression —
+    // a de-broadcast dim, a dropped pushdown, an extra exchange —
+    // fails here instead of hiding inside the floor allowance.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // per-query shuffle budgets: agg exchange + output ordering for
+    // the star joins; q21's single-pass form owns three documented
+    // aggregation exchanges ((orderkey,suppkey) → orderkey → s_name)
+    // + the ordering — still one FACT SCAN, the property that matters
+    val budget = Map("q3_join_agg_topn" -> 2, "q8_market_share" -> 2,
+      "q9_product_profit" -> 2, "q21_waiting_supplier" -> 4)
+    budget.keys.toSeq.sorted.foreach { name =>
+      val (all, joins) = joinsOf(name)
+      assert(joins.nonEmpty, s"$name: expected joins")
+      val nonBroadcast = joins.filterNot(_.isInstanceOf[BroadcastHashJoinExec])
+      assert(nonBroadcast.isEmpty,
+        s"$name: non-broadcast joins ${nonBroadcast.map(_.nodeName).distinct}")
+      val shuffles = all.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.size <= budget(name),
+        s"$name: ${shuffles.size} shuffle exchanges over the documented " +
+          s"budget ${budget(name)}")
+      val p = all.head.toString
+      assert("PushedFilters: \\[[A-Za-z]".r.findFirstIn(p).nonEmpty,
+        s"$name: no non-empty PushedFilters in\n${p.take(1200)}")
+      assert(!all.exists(_.nodeName.contains("CartesianProduct")), name)
+      assert(!all.exists(_.nodeName.contains("SortMergeJoin")), name)
+    }
+  }
+
   test("q22: NOT EXISTS is an anti join; the scalar average runs once") {
     import org.apache.spark.sql.catalyst.plans.LeftAnti
     val (all, joins) = joinsOf("q22_inactive_balance")

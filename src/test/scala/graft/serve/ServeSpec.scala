@@ -165,6 +165,49 @@ class ServeSpec extends SparkSuite {
     assert(Serve.nextDelayMs(Serve.Interval(90), t0) == 90000L)
   }
 
+  test("cron property: every fire lands on HH:MM UTC and never overlaps") {
+    import Serve.{Cron, nextDelayMs}
+    val dayMs = 24L * 3600 * 1000
+    val rnd = new scala.util.Random(7)
+    val epoch2024 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .toEpochMilli
+    (1 to 1000).foreach { _ =>
+      val h = rnd.nextInt(24)
+      val m = rnd.nextInt(60)
+      // any millisecond across two years of DST-free UTC days
+      val now = epoch2024 + math.abs(rnd.nextLong()) % (730L * dayMs)
+      val d = nextDelayMs(Cron(h, m), now)
+      // strictly in the future, never more than a day out
+      assert(d > 0 && d <= dayMs,
+        s"delay $d out of (0, 24h] for cron $h:$m at $now")
+      // the fire instant is exactly HH:MM:00.000 UTC
+      val fire = now + d
+      assert(fire % dayMs == (h * 3600L + m * 60L) * 1000L,
+        s"cron $h:$m at $now fires at $fire, not on the minute")
+      // fired exactly on the boundary, the next fire is a FULL day out
+      // (strictly-after rule) — so two runs can never be scheduled for
+      // the same boundary and the loop cannot overlap itself
+      assert(nextDelayMs(Cron(h, m), fire) == dayMs)
+    }
+  }
+
+  test("cron runLoop fires at the boundary under a simulated clock") {
+    val work = tmp("serve_cron")
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var clock = java.time.Instant.parse("2024-03-10T08:30:00Z").toEpochMilli
+    Serve.runLoop(spark, sf(), work, Serve.Cron(9, 15), maxRuns = 2,
+      sleeper = d => { delays += d; clock += d },
+      nowUtcMs = () => clock)
+    // first re-run at today's 09:15 (45 min), then exactly daily —
+    // the no-overlap sequence the property test proves in general
+    assert(delays.toSeq == Seq(45L * 60 * 1000, 24L * 3600 * 1000))
+    // the initial fetch landed the store; the cron re-runs were
+    // incremental no-ops against the static source
+    val stored = BarStore.read(spark, s"$work/bars")
+    val batch = BarPipeline.canonicalBars(spark, sf())
+    assert(stored.count() == batch.count())
+  }
+
   test("trigger parsing accepts the reference's two shapes, rejects junk") {
     assert(Serve.parseTrigger("interval:300") == Serve.Interval(300))
     assert(Serve.parseTrigger("cron:06:45") == Serve.Cron(6, 45))
