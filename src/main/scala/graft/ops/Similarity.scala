@@ -3548,12 +3548,45 @@ object Similarity {
        |  SELECT x.qid, y.nid FROM s$i x JOIN s$i y
        |    ON x.nid = y.qid AND x.qid != y.nid)""".stripMargin
 
+  /** Init candidates per bucket member: its `KnnInitWindow` rank
+    * SUCCESSORS within the bucket (vec_id order), both edge
+    * directions.  The full bucket clique is quadratic IN THE BUCKET —
+    * and hyperplane sign bits collide whole semantic clusters into
+    * one bucket (that is what makes LSH work), so on clustered
+    * corpora hot buckets hold Θ(cluster) members and the clique join
+    * enumerates Θ(cluster²) pairs: at the 100× fixture (~20k-member
+    * hot buckets) the init alone generated billions of candidate
+    * rows and died spilling >60 GB.  The rank-window init is the
+    * deterministic analogue of NN-descent's random init (Dong et al.
+    * WWW'11 — init quality only affects convergence speed, and the
+    * expand rounds recover true neighbors): candidate volume is
+    * ≤ 2·W·bands·n at ANY skew, and at oracle-scale buckets (~32
+    * members ≈ 2W) the window covers essentially the whole bucket, so
+    * the two inits coincide where the driver hash-checks. */
+  private val KnnInitWindow = 16
+
+  private def knnInitCte: String = {
+    val series = (1 to KnnInitWindow).map(k => s"($k)").mkString(",")
+    s"""rk AS (
+       |  SELECT vec_id, band, bkey,
+       |    row_number() OVER (PARTITION BY band, bkey ORDER BY vec_id) AS r
+       |  FROM keys),
+       |ser AS (SELECT k FROM (VALUES $series) AS t(k)),
+       |cand0 AS (
+       |  SELECT DISTINCT qid, nid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS nid
+       |    FROM rk a CROSS JOIN ser s
+       |    JOIN rk b ON b.band = a.band AND b.bkey = a.bkey
+       |     AND b.r = a.r + s.k
+       |    UNION ALL
+       |    SELECT b.vec_id AS qid, a.vec_id AS nid
+       |    FROM rk a CROSS JOIN ser s
+       |    JOIN rk b ON b.band = a.band AND b.bkey = a.bkey
+       |     AND b.r = a.r + s.k) u)""".stripMargin
+  }
+
   private def knnChainCtes(d: SqlDialect): String =
-    (s"""cand0 AS (
-        |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-        |  FROM keys a JOIN keys b
-        |    ON a.band = b.band AND a.bkey = b.bkey
-        |   AND a.vec_id != b.vec_id),
+    (s"""$knnInitCte,
         |${knnTopkCtes(d, "cand0", "g0")}""".stripMargin +:
       (1 to KnnRounds).map(i =>
         s"""${knnRoundCtes(s"g${i - 1}", i)},
@@ -3585,15 +3618,27 @@ object Similarity {
   /** Exact-cosine scoring + per-node top-K over a candidate edge
     * relation — the DataFrame twin of [[knnTopkCtes]], bit-identical
     * arithmetic (same codegen'd left-to-right `graft_dot` fold, same
-    * (cs DESC, nid) tie). */
+    * (cs DESC, nid) tie).
+    *
+    * Both vector joins carry a SHUFFLE_HASH hint: past the broadcast
+    * threshold (the 100× node relation is ~110 MB of dim-64 doubles)
+    * Spark's default is SortMergeJoin, which SORTS the candidate side
+    * — and after the first join every candidate row carries a ~0.5 KB
+    * vector, so the second SMJ sorts tens of GB per NN-descent round
+    * and the 100× build died spilling ~60 GB to disk.  A shuffled
+    * hash join builds the (small) per-partition node slice and
+    * STREAMS the wide candidate rows — no sort of the wide side ever
+    * exists.  Result-identical; strictly a physical-plan constraint.
+    * The per-node top-K window then sorts only (qid, nid, cs) rows —
+    * narrow by construction. */
   private def knnScore(spark: SparkSession, dir: String,
       cand: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val n = knnBase(spark, dir)
     cand.as("c")
-      .join(n.as("a"), $"a.vec_id" === $"c.qid")
-      .join(n.as("b"), $"b.vec_id" === $"c.nid")
+      .join(n.as("a").hint("shuffle_hash"), $"a.vec_id" === $"c.qid")
+      .join(n.as("b").hint("shuffle_hash"), $"b.vec_id" === $"c.nid")
       .select($"c.qid".as("qid"), $"c.nid".as("nid"),
         expr(s"${SparkDialect.dot("a.v", "b.v")} / (a.nrm * b.nrm)").as("cs"))
       .withColumn("rn",
@@ -3610,8 +3655,9 @@ object Similarity {
     * materialization for the same property).
     *
     * Scale (100 TB): no stage is super-linear.  Init pair volume is
-    * ~n·32·bands (the nb ladder holds expected bucket occupancy ~32 at
-    * any n); each round's candidate volume is ≤ n·(2K)² (symmetrized
+    * ≤ 2·W·bands·n at ANY bucket skew (the rank-window init — see
+    * [[knnInitCte]]; the naive bucket clique is quadratic in
+    * hot-bucket size and died at 100×); each round's candidate volume is ≤ n·(2K)² (symmetrized
     * degree ≤ 2K, so neighbor-of-neighbor fan-out is bounded per
     * node, independent of corpus size); every join/top-K shuffles on
     * node ids.  This is the graph-construction half of graph-ANN
@@ -3630,13 +3676,13 @@ object Similarity {
     // each stage's lineage to a LogicalRDD; the graph rows are tiny
     // (n·K edges), so the storage cost is nil.
     var g = RelationCache.cached(spark, s"knn_g0:$dir") {
+      // the skew-bounded rank-window init (see knnInitCte) — NOT the
+      // bucket clique, which is quadratic in hot-bucket size
       val init = run(spark, dir,
         s"""WITH ${baseCtes(d)},
-           |${knnKeyCtes(d)}
-           |SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-           |FROM keys a JOIN keys b
-           |  ON a.band = b.band AND a.bkey = b.bkey
-           | AND a.vec_id != b.vec_id""".stripMargin)
+           |${knnKeyCtes(d)},
+           |$knnInitCte
+           |SELECT qid, nid FROM cand0""".stripMargin)
       knnScore(spark, dir, init).localCheckpoint()
     }
     for (i <- 1 to KnnRounds) {
