@@ -3507,19 +3507,24 @@ object Similarity {
        |    $nbLadder
        |    ELSE $maxBits END AS INT) AS nb
        |  FROM n),
-       |bits AS (
+       |bits AS ${d.mat} (
        |  SELECT vec_id,
        |    $bitCols
        |  FROM n),
        |bands AS (
        |  $bandStrs),
-       |keys AS (
+       |keys AS ${d.mat} (
        |  SELECT vec_id, band, substring(bstr, 1, w.nb) AS bkey
        |  FROM bands CROSS JOIN w)""".stripMargin
   }
 
   /** Score a candidate edge relation and keep the top-K per source
-    * node, as CTE text: `$cand(qid, nid)` → `$out(qid, nid, cs, rn)`. */
+    * node, as CTE text: `$cand(qid, nid)` → `$out(qid, nid, cs, rn)`.
+    * `$out` is `${d.mat}`-hinted: each graph stage feeds the next
+    * round's symmetrize (2 refs) + expand + rescore union — inlined
+    * per reference (DuckDB's default), the chain's recompute factor is
+    * ~3 PER ROUND, measured 331 s for the 2-round sf0.1 oracle vs
+    * 62 s materialized (identical rows). */
   private def knnTopkCtes(d: SqlDialect, cand: String, out: String): String =
     s"""${out}p AS (
        |  SELECT c.qid, c.nid,
@@ -3527,7 +3532,7 @@ object Similarity {
        |  FROM $cand c
        |  JOIN n a ON a.vec_id = c.qid
        |  JOIN n b ON b.vec_id = c.nid),
-       |$out AS (
+       |$out AS ${d.mat} (
        |  SELECT qid, nid, cs, rn FROM (
        |    SELECT qid, nid, cs,
        |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
@@ -3537,8 +3542,8 @@ object Similarity {
   /** One NN-descent round as CTE text: symmetrize the previous graph
     * (`UNION` dedups), expand neighbors-of-neighbors, union with the
     * current edges → `cand$i(qid, nid)`. */
-  private def knnRoundCtes(prev: String, i: Int): String =
-    s"""s$i AS (
+  private def knnRoundCtes(d: SqlDialect, prev: String, i: Int): String =
+    s"""s$i AS ${d.mat} (
        |  SELECT qid, nid FROM $prev
        |  UNION
        |  SELECT nid AS qid, qid AS nid FROM $prev),
@@ -3565,9 +3570,9 @@ object Similarity {
     * the two inits coincide where the driver hash-checks. */
   private val KnnInitWindow = 16
 
-  private def knnInitCte: String = {
+  private def knnInitCte(d: SqlDialect): String = {
     val series = (1 to KnnInitWindow).map(k => s"($k)").mkString(",")
-    s"""rk AS (
+    s"""rk AS ${d.mat} (
        |  SELECT vec_id, band, bkey,
        |    row_number() OVER (PARTITION BY band, bkey ORDER BY vec_id) AS r
        |  FROM keys),
@@ -3586,10 +3591,10 @@ object Similarity {
   }
 
   private def knnChainCtes(d: SqlDialect): String =
-    (s"""$knnInitCte,
+    (s"""${knnInitCte(d)},
         |${knnTopkCtes(d, "cand0", "g0")}""".stripMargin +:
       (1 to KnnRounds).map(i =>
-        s"""${knnRoundCtes(s"g${i - 1}", i)},
+        s"""${knnRoundCtes(d, s"g${i - 1}", i)},
            |${knnTopkCtes(d, s"cand$i", s"g$i")}""".stripMargin))
       .mkString(",\n")
 
@@ -3681,7 +3686,7 @@ object Similarity {
       val init = run(spark, dir,
         s"""WITH ${baseCtes(d)},
            |${knnKeyCtes(d)},
-           |$knnInitCte
+           |${knnInitCte(d)}
            |SELECT qid, nid FROM cand0""".stripMargin)
       knnScore(spark, dir, init).localCheckpoint()
     }

@@ -200,6 +200,19 @@ object DuckDialect extends SqlDialect {
   def sequence0(n: String): String = s"generate_series(0, ($n) - 1)"
   def listAgg(x: String): String = s"list($x)"
   def mat: String = "MATERIALIZED"
+
+  /** DuckDB-native sequential dot product.  The trait's interpreted
+    * fold re-builds any LITERAL array operand once per element
+    * reference (the literal text sits inside the per-element lambda),
+    * so a 64-dim dot against a literal hyperplane costs 64 list
+    * constructions PER ROW — measured ~60 s for one 2000-row
+    * hyperplane-bits stage at sf0.1, ~0.01 s with the native kernel.
+    * `list_dot_product` accumulates left-to-right in doubles, exactly
+    * like the fold and the engine's `graft_dot`: verified 0 differing
+    * results (IS DISTINCT FROM) over all 40k sf0.1 query-pair dots and
+    * all 2000×literal-plane dots before the swap. */
+  override def dot(a: String, b: String): String =
+    s"list_dot_product($a, $b)"
 }
 
 /** Deterministic parameters shared by the hashing operators. */
