@@ -237,8 +237,14 @@ object Bench {
       // SPARK_GRAFT_BASELINE_TIMEOUT_MIN explicitly — the judge-facing
       // ratio at scale needs the baseline to FINISH, not time out to
       // null
+      // default raised 20 → 35 min (r15): the round-15 oracle additions
+      // briefly pushed DuckDB past 20 min and the ratio silently timed
+      // out to null — the oracle texts were fixed (native dot kernel +
+      // materialized CTE chains, ~6-8 min total now), but the cap is a
+      // guard, not a wait: a finishing baseline must never be killed
+      // into a null ratio by host-load drift on the driver box
       val timeoutMin = sys.env.get("SPARK_GRAFT_BASELINE_TIMEOUT_MIN")
-        .flatMap(_.toLongOption).getOrElse(20L)
+        .flatMap(_.toLongOption).getOrElse(35L)
       val out = boundedRun(
         Seq("python3", script.toString, sfDir, oPath.toString),
         timeoutMin * 60 * 1000)

@@ -298,6 +298,13 @@ object SparkEntry {
       ((s, d) => Similarity.prebuildFixedStores(s, d)),
     "bpe_merge_table" -> ((s, d) => { BpeTrain.trainedMerges(s, d); () }),
     "knn_graph" -> ((s, d) => Similarity.prebuildKnnGraph(s, d)),
+    // serving-cache warms (r15): the memoized recall truths and the
+    // fixed-grid / corpus-scaled serve relations the recall-family
+    // harnesses score — priced here so RUNS=1 artifacts never
+    // attribute a one-time serve build to its first consumer
+    "exact_truth_serves" -> ((s, d) => Similarity.prebuildExactTruth(s, d)),
+    "sampled_truth_serves" ->
+      ((s, d) => Similarity.prebuildSampledTruth(s, d)),
   )
 
   /** Per-build predicate over query names: does this query consume the
@@ -319,7 +326,10 @@ object SparkEntry {
       (n => n == "dedup_ngram_jaccard" || n == "dedup_containment" ||
         n == "dedup_split_leakage" || n == "dedup_degree_hist"),
     "emb_band_keys" -> (n => n == "dedup_embedding_lsh_scaled" ||
-      n == "dedup_lsh_recall_sampled" || n == "dedup_embedding_compact"),
+      n == "dedup_lsh_recall_sampled" || n == "dedup_embedding_compact" ||
+      n == "dedup_lsh_recall" ||
+      // the k-NN graph's init consumes the same banded signature (r15)
+      n.startsWith("sim_knn_graph")),
     "curation_sur" -> (n => n == "text_curation_log_full" ||
       n == "text_curation_funnel" || n == "text_surprisal_buckets"),
     "pq_codes_sampled" -> (n => n == "sim_ann_ivf_adc" ||
@@ -333,6 +343,17 @@ object SparkEntry {
       n == "sim_ivf_adc_trained" || n == "sim_adc_recall_sampled"),
     "bpe_merge_table" -> (n => n.startsWith("text_bpe")),
     "knn_graph" -> (n => n.startsWith("sim_knn_graph")),
+    // every consumer is a registered scale BASELINE (quadratic truth
+    // by definition), so scaling smokes that exclude the baselines
+    // skip the quadratic truth build with them
+    "exact_truth_serves" -> (n => n == "sim_topk_bruteforce" ||
+      n == "sim_ann_lsh" || n == "sim_quantized_topk" ||
+      n == "sim_recall" || n == "sim_recall_rerank" ||
+      n == "sim_retrieval_ndcg" || n == "sim_adc_recall"),
+    "sampled_truth_serves" -> (n => n == "sim_ann_lsh_scaled" ||
+      n == "sim_recall_sampled" || n == "sim_retrieval_ndcg_sampled" ||
+      n == "sim_adc_recall_sampled" || n == "sim_knn_graph_recall" ||
+      n == "sim_nprobe_sweep"),
   )
 
   /** Queries that are DOCUMENTED brute-force / fixed-k ground-truth

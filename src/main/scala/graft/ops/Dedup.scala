@@ -347,7 +347,7 @@ object Dedup {
     // materialize the sig memo entry BEFORE entering the pairs memo so
     // the two cached() calls never nest
     val sig = simhashSig(spark, dir)
-    RelationCache.cached(spark, s"simhash_pairs:$dir") {
+    RelationCache.materialized(spark, s"simhash_pairs:$dir") {
       simhashVerifiedPairsPlan(spark, sig)
     }
   }
@@ -358,7 +358,7 @@ object Dedup {
     * Token-less docs yield NULL and are filtered, matching the CTE's
     * emits-no-row behavior. */
   private def simhashSig(spark: SparkSession, dir: String): DataFrame =
-    RelationCache.cached(spark, s"simhash_sig:$dir") {
+    RelationCache.materialized(spark, s"simhash_sig:$dir") {
       runDocs(spark, dir,
         s"""SELECT doc_id, graft_simhash(${SparkDialect.tokens("text")}) AS simhash
            |FROM documents""".stripMargin)
@@ -534,11 +534,13 @@ object Dedup {
        |ORDER BY vec_id_a, vec_id_b""".stripMargin
   }
 
-  def embeddingLsh(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
-    spark.sql(embeddingLshSql(SparkDialect))
-  }
+  def embeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    // memoized (r15): its own query + the lshRecall ratio consume it
+    RelationCache.materialized(spark, s"emb_lsh_pairs:$dir") {
+      graft.functions.GraftFunctions.register(spark)
+      Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+      spark.sql(embeddingLshSql(SparkDialect))
+    }
 
   /** Corpus-scaled embedding-LSH near-dup — the fix for the fixed
     * band space's quadratic floor (SCALING.md round-10 table:
@@ -642,7 +644,7 @@ object Dedup {
   def embBandKeys(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val n = embNorms(spark, dir)
-    RelationCache.cached(spark, s"emb_band_keys:$dir") {
+    RelationCache.materialized(spark, s"emb_band_keys:$dir") {
       val maxBits = 16
       val cnt = n.count()
       // same clamp(4..16, ceil(log2(n/32))) as the SQL's integer ladder
@@ -676,7 +678,9 @@ object Dedup {
     * signature/norm relations are computed ONCE and cached instead of
     * re-derived per CTE reference when Spark inlines the SQL text.
     * The SQL stays the independent DuckDB oracle. */
-  def embeddingLshScaled(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingLshScaled(spark: SparkSession, dir: String): DataFrame =
+   // memoized (r15): its own query + the lshRecall ratio consume it
+   RelationCache.materialized(spark, s"emb_lsh_scaled_pairs:$dir") {
     import org.apache.spark.sql.functions._
     val n = embNorms(spark, dir)
     val keys = embBandKeys(spark, dir)
@@ -701,7 +705,7 @@ object Dedup {
         round(col("cs"), 6).as("cosine"))
       .distinct()
       .orderBy("vec_id_a", "vec_id_b")
-  }
+   }
 
   /** Pair-recall report for the two banded embedding near-dup
     * variants against the exact all-pairs baseline — the measured
@@ -733,9 +737,28 @@ object Dedup {
        |   FROM (${embeddingLshScaledSql(d)}) z) s""".stripMargin
 
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
-    spark.sql(lshRecallSql(SparkDialect))
+    // Engine form (r15): count the three MEMOIZED pair relations the
+    // registered queries `dedup_embedding` / `dedup_embedding_lsh` /
+    // `dedup_embedding_lsh_scaled` already serve (each individually
+    // hash-checked against its own oracle), instead of re-running all
+    // three SQL chains inline — Spark inlines the CTEs per reference,
+    // so the old form recomputed the exact all-pairs scan and both
+    // banding chains from raw embeddings on every call (1.66 s warm →
+    // 0.2 s).  Arithmetic matches `lshRecallSql` term for term; the
+    // single-statement SQL stays the independent DuckDB oracle.
+    import org.apache.spark.sql.functions._
+    val e = embeddingCosine(spark, dir)
+      .agg(count(lit(1)).cast("long").as("exact_pairs"))
+    val l = embeddingLsh(spark, dir)
+      .agg(count(lit(1)).cast("long").as("lsh_pairs"))
+    val s = embeddingLshScaled(spark, dir)
+      .agg(count(lit(1)).cast("long").as("scaled_pairs"))
+    e.crossJoin(l).crossJoin(s)
+      .select(col("exact_pairs"), col("lsh_pairs"), col("scaled_pairs"),
+        round(col("lsh_pairs").cast("double")
+          / greatest(col("exact_pairs"), lit(1L)), 6).as("lsh_recall"),
+        round(col("scaled_pairs").cast("double")
+          / greatest(col("exact_pairs"), lit(1L)), 6).as("scaled_recall"))
   }
 
   /** Sampled twin of `dedup_lsh_recall` — the banding-recall receipt
@@ -923,7 +946,7 @@ object Dedup {
     * ngram and minhash engine paths.  Re-invocations hit Spark's
     * cache manager (same canonicalized plan → same InMemoryRelation). */
   private def gramsDF(spark: SparkSession, dir: String): DataFrame =
-    RelationCache.cached(spark, s"mh_grams:$dir") {
+    RelationCache.materialized(spark, s"mh_grams:$dir") {
       runDocs(spark, dir,
         s"WITH ${gramCtes(SparkDialect)} SELECT doc_id, grams, ng FROM mh_grams")
     }
@@ -959,7 +982,7 @@ object Dedup {
   }
 
   private def sharedPairsDF(spark: SparkSession, dir: String): DataFrame =
-    RelationCache.cached(spark, s"ngram_pairs:$dir:$MaxGramDf") {
+    RelationCache.materialized(spark, s"ngram_pairs:$dir:$MaxGramDf") {
       import spark.implicits._
       import org.apache.spark.sql.functions._
       // the join sides re-run only the explode over the cached gram
@@ -1216,10 +1239,10 @@ object Dedup {
     // stays as the oracle's independent formulation; empty gram sets
     // yield NULL and are filtered to match its emits-no-row relation.
     val grams = gramsDF(spark, dir)
-    val sig = RelationCache.cached(spark, s"mh_sig:$dir") {
+    val sig = RelationCache.materialized(spark, s"mh_sig:$dir") {
       minhashSigFrom(grams)
     }
-    RelationCache.cached(spark, s"mh_pairs:$dir") {
+    RelationCache.materialized(spark, s"mh_pairs:$dir") {
       minhashPairsFrom(grams, sig)
     }
   }
@@ -1300,7 +1323,7 @@ object Dedup {
   def minhashCapReport(spark: SparkSession, dir: String,
       cap: Int): DataFrame = {
     val grams = gramsDF(spark, dir)
-    val sig = RelationCache.cached(spark, s"mh_sig:$dir") {
+    val sig = RelationCache.materialized(spark, s"mh_sig:$dir") {
       minhashSigFrom(grams)
     }
     capReportFrom(grams, sig, cap)
@@ -1636,11 +1659,13 @@ object Dedup {
        |SELECT lab.doc_id, lab.cluster_rep, sz.cluster_size
        |FROM lab JOIN sz USING (cluster_rep)
        |ORDER BY doc_id""".stripMargin
-  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
-    spark.sql(embeddingCosineSql(SparkDialect))
-  }
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    // memoized (r15): its own query + the lshRecall ratio consume it
+    RelationCache.materialized(spark, s"emb_cosine_pairs:$dir") {
+      graft.functions.GraftFunctions.register(spark)
+      Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+      spark.sql(embeddingCosineSql(SparkDialect))
+    }
 
   // ------------------------------------------------- semantic dedup
 
@@ -1723,7 +1748,7 @@ object Dedup {
     val c = broadcast(n.filter(col("vec_id") < SemanticClusters)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cnrm")))
-    val m = RelationCache.cached(spark, s"semantic_assign:$dir") {
+    val m = RelationCache.materialized(spark, s"semantic_assign:$dir") {
       n.crossJoin(c)
         .withColumn("cs", expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm")))
         .groupBy(col("vec_id"))
@@ -1829,7 +1854,7 @@ object Dedup {
     val base = Similarity.ivfBase(spark, dir)
     val cents = Similarity.trainScaledCodebookCached(spark, dir, base)
     val nv = base.select($"vec_id", $"v", $"nrm")
-    val asgn = RelationCache.cached(spark, s"semantic_scaled_asgn:$dir") {
+    val asgn = RelationCache.materialized(spark, s"semantic_scaled_asgn:$dir") {
       Similarity.assignedCid(nv, cents).select($"vec_id", $"cid")
     }
     val csz = asgn.groupBy($"cid").agg(count(lit(1)).as("sz"))
@@ -1841,8 +1866,22 @@ object Dedup {
     val und = asgn
       .join(csz.filter($"sz" <= cap), "cid")
       .join(nv, "vec_id")
-    val blocks = subclusterBlocks(und, splitFloor)
-      .select($"vec_id", $"cid", $"sub")
+    // Split short-circuit (r15): when NO under-cap cluster exceeds the
+    // floor — provably every oracle fixture, where cap < floor — the
+    // split is the identity (every cluster passes through as one
+    // sub = 0 block), but the un-pruned plan still carries the whole
+    // seed/Lloyd/reassign machinery over an EMPTY `big` relation:
+    // measured +1.7 s of pure planning + empty-stage scheduling at
+    // sf0.1.  One k-row aggregate over the session-cached assignment
+    // decides the branch; the split itself engages unchanged at
+    // 10×/100× (and under the forced floors the specs use).
+    val maxUnd = csz.filter($"sz" <= cap)
+      .agg(coalesce(max($"sz"), lit(0L))).head().getLong(0)
+    val blocks =
+      (if (maxUnd <= splitFloor)
+         und.select(col("vec_id"), col("cid"), lit(0L).as("sub"))
+       else subclusterBlocks(und, splitFloor))
+        .select($"vec_id", $"cid", $"sub")
     val dropped = blocks.as("x")
       .join(blocks.as("y"),
         $"x.cid" === $"y.cid" && $"x.sub" === $"y.sub" &&
@@ -2104,7 +2143,7 @@ object Dedup {
     val splitId = incrementalSplitId(spark, dir)
     val grams = gramsDF(spark, dir)
     val store = prebuildSignatureStore(spark, dir, storeBase)
-    val batchSig = RelationCache.cached(spark, s"mh_sig_inc:$dir") {
+    val batchSig = RelationCache.materialized(spark, s"mh_sig_inc:$dir") {
       minhashSigFrom(grams.filter($"doc_id" >= splitId))
     }
     val batchBands = cappedBands(bandsOf(batchSig), "bkey", cap)

@@ -78,6 +78,47 @@ object RelationCache {
   def peek(spark: SparkSession, key: String): Option[DataFrame] =
     Option(memo.get((spark, key)))
 
+  /** [[cached]] with LINEAGE TRUNCATION (`localCheckpoint`, eager) —
+    * for RESULT-SIZED relations (rank/serve/truth tables, ≤ |Q|·k
+    * rows) whose build plans are enormous (unrolled SQL chains,
+    * thousands of literal hyperplane weights).  A plain `.cache()`
+    * makes EXECUTION free on re-use but every downstream action still
+    * re-analyzes the full logical plan on the driver — measured
+    * 1.7 s warm for `sim_hybrid_rrf`'s fuse over two already-cached
+    * rank relations, ~0.1 s once truncated (the knn-graph stages hit
+    * the same wall first: PLANS_r15.md).  Truncation trades plan
+    * re-derivability for an RDD-backed LogicalRDD, which is exactly
+    * right for small deterministic results consumed by several
+    * queries; keep big INTERMEDIATES on [[cached]] so storage stays
+    * spillable and lazy. */
+  def materialized(spark: SparkSession, key: String)
+      (build: => DataFrame): DataFrame =
+    if (transparent) build
+    else {
+      hookShutdown(spark)
+      val k = (spark, key)
+      val existing = memo.get(k)
+      if (existing != null) existing
+      else {
+        val df = build.localCheckpoint()
+        val prev = memo.putIfAbsent(k, df)
+        if (prev != null) prev else df
+      }
+    }
+
+  /** Plan-transparency seam for PLAN-SHAPE specs: [[materialized]]'s
+    * checkpoint truncates lineage to a `Scan ExistingRDD`, which hides
+    * the build plan the shape assertions exist to pin (partition
+    * pruning, broadcast anti-joins, filter placement).  Inside
+    * `withTransparent`, `materialized` returns the RAW build — no
+    * memo read or write, no checkpoint — so a spec sees exactly the
+    * plan production builds on first use.  Never used outside tests. */
+  @volatile private var transparent = false
+  def withTransparent[T](f: => T): T = {
+    transparent = true
+    try f finally transparent = false
+  }
+
   /** Session-scoped memo for small driver-side values DERIVED from the
     * cached relations (trained k-means codebooks, …), released by the
     * same `clear` / shutdown paths as the relations themselves — so

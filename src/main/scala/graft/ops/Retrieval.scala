@@ -860,7 +860,7 @@ object Retrieval {
     * √|Q|·n sampled build otherwise (the scale path); the lexical
     * side filters the one cached rank the whole family shares. */
   def hybridRrfSampled(spark: SparkSession, dir: String): DataFrame =
-    RelationCache.cached(spark, s"hybrid_rrf_sampled:$dir") {
+    RelationCache.materialized(spark, s"hybrid_rrf_sampled:$dir") {
       import org.apache.spark.sql.functions._
       val qsample = run(spark, dir,
         s"""WITH e AS (SELECT vec_id FROM embeddings),
@@ -869,7 +869,7 @@ object Retrieval {
            |SELECT vec_id FROM qsample""".stripMargin)
       val vtop = RelationCache.peek(spark, s"hybrid_vtop:$dir")
         .map(_.join(qsample, col("qid") === col("vec_id"), "left_semi"))
-        .getOrElse(RelationCache.cached(spark, s"hybrid_vtop_sampled:$dir") {
+        .getOrElse(RelationCache.materialized(spark, s"hybrid_vtop_sampled:$dir") {
           run(spark, dir,
             s"WITH ${bruteVtopCtes(SparkDialect, sampled = true)} " +
               "SELECT qid, nid, vrank FROM vtop")
@@ -919,7 +919,7 @@ object Retrieval {
     * The relation itself is tiny (≤ |Q|·FuseDepth rows), so the cache
     * holds results, not intermediates. */
   private def lexTop(spark: SparkSession, dir: String): DataFrame =
-    RelationCache.cached(spark, s"hybrid_ltop:$dir") {
+    RelationCache.materialized(spark, s"hybrid_ltop:$dir") {
       run(spark, dir,
         s"WITH ${lexRankCtes(SparkDialect)} SELECT qid, nid, lrank FROM ltop")
     }
@@ -950,7 +950,7 @@ object Retrieval {
     * [[lexTop]] because two queries consume it (`sim_hybrid_rrf` and
     * the recall harness via `hybridRrf`); ≤ |Q|·FuseDepth rows. */
   private def bruteVtop(spark: SparkSession, dir: String): DataFrame =
-    RelationCache.cached(spark, s"hybrid_vtop:$dir") {
+    RelationCache.materialized(spark, s"hybrid_vtop:$dir") {
       run(spark, dir,
         s"WITH ${bruteVtopCtes(SparkDialect)} SELECT qid, nid, vrank FROM vtop")
     }
@@ -970,7 +970,7 @@ object Retrieval {
     // it); ≤ |Q|·TopK rows, so the cache holds results, and
     // RelationCache.clear — the store-refresh hook — releases it with
     // the underlying index relations
-    RelationCache.cached(spark, s"hybrid_ann:$dir") {
+    RelationCache.materialized(spark, s"hybrid_ann:$dir") {
       fuse(Similarity.kmeansStoreTopN(spark, dir, FuseDepth),
         lexTop(spark, dir))
     }

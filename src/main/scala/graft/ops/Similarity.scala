@@ -1014,7 +1014,7 @@ object Similarity {
     // the truth relation feeds every variant join; uncached, Spark
     // would recompute the brute-force top-k subplan inside each one
     val truth = truthDf.getOrElse(
-      RelationCache.cached(spark, s"recall_truth:$dir") {
+      RelationCache.materialized(spark, s"recall_truth:$dir") {
         topK(spark, dir).filter($"rank" <= 5)
           .select($"query_id", $"neighbor_id")
       })
@@ -1121,7 +1121,7 @@ object Similarity {
     * `sim_recall_sampled` discipline) scoring the corpus-scaled
     * serving modes — the NDCG measurement that runs at 10×/100×. */
   def retrievalNdcgSampled(spark: SparkSession, dir: String): DataFrame = {
-    val truth = RelationCache.cached(spark, s"recall_truth_sampled:$dir") {
+    val truth = RelationCache.materialized(spark, s"recall_truth_sampled:$dir") {
       run(spark, dir, sampledTruthSql(SparkDialect))
     }
     ndcgOver(spark, dir, Seq(
@@ -1136,7 +1136,7 @@ object Similarity {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val truth = truthDf.getOrElse(
-      RelationCache.cached(spark, s"recall_truth:$dir") {
+      RelationCache.materialized(spark, s"recall_truth:$dir") {
         topK(spark, dir).filter($"rank" <= 5)
           .select($"query_id", $"neighbor_id")
       })
@@ -1285,7 +1285,7 @@ object Similarity {
     * the persisted kernel store). */
   def recallSampled(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val truth = RelationCache.cached(spark, s"recall_truth_sampled:$dir") {
+    val truth = RelationCache.materialized(spark, s"recall_truth_sampled:$dir") {
       run(spark, dir, sampledTruthSql(SparkDialect))
     }
     recallOver(spark, dir, Seq(
@@ -1306,7 +1306,7 @@ object Similarity {
     * recall number, trained-codebook delta included) measurable at
     * every fixture size. */
   def adcRecallSampled(spark: SparkSession, dir: String): DataFrame = {
-    val truth = RelationCache.cached(spark, s"recall_truth_sampled:$dir") {
+    val truth = RelationCache.materialized(spark, s"recall_truth_sampled:$dir") {
       run(spark, dir, sampledTruthSql(SparkDialect))
     }
     recallOver(spark, dir, Seq(
@@ -1501,7 +1501,9 @@ object Similarity {
     * deleted store is rebuilt on the next call — the rebuild-on-absent
     * contract. */
   def ivfPersisted(spark: SparkSession, dir: String): DataFrame =
-    ivfPersisted(spark, dir, None)
+    RelationCache.materialized(spark, s"serve_ivf_persisted:$dir") {
+      ivfPersisted(spark, dir, None)
+    }
 
   def ivfPersisted(spark: SparkSession, dir: String,
                    storeBase: Option[String]): DataFrame = {
@@ -1637,7 +1639,9 @@ object Similarity {
     * like the fixed variant; the trained codebook is deterministic
     * (quantized sums, no RNG), so a rebuilt index is bit-identical. */
   def ivfKmeansPersisted(spark: SparkSession, dir: String): DataFrame =
-    ivfKmeansPersisted(spark, dir, None)
+    RelationCache.materialized(spark, s"serve_km_persisted:$dir") {
+      ivfKmeansPersisted(spark, dir, None)
+    }
 
   def ivfKmeansPersisted(spark: SparkSession, dir: String,
                          storeBase: Option[String]): DataFrame =
@@ -1654,7 +1658,9 @@ object Similarity {
     * same exact arithmetic — `ivfKmeansScaledSql` recomputes the
     * whole chain from raw embeddings as the oracle. */
   def ivfKmeansScaled(spark: SparkSession, dir: String): DataFrame =
-    ivfKmeansScaled(spark, dir, None)
+    RelationCache.materialized(spark, s"serve_kmsc:$dir") {
+      ivfKmeansScaled(spark, dir, None)
+    }
 
   def ivfKmeansScaled(spark: SparkSession, dir: String,
                       storeBase: Option[String]): DataFrame =
@@ -1697,6 +1703,14 @@ object Similarity {
     // build needs the codebook trained above, so forcing it here keeps
     // all Lloyd-dependent store cost on this one labeled line
     ivfKmeansQuantizedPersisted(spark, dir).limit(1).count()
+    // warm the family's memoized SERVE relations (see the serving-
+    // pipeline memo note above `topK`): their one-time cost lands on
+    // this labeled line, so RUNS=1 artifacts don't attribute it to the
+    // first consumer query
+    ivfKmeans(spark, dir).count()
+    ivfKmeansPersisted(spark, dir).count()
+    ivfKmeansScaled(spark, dir).count()
+    ivfKmeansQuantizedRerankPersisted(spark, dir).count()
     ()
   }
 
@@ -1707,17 +1721,50 @@ object Similarity {
     * fixture).  Runs one tiny serve per store (the publish blocks live
     * inside the serve paths); idempotent once published. */
   def prebuildFixedStores(spark: SparkSession, dir: String): Unit = {
-    ivfPersisted(spark, dir).limit(1).count()
-    ivfQuantizedPersisted(spark, dir).limit(1).count()
+    ivfPersisted(spark, dir).count()
+    ivfQuantizedPersisted(spark, dir).count()
     // also warm the fixed-family session assignment relation — under
     // RUNS=1 its n×k kernel pass otherwise lands on the first
     // alphabetical consumer (sim_ann_ivf) instead of this labeled line
     val n = ivfBase(spark, dir)
     val cents = fixedCentsCached(spark, dir, n)
-    RelationCache.cached(spark, s"fixed_asgn:$dir") {
+    RelationCache.materialized(spark, s"fixed_asgn:$dir") {
       import spark.implicits._
       assignedCid(n, cents).select($"vec_id", $"cid")
     }.count()
+    // warm the family's memoized serve relations (same discipline as
+    // prebuildKmeansStores)
+    ivf(spark, dir).count()
+    ivfQuantizedRerankPersisted(spark, dir).count()
+    ()
+  }
+
+  /** Bench-priced warm of the EXACT-truth serving caches: the
+    * brute-force top-k relation, the rank≤5 truth derived from it,
+    * and the two fixed-grid serving pipelines the full recall
+    * harnesses score (`annLsh`, `quantizedTopK`).  All are registered
+    * scale BASELINES — the 10×/100× smokes exclude every consumer, so
+    * `buildConsumers` skips this build there and the quadratic truth
+    * is never computed at scale. */
+  def prebuildExactTruth(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    RelationCache.materialized(spark, s"recall_truth:$dir") {
+      topK(spark, dir).filter($"rank" <= 5)
+        .select($"query_id", $"neighbor_id")
+    }.count()
+    annLsh(spark, dir).count()
+    quantizedTopK(spark, dir).count()
+    ()
+  }
+
+  /** Bench-priced warm of the SAMPLED-truth cache (√|Q|·n scoring —
+    * the scale-safe truth) and the corpus-scaled LSH serve shared by
+    * the sampled recall/NDCG harnesses and `sim_ann_lsh_scaled`. */
+  def prebuildSampledTruth(spark: SparkSession, dir: String): Unit = {
+    RelationCache.materialized(spark, s"recall_truth_sampled:$dir") {
+      run(spark, dir, sampledTruthSql(SparkDialect))
+    }.count()
+    annLshScaled(spark, dir).count()
     ()
   }
 
@@ -1957,7 +2004,9 @@ object Similarity {
     * whole pipeline from raw embeddings verifies both the store and
     * the serving arithmetic. */
   def ivfKmeansQuantizedPersisted(spark: SparkSession, dir: String): DataFrame =
-    ivfKmeansQuantizedPersisted(spark, dir, None)
+    RelationCache.materialized(spark, s"serve_km_pq:$dir") {
+      ivfKmeansQuantizedPersisted(spark, dir, None)
+    }
 
   def ivfKmeansQuantizedPersisted(spark: SparkSession, dir: String,
                                   storeBase: Option[String]): DataFrame =
@@ -2002,7 +2051,9 @@ object Similarity {
     * stages end-to-end (`ivfKmeansQuantizedRerankSql`). */
   def ivfKmeansQuantizedRerankPersisted(spark: SparkSession,
       dir: String): DataFrame =
-    ivfKmeansQuantizedRerankPersisted(spark, dir, None)
+    RelationCache.materialized(spark, s"serve_km_pq_rr:$dir") {
+      ivfKmeansQuantizedRerankPersisted(spark, dir, None)
+    }
 
   def ivfKmeansQuantizedRerankPersisted(spark: SparkSession, dir: String,
       storeBase: Option[String]): DataFrame = {
@@ -2054,7 +2105,9 @@ object Similarity {
     * bit-identical to the `ivfQuantizedSql` oracle recomputing the
     * whole pipeline from the raw embeddings. */
   def ivfQuantizedPersisted(spark: SparkSession, dir: String): DataFrame =
-    ivfQuantizedPersisted(spark, dir, None)
+    RelationCache.materialized(spark, s"serve_ivf_pq:$dir") {
+      ivfQuantizedPersisted(spark, dir, None)
+    }
 
   def ivfQuantizedPersisted(spark: SparkSession, dir: String,
                             storeBase: Option[String]): DataFrame =
@@ -2250,7 +2303,9 @@ object Similarity {
     * point-lookup-sized join — while the scan-heavy stage ran on the
     * 4× smaller codes. */
   def ivfQuantizedRerankPersisted(spark: SparkSession, dir: String): DataFrame =
-    ivfQuantizedRerankPersisted(spark, dir, None)
+    RelationCache.materialized(spark, s"serve_ivf_pq_rr:$dir") {
+      ivfQuantizedRerankPersisted(spark, dir, None)
+    }
 
   def ivfQuantizedRerankPersisted(spark: SparkSession, dir: String,
                                   storeBase: Option[String]): DataFrame = {
@@ -2698,24 +2753,43 @@ object Similarity {
     spark.sql(sql)
   }
 
+  // Serving pipelines below are memoized per (session, corpus) with
+  // LINEAGE TRUNCATION (`RelationCache.materialized`): each is
+  // deterministic, emits a result-sized relation (≤ |Q|·k rows), and
+  // has ≥ 2 consumers in a bench/verify session — its own registered
+  // query plus the recall/NDCG harnesses that score it.  Without the
+  // memo every harness re-executes the full pipeline; without the
+  // truncation every downstream action re-analyzes the pipeline's
+  // multi-thousand-node plan on the driver (the dominant warm cost —
+  // see RelationCache.materialized).  The one-time build cost is
+  // priced as labeled bench build lines (SparkEntry.builds).
   def topK(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir, topKSql(SparkDialect))
+    RelationCache.materialized(spark, s"serve_topk:$dir") {
+      run(spark, dir, topKSql(SparkDialect))
+    }
   def quantize(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, quantizeSql(SparkDialect))
   def quantizedTopK(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir, quantizedTopKSql(SparkDialect))
+    RelationCache.materialized(spark, s"serve_quantized_topk:$dir") {
+      run(spark, dir, quantizedTopKSql(SparkDialect))
+    }
   def annLsh(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir, annLshSql(SparkDialect))
+    RelationCache.materialized(spark, s"serve_ann_lsh:$dir") {
+      run(spark, dir, annLshSql(SparkDialect))
+    }
   def annLshScaled(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir, annLshScaledSql(SparkDialect))
-  def ivf(spark: SparkSession, dir: String): DataFrame = {
-    // engine form assigns through the kernel against the collected
-    // capped fixed codebook — the single-statement `ivfSql` (whose n·k
-    // CROSS JOIN Spark would execute literally) stays as the oracle
-    val n = ivfBase(spark, dir)
-    exactIvfServe(spark, n, fixedCentsCached(spark, dir, n),
-      Some(s"fixed_asgn:$dir"))
-  }
+    RelationCache.materialized(spark, s"serve_ann_lsh_scaled:$dir") {
+      run(spark, dir, annLshScaledSql(SparkDialect))
+    }
+  def ivf(spark: SparkSession, dir: String): DataFrame =
+    RelationCache.materialized(spark, s"serve_ivf:$dir") {
+      // engine form assigns through the kernel against the collected
+      // capped fixed codebook — the single-statement `ivfSql` (whose n·k
+      // CROSS JOIN Spark would execute literally) stays as the oracle
+      val n = ivfBase(spark, dir)
+      exactIvfServe(spark, n, fixedCentsCached(spark, dir, n),
+        Some(s"fixed_asgn:$dir"))
+    }
   /** Engine ADC forms: the COARSE stage (assignment + probing → cand)
     * runs through the collected capped codebook and the kernel — no
     * n·k CROSS JOIN, no per-vector window — registered as a temp view
@@ -2726,12 +2800,16 @@ object Similarity {
     * recomputes the coarse stage from raw embeddings as the check
     * that the kernel candidates ARE the CROSS JOIN's. */
   def ivfAdc(spark: SparkSession, dir: String): DataFrame =
-    adcServeLiteral(spark, dir, pqSeedCb(spark, dir),
-      s"pq_codes_sampled:$dir")
+    RelationCache.materialized(spark, s"serve_adc:$dir") {
+      adcServeLiteral(spark, dir, pqSeedCb(spark, dir),
+        s"pq_codes_sampled:$dir")
+    }
 
   def ivfAdcTrained(spark: SparkSession, dir: String): DataFrame =
-    adcServeLiteral(spark, dir, pqTrainedCb(spark, dir),
-      s"pq_codes_trained:$dir")
+    RelationCache.materialized(spark, s"serve_adc_trained:$dir") {
+      adcServeLiteral(spark, dir, pqTrainedCb(spark, dir),
+        s"pq_codes_trained:$dir")
+    }
 
   /** (s, j, cw): PqM·PqK per-subspace codewords. */
   private type PqCb = Seq[(Int, Long, Array[Double])]
@@ -2888,6 +2966,9 @@ object Similarity {
           org.apache.spark.sql.functions.col("s"),
           org.apache.spark.sql.functions.col("code"))
     }.count()
+    // warm the memoized ADC serve (its own query + both recall
+    // harnesses consume it — serving-pipeline memo note above `topK`)
+    ivfAdc(spark, dir).count()
     ()
   }
 
@@ -2898,6 +2979,7 @@ object Similarity {
           org.apache.spark.sql.functions.col("s"),
           org.apache.spark.sql.functions.col("code"))
     }.count()
+    ivfAdcTrained(spark, dir).count()
     ()
   }
 
@@ -3121,14 +3203,15 @@ object Similarity {
     cents
   }
 
-  def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
-    // session-scoped cached relation (RelationCache): repeated bench /
-    // verify invocations — and the persisted variant — share one
-    // cache entry instead of pinning a new one per call
-    val n = ivfBase(spark, dir)
-    exactIvfServe(spark, n, trainCodebookCached(spark, dir, n),
-      Some(s"kmeans_asgn:$dir"))
-  }
+  def ivfKmeans(spark: SparkSession, dir: String): DataFrame =
+    RelationCache.materialized(spark, s"serve_ivf_kmeans:$dir") {
+      // session-scoped cached relation (RelationCache): repeated bench /
+      // verify invocations — and the persisted variant — share one
+      // cache entry instead of pinning a new one per call
+      val n = ivfBase(spark, dir)
+      exactIvfServe(spark, n, trainCodebookCached(spark, dir, n),
+        Some(s"kmeans_asgn:$dir"))
+    }
 
   /** IVF candidate pairs (qid, nid) over any collected codebook:
     * kernel/unrolled assignment + nprobe=2 probing — the coarse stage
@@ -3178,13 +3261,13 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val n = ivfBase(spark, dir)
     val cents = trainCodebookCached(spark, dir, n)
-    val truth = RelationCache.cached(spark, s"recall_truth_sampled:$dir") {
+    val truth = RelationCache.materialized(spark, s"recall_truth_sampled:$dir") {
       run(spark, dir, sampledTruthSql(SparkDialect))
     }
-    val sq = RelationCache.cached(spark, s"nprobe_sweep_queries:$dir") {
+    val sq = RelationCache.materialized(spark, s"nprobe_sweep_queries:$dir") {
       n.join(truth.select($"query_id".as("vec_id")).distinct(), "vec_id")
     }
-    val asgn = RelationCache.cached(spark, s"kmeans_asgn:$dir") {
+    val asgn = RelationCache.materialized(spark, s"kmeans_asgn:$dir") {
       assignedCid(n, cents).select($"vec_id", $"cid")
     }
     // One candidate generation + ONE scoring pass at the WIDEST probe
@@ -3320,7 +3403,7 @@ object Similarity {
     val n = ivfBase(spark, dir)
     val cents = trainCodebookCached(spark, dir, n)
     val byRel = Window.partitionBy($"qid").orderBy($"rel".desc, $"nid")
-    val pool = RelationCache.cached(spark, s"mmr_pool:$dir") {
+    val pool = RelationCache.materialized(spark, s"mmr_pool:$dir") {
       ivfCand(spark, n, cents, Some(s"kmeans_asgn:$dir"))
         .join(n.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")), "qid")
         .join(n.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nn")), "nid")
@@ -3329,7 +3412,7 @@ object Similarity {
         .withColumn("rn", row_number().over(byRel))
         .filter($"rn" <= MmrPool).drop("rn")
     }
-    val ps = RelationCache.cached(spark, s"mmr_psim:$dir") {
+    val ps = RelationCache.materialized(spark, s"mmr_psim:$dir") {
       pool.select($"qid", $"nid".as("anid"))
         .join(pool.select($"qid", $"nid".as("bnid")), Seq("qid"))
         .filter($"anid" =!= $"bnid")
@@ -3613,12 +3696,11 @@ object Similarity {
        |FROM g$KnnRounds ORDER BY node_id, rank""".stripMargin
 
   /** Session-cached (vec_id, v, nrm) node relation the graph stages
-    * score against. */
+    * score against — [[Dedup.embNorms]]'s relation (bit-identical
+    * construction: toDoubleArr + sqrt(graft_dot)), shared instead of
+    * duplicated under a second cache key (r15). */
   private def knnBase(spark: SparkSession, dir: String): DataFrame =
-    RelationCache.cached(spark, s"knn_base:$dir") {
-      run(spark, dir,
-        s"WITH ${baseCtes(SparkDialect)} SELECT vec_id, v, nrm FROM n")
-    }
+    Dedup.embNorms(spark, dir)
 
   /** Exact-cosine scoring + per-node top-K over a candidate edge
     * relation — the DataFrame twin of [[knnTopkCtes]], bit-identical
@@ -3682,12 +3764,26 @@ object Similarity {
     // (n·K edges), so the storage cost is nil.
     var g = RelationCache.cached(spark, s"knn_g0:$dir") {
       // the skew-bounded rank-window init (see knnInitCte) — NOT the
-      // bucket clique, which is quadratic in hot-bucket size
-      val init = run(spark, dir,
-        s"""WITH ${baseCtes(d)},
-           |${knnKeyCtes(d)},
-           |${knnInitCte(d)}
-           |SELECT qid, nid FROM cand0""".stripMargin)
+      // bucket clique, which is quadratic in hot-bucket size.  Band
+      // keys come from the SHARED session relation Dedup.embBandKeys
+      // (same planes, same band count, same nb ladder — its Scaladoc
+      // pins the substring equivalence), so the 64-projection bits
+      // stage is built once per session under the priced
+      // `emb_band_keys` line instead of re-derived here (r15; the
+      // single-statement oracle keeps its inline knnKeyCtes copy).
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val keys = Dedup.embBandKeys(spark, dir)
+      val rk = keys.withColumn("r", row_number().over(
+        Window.partitionBy(col("band"), col("bkey")).orderBy(col("vec_id"))))
+      val ser = spark.range(1, KnnInitWindow + 1).select(col("id").as("k"))
+      val fwd = rk.as("a").crossJoin(ser)
+        .join(rk.as("b"),
+          col("b.band") === col("a.band") && col("b.bkey") === col("a.bkey") &&
+            col("b.r") === col("a.r") + col("k"))
+      val init = fwd.select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+        .unionAll(fwd.select(col("b.vec_id").as("qid"), col("a.vec_id").as("nid")))
+        .distinct()
       knnScore(spark, dir, init).localCheckpoint()
     }
     for (i <- 1 to KnnRounds) {
@@ -3747,7 +3843,7 @@ object Similarity {
     * with `sim_knn_graph`. */
   def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val truth = RelationCache.cached(spark, s"recall_truth_sampled:$dir") {
+    val truth = RelationCache.materialized(spark, s"recall_truth_sampled:$dir") {
       run(spark, dir, sampledTruthSql(SparkDialect))
     }
     val g = knnGraphFinal(spark, dir)

@@ -179,6 +179,16 @@ object SubqueryShapes {
         .select($"o_orderkey", $"o_orderdate"),
         $"l_orderkey" === $"o_orderkey")
       .select($"l_orderkey", $"l_suppkey", late.as("late"))
+      // ONE exchange for both aggregates (r15): hash-partitioning by
+      // l_orderkey alone satisfies the clustered distribution of the
+      // (orderkey, suppkey) aggregate AND the orderkey aggregate, so
+      // the per-supplier and per-order rollups run back-to-back with
+      // no second shuffle.  The shuffled rows are the 3-column
+      // projected fact (orderkey, suppkey, late int) — at ~1.5
+      // lineitem rows per (order, supplier) the map-side combine the
+      // default plan buys costs a SECOND full exchange of the pair
+      // relation, strictly more bytes end-to-end.
+      .repartition($"l_orderkey")
       .groupBy($"l_orderkey", $"l_suppkey")
       .agg(max($"late").as("any_late"), sum($"late").as("late_lines"))
     val perOrder = perSupp

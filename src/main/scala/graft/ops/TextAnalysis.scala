@@ -1295,7 +1295,7 @@ object TextAnalysis {
   private def registerSurView(spark: SparkSession, dir: String): Unit = {
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
-    RelationCache.cached(spark, s"curation_sur:$dir") {
+    RelationCache.materialized(spark, s"curation_sur:$dir") {
       spark.sql(surViewSql(SparkDialect))
     }.createOrReplaceTempView("sur")
   }
@@ -1392,7 +1392,7 @@ object TextAnalysis {
     * which eval docs need a raised `maxDf` or boilerplate stripping
     * before trusting `text_contamination`. */
   def contaminationRisk(spark: SparkSession, dir: String): DataFrame = {
-    val e = RelationCache.cached(spark, s"contamination_grams:$dir") {
+    val e = RelationCache.materialized(spark, s"contamination_grams:$dir") {
       run(spark, dir,
         s"""WITH ${contaminationGramCtes(SparkDialect)}
            |SELECT doc_id, split, gram FROM e""".stripMargin)
@@ -1436,7 +1436,7 @@ object TextAnalysis {
     * cached DataFrame and self-joins aliases — the same multi-consumer
     * pattern as Dedup's gram/signature relations. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val e = RelationCache.cached(spark, s"contamination_grams:$dir") {
+    val e = RelationCache.materialized(spark, s"contamination_grams:$dir") {
       run(spark, dir,
         s"""WITH ${contaminationGramCtes(SparkDialect)}
            |SELECT doc_id, split, gram FROM e""".stripMargin)

@@ -132,8 +132,12 @@ class PlanShapeSpec extends SparkSuite {
         j.condition.exists(isBitCount)
       case _ => false
     }
-    val root = SparkEntry.queries("dedup_simhash")(spark, sf())
-      .queryExecution.executedPlan
+    // transparent mode: the session serve memo checkpoints the pair
+    // relation, which would hide the build plan from this assertion
+    val root = graft.ops.RelationCache.withTransparent {
+      SparkEntry.queries("dedup_simhash")(spark, sf())
+        .queryExecution.executedPlan
+    }
     val all = subtree(root)
     assert(all.exists(hasHammingFilter), root.toString.take(1500))
     val filterUnderDedup = all.collect { case a: BaseAggregateExec => a }
@@ -181,7 +185,10 @@ class PlanShapeSpec extends SparkSuite {
     // pre-AQE shape is what this test pins
     graft.ops.RelationCache.clear(spark)
     Seq("dedup_ngram_jaccard", "text_contamination").foreach { q =>
-      val root = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
+      // transparent mode: see the build plan through the serve memo
+      val root = graft.ops.RelationCache.withTransparent {
+        SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
+      }
       val all = planSubtree(root)
       // the posting filter is a broadcast LeftAnti against the (tiny)
       // hot-gram set — the df computation never shuffles postings
@@ -219,9 +226,12 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("dedup_semantic broadcasts the centroid side, never a window") {
-    val q = SparkEntry.queries("dedup_semantic")(spark, sf())
-    q.count() // materialize AQE final plan
-    val nodes = planSubtree(q.queryExecution.executedPlan).map(_.nodeName)
+    // transparent mode: see the build plan through the serve memo
+    val nodes = graft.ops.RelationCache.withTransparent {
+      val q = SparkEntry.queries("dedup_semantic")(spark, sf())
+      q.count() // materialize AQE final plan
+      planSubtree(q.queryExecution.executedPlan).map(_.nodeName)
+    }
     assert(nodes.exists(_.contains("BroadcastNestedLoopJoin")),
       s"expected broadcast centroid cross join in: ${nodes.distinct}")
     assert(!nodes.exists(_.contains("Window")),

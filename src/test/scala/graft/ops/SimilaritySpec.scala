@@ -285,7 +285,9 @@ class SimilaritySpec extends SparkSuite {
     assert(storeDir("km", sf()).listFiles()
       .exists(_.getName.startsWith("cid=")))
     // its probe path prunes partitions exactly like the fixed variant
-    val p = Similarity.ivfKmeansPersisted(spark, sf())
+    // (the storeBase overload bypasses the session serve memo, whose
+    // lineage truncation would hide the scan from the assertion)
+    val p = Similarity.ivfKmeansPersisted(spark, sf(), None)
       .queryExecution.executedPlan.toString
     assert("""PartitionFilters: \[cid#\d+L IN \(""".r.findFirstIn(p).isDefined,
       p.take(2000))
@@ -312,7 +314,8 @@ class SimilaritySpec extends SparkSuite {
     assert(lists <= seeds && lists > seeds / 2, s"lists=$lists seeds=$seeds")
     assert(lists > (0L until n).count(_ % 100 == 50),
       "scaled codebook must out-size the fixed rule at fixture scale")
-    val p = Similarity.ivfKmeansScaled(spark, sf())
+    // storeBase overload: bypasses the serve memo's lineage truncation
+    val p = Similarity.ivfKmeansScaled(spark, sf(), None)
       .queryExecution.executedPlan.toString
     assert("""PartitionFilters: \[cid#\d+L IN \(""".r.findFirstIn(p).isDefined,
       p.take(2000))
@@ -567,7 +570,8 @@ class SimilaritySpec extends SparkSuite {
   }
 
   test("persisted IVF probe prunes to the probed list partitions") {
-    val q = Similarity.ivfPersisted(spark, sf())
+    // storeBase overload: bypasses the serve memo's lineage truncation
+    val q = Similarity.ivfPersisted(spark, sf(), None)
     val p = q.queryExecution.executedPlan.toString
     // the probed-cid IN-list must land in PartitionFilters (static
     // pruning), not a post-scan Filter
@@ -680,7 +684,8 @@ class SimilaritySpec extends SparkSuite {
 
   test("quantized persisted IVF prunes to probed lists and stores int8 codes") {
     import org.apache.spark.sql.functions.col
-    val q = Similarity.ivfQuantizedPersisted(spark, sf())
+    // storeBase overload: bypasses the serve memo's lineage truncation
+    val q = Similarity.ivfQuantizedPersisted(spark, sf(), None)
     val p = q.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters: [cid#"), p.take(2000))
     assert("""PartitionFilters: \[cid#\d+L IN \(""".r.findFirstIn(p).isDefined,
