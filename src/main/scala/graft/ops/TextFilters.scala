@@ -752,7 +752,10 @@ object TextFilters {
   def tokenDrift(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     graft.Tables.documents(spark, dir).createOrReplaceTempView("documents")
-    RelationCache.cached(spark, s"token_wc:$dir") {
+    // materialized (r15): the body references wc twice (global top-B
+    // election + per-source binning), and every action otherwise
+    // re-analyzes the tokenize→explode→count chain behind the view
+    RelationCache.materialized(spark, s"token_wc:$dir") {
       spark.sql(tokenWcSql(SparkDialect))
     }.createOrReplaceTempView("wc")
     spark.sql(s"WITH ${tokenDriftBody(SparkDialect)}")
